@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.D text-analysis operators over a documents-shaped table.
+  *
+  * Everything is built from codegen'd built-ins (regexp, length,
+  * conditional aggregation) or higher-order array functions — no Scala
+  * UDFs, so plans stay whole-stage-codegen where Spark supports it and
+  * scale linearly with a plain column scan: no shuffle at all, these
+  * are pure map-side operators.
+  */
+object TextFunctions {
+
+  /** Lowercase alphanumeric token array. */
+  val tokensExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** tx1: token / char counting. Counts are exact integers; the ratio
+    * divides two exact ints → bit-deterministic. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(expr(tokensExpr)).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long").as("n_alnum"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("n_alnum").cast("double") / col("n_tokens")))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, n_tokens, n_alnum, n_chars,
+      | CASE WHEN n_tokens > 0 THEN CAST(n_alnum AS DOUBLE) / n_tokens END AS avg_token_len
+      |FROM (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "was")
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** tx2: quality scoring — stopword ratio, punctuation ratio, length
+    * bucket, and a composite score. All ratios divide exact ints; the
+    * composite is a fixed-order double polynomial (engine-identical). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      size(expr(tokensExpr)).cast("long").as("n_tokens"),
+      size(expr(s"filter($tokensExpr, t -> t IN ($stopListSql))")).cast("long").as("n_stop"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_chars"))
+    base
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars")).otherwise(lit(0.0)))
+      .withColumn("len_bucket",
+        when(col("n_tokens") < 20, "short")
+          .when(col("n_tokens") < 60, "medium").otherwise("long"))
+      .withColumn("quality",
+        (col("stop_ratio") * lit(0.5)) + ((lit(1.0) - col("punct_ratio")) * lit(0.3)) +
+          (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.2)))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars, stop_ratio, punct_ratio, len_bucket,
+      | (stop_ratio * 0.5) + ((1.0 - punct_ratio) * 0.3) +
+      |  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2) AS quality
+      |FROM (
+      | SELECT *,
+      |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+      |  CASE WHEN n_tokens < 20 THEN 'short' WHEN n_tokens < 60 THEN 'medium' ELSE 'long' END AS len_bucket
+      | FROM (
+      |  SELECT doc_id,
+      |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
+      |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      |   CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Function-word profiles for the n-gram/stopword language heuristic
+    * (public frequency lists). On the synthetic corpus (shared English
+    * vocabulary for every `lang` label) this cannot recover the label —
+    * the spec asserts determinism and domain validity instead. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "he", "ta"),
+  )
+
+  /** tx3: heuristic language ID — function-word hit counts per
+    * language, deterministic argmax (profile order breaks ties). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val hits = LangProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      size(expr(s"filter($tokensExpr, t -> t IN ($list))")).cast("long").as(s"hits_$lang")
+    }
+    val scored = docs.select(col("doc_id") +: col("lang").as("labeled_lang") +: hits: _*)
+    val pred = LangProfiles.map(_._1).foldRight(lit(LangProfiles.last._1)) { (lang, els) =>
+      val isMax = LangProfiles.map(_._1).filter(_ != lang)
+        .map(o => col(s"hits_$lang") >= col(s"hits_$o")).reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** tx4: winnowing document fingerprints (k-char shingles, window w):
+    * rolling xxhash64 over character k-grams, per-window minimum,
+    * distinct mins are the fingerprint set. HOF-based; a custom
+    * one-pass Expression is the planned scale path. */
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val body = "lower(text)"
+    val hashes =
+      s"transform(sequence(1, greatest(length($body) - ${k - 1}, 1)), i -> xxhash64(substring($body, i, $k)))"
+    val mins =
+      s"transform(sequence(1, greatest(size($hashes) - ${w - 1}, 1)), j -> array_min(slice($hashes, j, $w)))"
+    docs.select(
+        col("doc_id"),
+        expr(s"array_distinct($mins)").as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+}

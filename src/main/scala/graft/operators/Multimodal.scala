@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.E multimodal-column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata —
+  * exactly how a 100 TB image/audio corpus rides in parquet. The
+  * decode step is STUBBED (no image/audio codecs in this container)
+  * with a deterministic byte-level feature extractor, but the
+  * Spark-side contract is real: binary column in, fixed-width
+  * `array<float>` feature column out, processed in bounded batches per
+  * partition (mirroring an Arrow-batch / mapInPandas shape, so a real
+  * codec drops in without touching the plan).
+  */
+object Multimodal {
+
+  /** mm1: binary blob + typed metadata. The blob here is the utf-8
+    * encoding of `text` (the container has no real media), but every
+    * downstream op treats it as opaque bytes. */
+  def blobMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(
+        col("doc_id"),
+        expr("octet_length(blob)").cast("long").as("n_bytes"),
+        md5(col("blob")).as("digest"))
+      .orderBy(col("doc_id"))
+
+  val blobMetaSql: String =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | md5(text) AS digest
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val FeatureDim = 8
+  val BatchSize = 64
+
+  /** Deterministic FNV-1a over bytes — the stand-in "decoder". */
+  private def fnv(bytes: Array[Byte], seed: Long): Long = {
+    var h = 0xCBF29CE484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xFFL); h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** mm2: batched feature extraction over binary blobs via
+    * mapPartitions (per-partition batches of `BatchSize`, the same
+    * batch contract a Pandas/Arrow UDF would get). Output schema:
+    * (doc_id, n_bytes, batch_size, features: array<float>). */
+  def featureExtract(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val withBlob = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("batch_size", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rdd = withBlob.rdd.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val feats = Array.tabulate(FeatureDim) { j =>
+            ((fnv(bytes, j.toLong) % 100000L).toDouble / 100000.0).toFloat
+          }
+          Row(id, bytes.length.toLong, batch.size, feats.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .orderBy(col("doc_id"))
+  }
+}

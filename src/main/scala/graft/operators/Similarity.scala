@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** §2.C similarity search over an embeddings-shaped table
+  * (vec_id: long, embedding: array<float>).
+  *
+  * Scale design: the query side is always broadcast (queries ≪ data);
+  * the corpus side streams through one whole-stage-codegen scan with
+  * the native cosine expression (graft.functions.CosineFloat) — no
+  * shuffle of vectors at all for brute force; top-k per query is a
+  * partial `Window`+filter whose state is k rows per query per
+  * partition. The LSH variant prunes the corpus scan to matching
+  * buckets: the corpus is bucketed once (a cheap narrow projection),
+  * then only bucket-equal rows are scored — at 100 TB this is the
+  * difference between touching every vector and touching ~1/2^bits.
+  */
+object Similarity {
+
+  /** ss1: exact brute-force cosine top-k for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("graft_cosine(q_emb, embedding)").as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val Bits = 8
+  private val Tables = 4
+
+  private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
+    var z = table.toLong * 6700417L + plane.toLong * 104729L + dim.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  private def planeSql(dim: Int, t: Int, p: Int): String =
+    s"cast(array(${(0 until dim).map(j => planeWeight(t, p, j).toString).mkString(",")}) as array<float>)"
+
+  /** Signature column for table t over column `embCol`. */
+  private def sigCol(embCol: String, dim: Int, t: Int): Column =
+    (0 until Bits).map { p =>
+      when(expr(s"graft_dot($embCol, ${planeSql(dim, t, p)})") > 0d, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ss2: ANN top-k via random-hyperplane LSH: `Tables` independent
+    * 8-bit signatures; candidates = corpus rows sharing any bucket with
+    * the query; exact cosine re-rank inside candidates. Approximate —
+    * recall depends on Tables×Bits (spec plants exact duplicates which
+    * always collide). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    def withSigs(df: DataFrame, embCol: String): DataFrame = {
+      val sigs = (0 until Tables).map(t => sigCol(embCol, dim, t).as(s"sig$t"))
+      df.select(df.columns.map(col).toSeq ++ sigs: _*)
+    }
+    val c = withSigs(corpus, "embedding")
+    val q = withSigs(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb")
+    val anyBucket = (0 until Tables)
+      .map(t => col(s"c.sig$t") === col(s"q.sig$t"))
+      .reduce(_ || _)
+    val cand = c.as("c").join(broadcast(q.as("q")),
+        anyBucket && col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        expr("graft_cosine(q.q_emb, c.embedding)").as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,490 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** §2.A relational / analytic core.
+  *
+  * Every query is a declarative DataFrame plan — Catalyst handles
+  * predicate pushdown, column pruning and join planning; AQE re-plans
+  * shuffles at runtime. Numeric results that the DuckDB oracle
+  * hash-compares are made bit-deterministic:
+  *
+  *   - sums of doubles accumulate via exact DECIMAL(18,6) and only
+  *     then cast to double (summation-order independent, identical in
+  *     any engine);
+  *   - averages divide an exact sum by an exact count (one IEEE
+  *     division, deterministic);
+  *   - per-row arithmetic stays raw double (IEEE ops on identical
+  *     inputs are engine-independent);
+  *   - every output carries a total ORDER BY over its key columns.
+  *
+  * Scale notes (100 TB): all aggregations are partial-agg friendly
+  * (plain groupBy/agg, no distinct-then-join); dimension sides of
+  * joins (region/nation/supplier/part/customer) are broadcast-sized
+  * at any SF — q05 hints it explicitly, elsewhere AQE picks it up;
+  * window queries partition by high-cardinality keys so state per
+  * partition stays bounded.
+  */
+object CoreQueries {
+
+  /** Exact sum: accumulate in DECIMAL(18,6), return as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(to_date(col("l_shipdate")) <= lit("1998-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  def q02FilterProject(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") >= 30 && col("l_discount") >= 0.05 &&
+        to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) <= lit("1997-12-31"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        col("l_shipdate").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      | l_extendedprice * (1 - l_discount) AS net_price,
+      | l_shipdate AS ship_date
+      |FROM lineitem
+      |WHERE l_quantity >= 30 AND l_discount >= 0.05
+      |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) <= DATE '1997-12-31'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  def q03JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(to_date(col("o_orderdate")) < lit("1997-01-01"))
+    val l = Tables.lineitem(s, d).filter(to_date(col("l_shipdate")) > lit("1997-01-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").as("order_date"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey, o_orderdate AS order_date,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  def q04StarJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val o = Tables.orders(s, d).filter(
+      to_date(col("o_orderdate")) >= lit("1996-01-01") && to_date(col("o_orderdate")) <= lit("1996-12-31"))
+    r.join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q04Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM region, nation, customer, orders, lineitem, supplier
+      |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+      |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  def q05BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q05Sql: String =
+    """SELECT p_brand,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  def q06TopK(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").as("order_date"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q06Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate AS order_date
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  def q07WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders)
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  def q08WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate").as("ship_date"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q08Sql: String =
+    """SELECT l_suppkey, l_shipdate AS ship_date, l_orderkey, l_linenumber, l_quantity,
+      | SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  def q09SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    Tables.customer(s, d)
+      .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q09Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  def q10AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  def q11DistinctAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderpriority,
+      | COUNT(DISTINCT o_custkey) AS n_customers,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  def q12Rollup(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val q12Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+      |FROM customer, nation, region
+      |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  def q13Pivot(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q13Sql: String =
+    """SELECT l_linestatus,
+      | CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE) AS "A",
+      | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE) AS "N",
+      | CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE) AS "R"
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  def q14Percentiles(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderpriority,
+      | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  def q15SubqueryAvg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // l_quantity is integral-valued: its plain double sum is exact
+    // (< 2^53), so avg is bit-identical across engines.
+    val a = li.agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(a))
+      .filter(col("l_quantity") > col("avg_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q15Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  def q16SetOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("c_custkey"))
+    a.union(b).distinct().orderBy(col("c_custkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  def q17CaseAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("f_total"),
+        dsum(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("o_total"),
+        count(when(col("o_orderstatus") === "P", lit(1))).as("p_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS f_total,
+      | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS o_total,
+      | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_count
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  def q18Having(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .filter(col("n_customers") >= 50)
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |GROUP BY c_nationkey
+      |HAVING COUNT(*) >= 50
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  def q19StringOps(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d)
+      .filter(col("p_name").like("%e%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_type"), 1, 3).as("type_prefix"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q19Sql: String =
+    """SELECT p_partkey,
+      | UPPER(p_name) AS name_upper,
+      | CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+      | CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      | SUBSTR(p_type, 1, 3) AS type_prefix,
+      | REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel
+      |FROM part
+      |WHERE p_name LIKE '%e%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  def q20DateAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(date_trunc("day", timestamp_micros(expr("ts div 1000")))
+        .cast("timestamp_ntz").as("event_date"),
+        col("event_type"), col("value"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  val q20Sql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  def q21Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ts stays exact INT64 nanos; 30 min = 1.8e12 ns.
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || (col("ts") - col("prev_ts")) > lit(1800L * 1000L * 1000L * 1000L), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT user_id,
+      | CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      | COUNT(*) AS n_events
+      |FROM (
+      | SELECT user_id,
+      |  CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events))
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** (spark-fn, oracle-sql) registry for SparkEntry. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q01_pricing_summary", q01PricingSummary _, q01Sql),
+    ("q02_filter_project", q02FilterProject _, q02Sql),
+    ("q03_join_agg", q03JoinAgg _, q03Sql),
+    ("q04_star_join", q04StarJoin _, q04Sql),
+    ("q05_broadcast_join", q05BroadcastJoin _, q05Sql),
+    ("q06_topk", q06TopK _, q06Sql),
+    ("q07_window_rank", q07WindowRank _, q07Sql),
+    ("q08_window_running", q08WindowRunning _, q08Sql),
+    ("q09_semi_join", q09SemiJoin _, q09Sql),
+    ("q10_anti_join", q10AntiJoin _, q10Sql),
+    ("q11_distinct_agg", q11DistinctAgg _, q11Sql),
+    ("q12_rollup", q12Rollup _, q12Sql),
+    ("q13_pivot", q13Pivot _, q13Sql),
+    ("q14_percentiles", q14Percentiles _, q14Sql),
+    ("q15_subquery_avg", q15SubqueryAvg _, q15Sql),
+    ("q16_set_ops", q16SetOps _, q16Sql),
+    ("q17_case_agg", q17CaseAgg _, q17Sql),
+    ("q18_having", q18Having _, q18Sql),
+    ("q19_string_ops", q19StringOps _, q19Sql),
+    ("q20_date_agg", q20DateAgg _, q20Sql),
+    ("q21_sessionize", q21Sessionize _, q21Sql),
+  )
+}

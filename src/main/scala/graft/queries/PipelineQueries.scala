@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** §2.B–§2.E: LLM-training-data pipeline operators bound to the
+  * driver's testdata tables, with DuckDB oracles where the semantics
+  * are ANSI-SQL-expressible (see each operator's scaladoc for the
+  * scale design).
+  */
+object PipelineQueries {
+
+  private val JaccardThreshold = 0.9
+  private val EmbDim = 64
+  private val CosineDupThreshold = 0.35
+  private val TopK = 10
+  private val NQueries = 5
+
+  def dd1(s: SparkSession, d: String): DataFrame = Dedup.exact(Tables.documents(s, d))
+  val dd1Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  def dd2(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), 1, JaccardThreshold)
+
+  /** Exact all-pairs Jaccard in DuckDB (quadratic is fine at oracle SF). */
+  val ddJaccardSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+      |  FROM docs a, docs b WHERE a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs
+      |WHERE jaccard >= $JaccardThreshold
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dd3 is LSH-pruned but verification makes output = exact answer
+    * (miss probability < 4e-8 per true pair at s ≥ 0.9), so it shares
+    * dd2's oracle. */
+  def dd3(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), JaccardThreshold)
+
+  def dd4(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
+
+  def dd5(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingDup(Tables.embeddings(s, d), EmbDim, CosineDupThreshold)
+
+  def ss1(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NQueries), TopK)
+  }
+
+  def ss2(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
+  }
+
+  def tx1(s: SparkSession, d: String): DataFrame = TextFunctions.tokenStats(Tables.documents(s, d))
+  def tx2(s: SparkSession, d: String): DataFrame = TextFunctions.qualityScore(Tables.documents(s, d))
+  def tx3(s: SparkSession, d: String): DataFrame = TextFunctions.languageId(Tables.documents(s, d))
+  def tx4(s: SparkSession, d: String): DataFrame = TextFunctions.fingerprints(Tables.documents(s, d))
+
+  def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
+  def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtract(Tables.documents(s, d))
+
+  /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("dd1_exact", dd1 _, dd1Sql),
+    ("dd2_ngram_jaccard", dd2 _, ddJaccardSql),
+    ("dd3_minhash_lsh", dd3 _, ddJaccardSql),
+    ("dd4_simhash", dd4 _, null),
+    ("dd5_embed_dup", dd5 _, null),
+    ("ss1_brute_topk", ss1 _, null),
+    ("ss2_lsh_ann", ss2 _, null),
+    ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
+    ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
+    ("tx3_langid", tx3 _, null),
+    ("tx4_fingerprint", tx4 _, null),
+    ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
+    ("mm2_feature_stub", mm2 _, null),
+  )
+}
