@@ -10,12 +10,12 @@ import graft.functions.VectorFunctions
   *
   * Scale design: nothing here is O(n²) over the corpus. Exact dedup is
   * one hash-partitioned groupBy; near-dup candidate generation is
-  * always inverted-index / LSH-bucketed (shuffle keyed on
+  * always prefix-filtered / LSH-bucketed (shuffle keyed on
   * shingle/band/signature), so the pairwise work is per-bucket. Hot
-  * buckets (stop-shingles) are the skew risk at 100 TB — cap them with
-  * `maxDocFreq` (drops only candidates whose *every* shared shingle is
-  * ubiquitous; verification jaccard is unaffected) or salt the band
-  * join; AQE skew-join handles moderate cases.
+  * buckets (stop-shingles) are the skew risk at 100 TB — prefix
+  * filtering removes them from candidate generation by construction
+  * (ubiquitous shingles have max document frequency, so they sort out
+  * of every prefix); residual band-join skew is AQE skew-join's job.
   */
 object Dedup {
 
@@ -39,28 +39,45 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** dd2: all-pairs n-gram Jaccard ≥ threshold via an inverted index on
-    * shingles (candidates = pairs sharing ≥1 shingle). Jaccard is
-    * computed from integer set sizes + one IEEE division → oracle-exact. */
-  def ngramJaccard(docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val sh = withShingles(docs, n).cache()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    var inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    if (maxDocFreq > 0) {
-      val hot = inv.groupBy("sh").count().filter(col("count") > maxDocFreq).select("sh")
-      inv = inv.join(broadcast(hot), Seq("sh"), "left_anti")
-    }
-    val a = inv.as("a"); val b = inv.as("b")
-    val shared = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets; output = (doc_a, doc_b, jaccard ≥ threshold). The
+    * division is set-size ints → one IEEE op → oracle-exact. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dd2: all-pairs n-gram Jaccard ≥ threshold, EXACT, via prefix
+    * filtering (the PPJoin family): order every doc's shingles by
+    * ascending global document frequency and keep only the first
+    * ⌊n·(1−t)⌋+1 — two sets with Jaccard ≥ t MUST share a shingle in
+    * those prefixes, so the candidate join runs on each doc's rarest
+    * ~(1−t) fraction of shingles instead of the full inverted index
+    * (where one ubiquitous token alone generates df² pairs — quadratic
+    * in the corpus). Candidates are then verified on the full sets, so
+    * the output is exactly the naive answer. */
+  def ngramJaccard(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = withShingles(docs, n).cache()
+    val inv = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = inv.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+      .select(col("doc_id"), col("sh"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
 
   private val MinhashK = 64
@@ -72,9 +89,15 @@ object Dedup {
     * while candidate generation stays sub-quadratic (the scale path). */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = withShingles(docs, 1).cache()
+    // ONE string hash per shingle; the 64 "permutations" are universal
+    // hashes a_i*h+b_i of it (wrapping long arithmetic) — 64 mul-adds
+    // per token instead of 64 string hashes, same LSH guarantees.
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // 64 permutations: h_i(s) = xxhash64(s, i). Partial-agg min per doc.
-    val sigCols = (0 until MinhashK).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // Permutation i = xxhash64 of the 8-byte base hash with seed i:
+    // fixed-width input, so far cheaper than re-hashing the string, and
+    // overflow-free under ANSI mode (vs. wrapping mul-add hashing).
+    val sigCols = (0 until MinhashK).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     val sigs = inv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     // band j = hash of rows 4j..4j+3; explode to (doc, band, bandhash)
     val bandCols = (0 until Bands).map { j =>
@@ -89,15 +112,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact jaccard from the shingle sets
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** dd4: 64-bit SimHash over token counts; near-dup pairs = Hamming
@@ -134,8 +149,11 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val HyperplaneBits = 16
-  private val HyperplaneTables = 2
+  // 6 bits × 8 tables: recall ≈ 99.8% at cosine 0.95 (true near-dups),
+  // ~36% at cosine 0.35 — candidates stay sub-quadratic while real
+  // duplicates essentially always collide in some table.
+  private val HyperplaneBits = 6
+  private val HyperplaneTables = 8
 
   /** Deterministic pseudo-random unit-free hyperplane weights — a
     * splitmix64-style integer mix (public-domain algorithm), no RNG
@@ -154,10 +172,12 @@ object Dedup {
   def embeddingDup(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     VectorFunctions.register(spark)
-    def planeSql(t: Int, p: Int): String =
-      s"cast(array(${(0 until dim).map(j => planeWeight(t, p, j).toString).mkString(",")}) as array<float>)"
+    // Plane = ONE array literal (not array(d lits)): keeps plan size
+    // and generated code constant in `dim` — see Similarity.planeLit.
+    def planeLit(t: Int, p: Int): Column =
+      typedlit(Array.tabulate(dim)(j => planeWeight(t, p, j)))
     def sigCol(t: Int): Column = (0 until HyperplaneBits).map { p =>
-      when(expr(s"graft_dot(embedding, ${planeSql(t, p)})") > 0d, lit(1 << p)).otherwise(lit(0))
+      when(call_function("graft_dot", col("embedding"), planeLit(t, p)) > 0d, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     val sigs = emb.select(Seq(col("vec_id"), col("embedding")) ++
       (0 until HyperplaneTables).map(t => sigCol(t).as(s"sig$t")): _*)

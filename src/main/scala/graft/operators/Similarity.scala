@@ -36,8 +36,14 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val Bits = 8
-  private val Tables = 4
+  // 4 bits × 8 tables: for a neighbor at cosine c the per-bit collision
+  // rate is 1 − arccos(c)/π, so recall@c=0.3 ≈ 1−(1−0.597⁴)⁸ ≈ 0.66
+  // while each query probes 8/16ths of the bucket space. Bits should
+  // grow ~log₂(n/target_bucket_size) as the corpus grows — at 10⁹+
+  // vectors use 16–20 bits so buckets stay executor-sized; recall is
+  // then recovered by adding tables (cost is linear, independent).
+  private val Bits = 4
+  private val Tables = 8
 
   private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
     var z = table.toLong * 6700417L + plane.toLong * 104729L + dim.toLong + 0x9E3779B97F4A7C15L
@@ -47,13 +53,17 @@ object Similarity {
     z.toDouble / Long.MaxValue.toDouble
   }
 
-  private def planeSql(dim: Int, t: Int, p: Int): String =
-    s"cast(array(${(0 until dim).map(j => planeWeight(t, p, j).toString).mkString(",")}) as array<float>)"
+  /** One plane as a single ArrayType literal — NOT an `array(64 lits)`
+    * expression tree: a literal keeps the plan node count (and the
+    * generated code size) constant in `dim`, where inline literals made
+    * analysis + codegen explode (~2000 nodes per signature). */
+  private def planeLit(dim: Int, t: Int, p: Int): Column =
+    typedlit(Array.tabulate(dim)(j => planeWeight(t, p, j).toFloat))
 
   /** Signature column for table t over column `embCol`. */
   private def sigCol(embCol: String, dim: Int, t: Int): Column =
     (0 until Bits).map { p =>
-      when(expr(s"graft_dot($embCol, ${planeSql(dim, t, p)})") > 0d, lit(1 << p)).otherwise(lit(0))
+      when(call_function("graft_dot", col(embCol), planeLit(dim, t, p)) > 0d, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** ss2: ANN top-k via random-hyperplane LSH: `Tables` independent

@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.CoreQueries
+
+/** §2.A sanity specs on sf0.001 (the DuckDB oracle is the strong gate;
+  * these assert structural invariants cheaply in CI). */
+class CoreQueriesSpec extends SparkTestBase {
+
+  test("q01: group count and exact decimal-sum determinism") {
+    val rows = CoreQueries.q01PricingSummary(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 9) // |returnflag| x |linestatus|
+    val again = CoreQueries.q01PricingSummary(spark, Sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("q06 top-k is ordered and bounded") {
+    val rows = CoreQueries.q06TopK(spark, Sf0001).collect()
+    assert(rows.length === 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("q07 window rank keeps at most 2 orders per customer") {
+    val rows = CoreQueries.q07WindowRank(spark, Sf0001).collect()
+    val perCust = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perCust.forall(_ <= 2))
+    assert(rows.map(_.getLong(1)).forall(rn => rn == 1L || rn == 2L))
+  }
+
+  test("q08 running sum is non-decreasing within each supplier") {
+    val rows = CoreQueries.q08WindowRunning(spark, Sf0001).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sums = rs.map(_.getDouble(5))
+      assert(sums.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-9))
+    }
+  }
+
+  test("q09/q10 semi and anti partition the customer table") {
+    val semi = CoreQueries.q09SemiJoin(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    val anti = CoreQueries.q10AntiJoin(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    val all = Tables.customer(spark, Sf0001).count()
+    // semi(status F) and anti(no urgent order) overlap is legal; each ⊆ customers
+    assert(semi.size <= all && anti.size <= all)
+    assert(semi.nonEmpty)
+  }
+
+  test("q12 rollup contains the grand-total row") {
+    val rows = CoreQueries.q12Rollup(spark, Sf0001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getLong(2) === Tables.customer(spark, Sf0001).count())
+  }
+
+  test("q21 session counts bounded by event counts") {
+    val rows = CoreQueries.q21Sessionize(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+/** §2.B specs with planted ground truth (SURVEY.md §6). */
+class DedupSpec extends SparkTestBase {
+
+  // Planted corpus: 1/2 exact dups; 3 near-dup of 1 (one word changed
+  // out of 20 → unigram jaccard 19/21 ≈ 0.905); 4 unrelated; 5/6 exact
+  // dups of each other.
+  private val base = (1 to 20).map(i => s"w$i").mkString(" ")
+  private val near = ((1 to 19).map(i => s"w$i") :+ "changed").mkString(" ")
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, base), (2L, base), (3L, near),
+      (4L, "completely different text about other things entirely"),
+      (5L, "twin alpha beta"), (6L, "twin alpha beta"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("dd1 exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)))
+  }
+
+  test("dd2 ngram jaccard finds planted near-dups, no false positives") {
+    val pairs = Dedup.ngramJaccard(docs, 1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+    val j13 = pairs.find(p => (p._1, p._2) == (1L, 3L)).get._3
+    assert(math.abs(j13 - 19.0 / 21.0) < 1e-12)
+    pairs.filter(p => p._1 == 1L && p._2 == 2L).foreach(p => assert(p._3 === 1.0))
+  }
+
+  test("dd3 minhash-lsh output equals exact jaccard answer") {
+    val exact = Dedup.ngramJaccard(docs, 1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("dd4 simhash: exact dups at hamming 0; near-dup within budget") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byKey = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byKey((1L, 2L)) === 0L) // identical text → identical simhash
+    assert(byKey((5L, 6L)) === 0L)
+    assert(!byKey.contains((1L, 4L)) && !byKey.contains((2L, 4L)))
+  }
+
+  test("dd5 embedding near-dup finds planted identical + near vectors") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(seed * 31 + j).toFloat)
+    val v1 = vec(1)
+    val nearV = v1.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x }
+    val emb = Seq(
+      (1L, v1.toSeq), (2L, v1.toSeq), (3L, nearV.toSeq),
+      (4L, vec(99).toSeq), (5L, v1.map(-_).toSeq), // antipode: cosine -1
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDup(emb, dim, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    // 5 = exact antipode of 1/2 (cosine −1): must never pair with them
+    assert(!keys.exists(p => Set(p._1, p._2) == Set(1L, 5L) ||
+      Set(p._1, p._2) == Set(2L, 5L) || Set(p._1, p._2) == Set(3L, 5L)))
+    val c12 = pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(math.abs(c12 - 1.0) < 1e-9)
+  }
+
+  test("dd2/dd3 agree on the driver corpus (sf0.001)") {
+    val t = Tables.documents(spark, Sf0001)
+    val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minhashLsh(t, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.CoreQueries
+
+/** Plan-shape assertions (SURVEY.md §5/§6): pushdown reaches the scan,
+  * dimension joins broadcast, and no operator degenerates to a
+  * cartesian product. These are the properties that decide whether the
+  * same plan survives 100 TB — asserted here so a regression fails CI,
+  * not the cluster. */
+class ExplainSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: filters push down to the parquet scan; schema pruned") {
+    val s = formatted(CoreQueries.q02FilterProject(spark, Sf0001))
+    assert(s.contains("PushedFilters: ["), s"no pushdown section:\n$s")
+    assert(s.contains("GreaterThanOrEqual(l_quantity,30"), "l_quantity filter not pushed")
+    // pruned read schema: none of the untouched lineitem columns appear
+    assert(!s.contains("l_comment") && !s.contains("l_returnflag"),
+      "ReadSchema not pruned to the projected columns")
+  }
+
+  test("q05: explicit dimension broadcast survives to the physical plan") {
+    val p = plan(CoreQueries.q05BroadcastJoin(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04 star join: no cartesian product; all equi-joins") {
+    val p = plan(CoreQueries.q04StarJoin(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine before shuffle)") {
+    val p = plan(CoreQueries.q01PricingSummary(spark, Sf0001))
+    assert(p.contains("partial"), s"no partial aggregation phase:\n$p")
+  }
+
+  test("whole-stage codegen covers the q01 scan+filter+partial-agg") {
+    val df = CoreQueries.q01PricingSummary(spark, Sf0001)
+    df.collect() // AQE only materializes the final plan on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Op" in the plan string; the scan →
+    // filter → partial-agg pipeline must sit inside one (stage 1)
+    assert(p.contains("*(1) HashAggregate") && p.contains("*(1) Filter"), p)
+  }
+
+  test("dd2 inverted-index join is an equi-join, not cartesian") {
+    val docs = Tables.documents(spark, Sf0001)
+    val p = plan(Dedup.ngramJaccard(docs, 1, 0.9))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd3 LSH banding join is an equi-join, not cartesian") {
+    val docs = Tables.documents(spark, Sf0001)
+    val p = plan(Dedup.minhashLsh(docs, 0.9))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ss1 brute force: query side broadcast, corpus never shuffled") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10))
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("native cosine expression participates in codegen (no UDF)") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+}

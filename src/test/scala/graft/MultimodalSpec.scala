@@ -1,0 +1,37 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.Multimodal
+
+/** §2.E specs (SURVEY.md §6): binary plumbing with deterministic stub. */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (1L to 100L).map(i => (i, s"payload number $i with some body text " * 3))
+      .toDF("doc_id", "text")
+  }
+
+  test("mm1 blob metadata: byte length + md5 match JVM reference") {
+    val r = Multimodal.blobMeta(docs).collect().head
+    val bytes = ("payload number 1 with some body text " * 3).getBytes("UTF-8")
+    val md5 = MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    assert(r.getLong(1) === bytes.length.toLong)
+    assert(r.getString(2) === md5)
+  }
+
+  test("mm2 feature extraction: fixed dim, bounded batches, deterministic") {
+    val out = Multimodal.featureExtract(docs).collect()
+    assert(out.length === 100)
+    out.foreach { r =>
+      assert(r.getSeq[Float](3).length === Multimodal.FeatureDim)
+      val bs = r.getInt(2)
+      assert(bs >= 1 && bs <= Multimodal.BatchSize)
+    }
+    // determinism: rerun produces identical features
+    val again = Multimodal.featureExtract(docs).collect()
+    assert(out.map(_.getSeq[Float](3)).toSeq === again.map(_.getSeq[Float](3)).toSeq)
+  }
+}

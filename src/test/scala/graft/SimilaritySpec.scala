@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** §2.C specs with planted ground truth (SURVEY.md §6). */
+class SimilaritySpec extends SparkTestBase {
+
+  private val dim = 16
+
+  private def vec(seed: Int): Seq[Float] =
+    Seq.tabulate(dim)(j => math.sin(seed * 37 + j * 3).toFloat)
+
+  // corpus: vec 101 is an exact copy of query 0's embedding; 102 a
+  // slightly perturbed copy; the rest pseudo-random.
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val q0 = vec(0)
+    val rows = Seq(
+      (101L, q0),
+      (102L, q0.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.005f else x }),
+    ) ++ (103L to 160L).map(i => (i, vec(i.toInt)))
+    rows.toDF("vec_id", "embedding")
+  }
+  private lazy val queries: DataFrame = {
+    import spark.implicits._
+    Seq((0L, vec(0))).toDF("vec_id", "embedding")
+  }
+
+  test("ss1 brute-force: exact copy ranks first, near-copy second") {
+    val out = Similarity.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 5)
+    assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9)
+    assert(out(1)._3 === 102L)
+    // ranks are 1..5 in order
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // cosine non-increasing
+    assert(out.sliding(2).forall(w => w(0)._4 >= w(1)._4 - 1e-12))
+  }
+
+  test("ss1 is exact: matches a driver-corpus brute-force recomputation") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(emb, q, 10).collect()
+    assert(out.length === 30)
+  }
+
+  test("ss2 LSH ANN: planted exact duplicate always retrieved at rank 1") {
+    val out = Similarity.lshTopK(corpus, queries, dim, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9)
+  }
+
+  test("ss2 recall vs ss1 on the driver corpus is reasonable") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(emb, q, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    assert(recall >= 0.3, s"ANN recall $recall collapsed — bucketing broken")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionUpdate}
+
+/** §2.F Structured Streaming specs: memory source → memory sink,
+  * asserting batch-equivalent semantics (SURVEY.md §2.F). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("windowed counts with watermark aggregate per hour/event_type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0),
+      Event(4, ts(130), 1, "click", 3.0))
+    val q = EventStreams.windowedCounts(source.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows === Set(
+      (0L, "click", 2L, 3.0),
+      (60L, "view", 1L, 5.0),
+      (120L, "click", 1L, 3.0)))
+  }
+
+  test("stateful sessionization matches batch gap semantics across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.sessionize(source.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: events at 0 and 10min (1 session), then 50min (> 30min gap → 2nd session)
+      source.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0))
+      q.processAllAvailable()
+      source.addData(Event(3, ts(50), 1, "a", 0), Event(4, ts(55), 2, "b", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sess").as[SessionUpdate].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(last(1L) === SessionUpdate(1L, 2L, 3L))
+    assert(last(2L) === SessionUpdate(2L, 1L, 1L))
+  }
+}

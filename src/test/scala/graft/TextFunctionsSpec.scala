@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.TextFunctions
+
+/** §2.D specs (SURVEY.md §6): hand-computed fixtures + determinism. */
+class TextFunctionsSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "The cat sat. The mat!", "en"),
+      (2L, "", "en"),
+      (3L, "der die und das ist nicht ein zu", "de"),
+      (4L, "le la et les des un une est", "fr"),
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("tx1 token stats on a hand-computed fixture") {
+    val out = TextFunctions.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "The cat sat. The mat!": tokens [the,cat,sat,the,mat]=5, alnum=15, chars=21
+    assert(out(1L) === ((5L, 15L, 21L)))
+    assert(out(2L) === ((0L, 0L, 0L)))
+  }
+
+  test("tx2 quality: stopword/punct ratios on fixture") {
+    val r = TextFunctions.qualityScore(docs).collect().find(_.getLong(0) == 1L).get
+    // n_tokens=5, n_stop=2 ("the" twice), n_punct=2 (. !), n_chars=21
+    assert(r.getLong(1) === 5L && r.getLong(2) === 2L && r.getLong(3) === 2L)
+    assert(math.abs(r.getDouble(5) - 0.4) < 1e-12) // stop_ratio
+    assert(r.getString(7) === "short")
+  }
+
+  test("tx3 langid: function-word fixtures classified; deterministic") {
+    val out = TextFunctions.languageId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(out(3L) === "de")
+    assert(out(4L) === "fr")
+    val again = TextFunctions.languageId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(out === again)
+  }
+
+  test("tx4 fingerprints: identical texts → identical fingerprint sets") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a totally different sentence with other words here"),
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) !== out(3L))
+    assert(out(1L)._1 > 0)
+  }
+}
