@@ -39,18 +39,55 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Dictionary-encoded bitmap representation of the shingle sets when
+    * the vocabulary fits in 64 bits: (doc_id, mask) where bit i = the
+    * i-th vocabulary shingle is present. Set intersection/union then
+    * collapse to `bit_count(a & b)` / `bit_count(a | b)` — a handful
+    * of codegen'd integer ops per pair instead of shuffling and
+    * intersecting string arrays. One metadata aggregation discovers
+    * the vocabulary; at 100 TB with a real vocabulary this path simply
+    * doesn't trigger and the prefix-filter path runs instead. */
+  private def smallVocabMasks(sh: DataFrame): Option[DataFrame] = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    // limit(65) bounds the driver-side collect: either the vocabulary
+    // fits a mask or we learn so after 65 rows, never a full scan out.
+    val toks = sh.select(explode(col("shingles")).as("sh")).distinct()
+      .as[String].limit(65).collect()
+    if (toks.length > 64) None
+    else {
+      val ids = toks.sorted.zipWithIndex.toSeq.toDF("sh", "bit")
+      Some(sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(broadcast(ids), "sh")
+        .groupBy("doc_id")
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask")))
+    }
+  }
+
+  private def maskJaccard(a: Column, b: Column): Column =
+    bit_count(a.bitwiseAND(b)).cast("double") / bit_count(a.bitwiseOR(b)).cast("double")
+
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets; output = (doc_a, doc_b, jaccard ≥ threshold). The
-    * division is set-size ints → one IEEE op → oracle-exact. */
+    * division is set-size ints → one IEEE op → oracle-exact. Uses the
+    * bitmap fast path when the vocabulary allows it. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val scored = smallVocabMasks(sh) match {
+      case Some(masks) =>
+        val ma = masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
+        val mb = masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))
+        cand.join(broadcast(ma), "doc_a").join(broadcast(mb), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            maskJaccard(col("mask_a"), col("mask_b")).as("jaccard"))
+      case None =>
+        val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+    }
+    scored.filter(col("jaccard") >= threshold) // callers order the final output
   }
 
   /** dd2: all-pairs n-gram Jaccard ≥ threshold, EXACT, via prefix
@@ -64,6 +101,42 @@ object Dedup {
     * the output is exactly the naive answer. */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = withShingles(docs, n).cache()
+    smallVocabMasks(sh) match {
+      case Some(masks) => jaccardByMask(masks, threshold)
+      case None        => ngramJaccardPrefix(sh, threshold)
+    }
+  }
+
+  /** Small-vocab exact all-pairs: docs collapse to their distinct
+    * bitmasks first (identical sets are interchangeable), the
+    * mask×mask comparison is pure codegen'd bit math on the distinct
+    * sets only, and qualifying mask pairs re-expand to doc pairs. The
+    * m² work runs on m = |distinct sets| ≤ min(n_docs, 2^|vocab|),
+    * broadcast against itself — no shuffle of document content at
+    * all. */
+  private def jaccardByMask(masksIn: DataFrame, threshold: Double): DataFrame = {
+    val masks = masksIn.cache()
+    val groups = masks.groupBy("mask").agg(collect_list(col("doc_id")).as("ids"))
+    // identical sets: jaccard exactly 1.0, all intra-group pairs
+    val m1 = masks.as("a"); val m2 = masks.as("b")
+    val intra = m1.join(broadcast(m2),
+        col("a.mask") === col("b.mask") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    // distinct-set pairs: popcount jaccard, then expand member lists
+    val cross = groups.as("x").join(broadcast(groups.as("y")), col("x.mask") < col("y.mask"))
+      .select(col("x.ids").as("ids_a"), col("y.ids").as("ids_b"),
+        maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Large-vocab exact path: PPJoin-style prefix filtering. */
+  private def ngramJaccardPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val inv = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("sh"))
     val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -77,26 +150,49 @@ object Dedup {
     val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, threshold).orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val MinhashK = 64
   private val Bands = 16 // x 4 rows: P(candidate | s=0.9) ≈ 1 - 3.6e-8
 
+  /** All intra-group pairs (identical sets, jaccard exactly 1.0) plus
+    * verified rep-pairs expanded to every cross-group doc pair. */
+  private def expandGroups(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+    val ga = groups.select(col("rep").as("doc_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("rep").as("doc_b"), col("ids").as("ids_b"))
+    val cross = repPairs.join(ga, "doc_a").join(gb, "doc_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val intra = groups.select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
+    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** dd3: MinHash + LSH banding, then exact-Jaccard verification of the
     * candidates. With b=16, r=4 a true pair at s ≥ 0.9 is missed with
     * probability < 4e-8, so verified output equals the exact answer
-    * while candidate generation stays sub-quadratic (the scale path). */
+    * while candidate generation stays sub-quadratic (the scale path).
+    * Documents with identical shingle sets collapse to one
+    * representative before any hashing — exact duplicates are the
+    * common case in a dedup corpus, and every collapsed doc removes
+    * its whole row of the candidate matrix. */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = withShingles(docs, 1).cache()
-    // ONE string hash per shingle; the 64 "permutations" are universal
-    // hashes a_i*h+b_i of it (wrapping long arithmetic) — 64 mul-adds
-    // per token instead of 64 string hashes, same LSH guarantees.
+    val all = withShingles(docs, 1)
+      .select(col("doc_id"), array_sort(col("shingles")).as("shingles"))
+    val groups = all.groupBy("shingles")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+      .cache()
+    val sh = groups.select(col("rep").as("doc_id"), col("shingles")).cache()
+    // ONE string hash per shingle; permutation i = xxhash64 of the
+    // 8-byte base hash with seed i — fixed-width input, far cheaper
+    // than re-hashing the string 64×, and overflow-free under ANSI.
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    // Permutation i = xxhash64 of the 8-byte base hash with seed i:
-    // fixed-width input, so far cheaper than re-hashing the string, and
-    // overflow-free under ANSI mode (vs. wrapping mul-add hashing).
     val sigCols = (0 until MinhashK).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     val sigs = inv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     // band j = hash of rows 4j..4j+3; explode to (doc, band, bandhash)
@@ -112,7 +208,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    expandGroups(verifyJaccard(cand, sh, threshold), groups)
   }
 
   /** dd4: 64-bit SimHash over token counts; near-dup pairs = Hamming

@@ -75,6 +75,29 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(c12 - 1.0) < 1e-9)
   }
 
+  test("dd2 prefix-filter path (vocab > 64) matches a brute-force oracle") {
+    import spark.implicits._
+    // 120 docs over a 300-token vocabulary → forces the PPJoin path.
+    // Doc i = tokens [7i .. 7i+19] mod 300 (overlapping windows give a
+    // spread of true jaccards); doc 1000+i = near-dup of doc i.
+    def toks(i: Int): Seq[String] = (0 until 20).map(j => s"t${(7 * i + j) % 300}")
+    val rows = (0 until 60).map(i => (i.toLong, toks(i).mkString(" "))) ++
+      (0 until 60).map(i => ((1000 + i).toLong, (toks(i).drop(1) :+ s"t${(7 * i) % 300}x").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    def set(text: String): Set[String] = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    val t = 0.7
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = set(ta); sb = set(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= t
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccard(docs, 1, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
