@@ -182,8 +182,21 @@ object Dedup {
     * common case in a dedup corpus, and every collapsed doc removes
     * its whole row of the candidate matrix. */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val all = withShingles(docs, 1)
-      .select(col("doc_id"), array_sort(col("shingles")).as("shingles"))
+    val shIn = withShingles(docs, 1).cache()
+    smallVocabMasks(shIn) match {
+      // Tiny vocabulary ⟹ exact bitmask all-pairs strictly dominates
+      // LSH: minhash APPROXIMATES set overlap that popcounts compute
+      // exactly, and near-identical signatures make every band bucket
+      // hot (the self-join degenerates quadratically with no skew
+      // remedy). Same exact output either way — LSH is the
+      // large-vocabulary scale path, gated by its own spec.
+      case Some(masks) => jaccardByMask(masks, threshold)
+      case None        => minhashLshPath(shIn, threshold)
+    }
+  }
+
+  private def minhashLshPath(shIn: DataFrame, threshold: Double): DataFrame = {
+    val all = shIn.select(col("doc_id"), array_sort(col("shingles")).as("shingles"))
     val groups = all.groupBy("shingles")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
       .cache()
@@ -230,19 +243,38 @@ object Dedup {
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = simhash(docs).cache()
+    // Collapse identical signatures first: duplicate-heavy corpora put
+    // hundreds of docs on one simhash, and a band self-join across
+    // them is quadratic in the duplicate count. Intra-group pairs are
+    // hamming 0 by construction; the band join then runs on DISTINCT
+    // signatures only.
+    val groups = simhash(docs).groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+      .cache()
+    val intra = groups.select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(0L).as("hamming"))
+    val reps = groups.select(col("rep"), col("simhash"))
     val bandCols = (0 until 4).map(k =>
       struct(lit(k).as("band"), expr(s"(simhash >> ${16 * k}) & 65535").as("bv")))
-    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val bands = reps.select(col("rep"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("rep"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     val x = bands.as("x"); val y = bands.as("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+    val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val ga = groups.select(col("rep").as("rep_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("rep").as("rep_b"), col("ids").as("ids_b"))
+    val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
   }
 
   // 6 bits × 8 tables: recall ≈ 99.8% at cosine 0.95 (true near-dups),
@@ -275,16 +307,25 @@ object Dedup {
     def sigCol(t: Int): Column = (0 until HyperplaneBits).map { p =>
       when(call_function("graft_dot", col("embedding"), planeLit(t, p)) > 0d, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val sigs = emb.select(Seq(col("vec_id"), col("embedding")) ++
-      (0 until HyperplaneTables).map(t => sigCol(t).as(s"sig$t")): _*)
-    val tables = (0 until HyperplaneTables).map { t =>
-      val x = sigs.as("x"); val y = sigs.as("y")
-      x.join(y, col(s"x.sig$t") === col(s"y.sig$t") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          expr("graft_cosine(x.embedding, y.embedding)").as("cosine"))
-    }
-    tables.reduce(_ union _)
+    // One pass computes all table signatures, exploded to (vec_id, t,
+    // sig) rows → ONE equi-join keyed on (t, sig) finds candidates in
+    // every table at once (vs. 8 self-joins each rescanning the
+    // corpus); cosine is scored once per distinct pair, after distinct.
+    val bandCols = (0 until HyperplaneTables).map(t =>
+      struct(lit(t).as("t"), sigCol(t).as("sig")))
+    val bands = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.sig").as("sig"))
+    val x = bands.as("x"); val y = bands.as("y")
+    val cand = x.join(y,
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        call_function("graft_cosine", col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -98,6 +98,28 @@ class DedupSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("dd3 LSH path (vocab > 64) matches a brute-force oracle") {
+    import spark.implicits._
+    def toks(i: Int): Seq[String] = (0 until 20).map(j => s"t${(7 * i + j) % 300}")
+    val rows = (0 until 60).map(i => (i.toLong, toks(i).mkString(" "))) ++
+      (0 until 60).map(i => ((1000 + i).toLong, (toks(i).drop(1) :+ s"t${(7 * i) % 300}x").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    def set(text: String): Set[String] = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    // t=0.85: every qualifying pair sits at jaccard 19/21 ≈ 0.905,
+    // where the b=16/r=4 banding miss probability is ~2e-8 — the LSH
+    // output is deterministically the exact answer.
+    val t = 0.85
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = set(ta); sb = set(tb)
+      if (sa & sb).size.toDouble / (sa | sb).size >= t
+    } yield (a, b)).toSet
+    val got = Dedup.minhashLsh(docs, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
