@@ -129,6 +129,8 @@ object VectorFunctions {
         val reg = spark.sessionState.functionRegistry
         reg.createOrReplaceTempFunction("graft_dot", exprs => DotFloat(exprs(0), exprs(1)), "scala_udf")
         reg.createOrReplaceTempFunction("graft_cosine", exprs => CosineFloat(exprs(0), exprs(1)), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_topk",
+          exprs => TopKScoreId(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
         registered += key
       }
     }

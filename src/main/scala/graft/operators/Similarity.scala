@@ -21,20 +21,31 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** ss1: exact brute-force cosine top-k for each query vector. */
+  /** ss1: exact brute-force cosine top-k for each query vector.
+    *
+    * Ranking runs through the graft_topk partial aggregate, NOT a rank
+    * window: a window would shuffle all n×q scored rows to rank them;
+    * the aggregate keeps a k-heap per query per map task, so only
+    * partitions×q×k rows ever shuffle — the corpus itself is scanned
+    * once, never moved. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        expr("graft_cosine(q_emb, embedding)").as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
   }
+
+  /** (query_id, vec_id, cosine) → best-k rows per query with ranks. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("vec_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
 
   // 4 bits × 8 tables: for a neighbor at cosine c the per-bit collision
   // rate is 1 − arccos(c)/π, so recall@c=0.3 ≈ 1−(1−0.597⁴)⁸ ≈ 0.66
@@ -73,25 +84,28 @@ object Similarity {
     * always collide). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    def withSigs(df: DataFrame, embCol: String): DataFrame = {
-      val sigs = (0 until Tables).map(t => sigCol(embCol, dim, t).as(s"sig$t"))
-      df.select(df.columns.map(col).toSeq ++ sigs: _*)
+    // (id, t, sig) band rows on both sides → the bucket probe is a
+    // plain HASH equi-join on (t, sig), not an OR-of-equalities
+    // nested-loop: partitionable by key, AQE/skew-split applies, and
+    // it stays a join even when the query side outgrows a broadcast.
+    def bandRows(df: DataFrame, idCol: String, embCol: String, outId: String): DataFrame = {
+      val bands = (0 until Tables).map(t =>
+        struct(lit(t).as("t"), sigCol(embCol, dim, t).as("sig")))
+      df.select(col(idCol).as(outId), explode(array(bands: _*)).as("b"))
+        .select(col(outId), col("b.t").as("t"), col("b.sig").as("sig"))
     }
-    val c = withSigs(corpus, "embedding")
-    val q = withSigs(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb")
-    val anyBucket = (0 until Tables)
-      .map(t => col(s"c.sig$t") === col(s"q.sig$t"))
-      .reduce(_ || _)
-    val cand = c.as("c").join(broadcast(q.as("q")),
-        anyBucket && col("c.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
-        expr("graft_cosine(q.q_emb, c.embedding)").as("cosine"))
+    val cb = bandRows(corpus, "vec_id", "embedding", "vec_id")
+    val qb = bandRows(queries, "vec_id", "embedding", "query_id")
+    val cand = cb.join(broadcast(qb), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = cand
+      .join(corpus, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
   }
 }

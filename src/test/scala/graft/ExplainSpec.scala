@@ -71,6 +71,14 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("ss1 ranks via partial top-k aggregate, not a rank window") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10))
+    assert(p.contains("graft_topk"), p)
+    assert(p.contains("partial_graft_topk"), s"no partial (map-side) top-k phase:\n$p")
+    assert(!p.contains("Window"), s"rank window would shuffle every scored row:\n$p")
+  }
+
   test("native cosine expression participates in codegen (no UDF)") {
     val emb = Tables.embeddings(spark, Sf0001)
     val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
