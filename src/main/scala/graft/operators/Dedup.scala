@@ -265,8 +265,11 @@ object Dedup {
         col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is computable per joined row,
+      // so the dedup shuffle carries only qualifying pairs, not the
+      // full band-join output
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     val ga = groups.select(col("rep").as("rep_a"), col("ids").as("ids_a"))
     val gb = groups.select(col("rep").as("rep_b"), col("ids").as("ids_b"))
     val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")

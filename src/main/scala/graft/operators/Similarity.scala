@@ -108,4 +108,58 @@ object Similarity {
         call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** ss3: IVF (inverted-file) ANN. Train: `nlist` centroids — seeded
+    * from the lowest vec_ids (deterministic), refined by `iters` Lloyd
+    * steps, each one distributed pass (assign via broadcast centroids,
+    * per-dimension mean via posexplode+groupBy). Index: one linear
+    * scan tags every vector with its nearest centroid. Query: probe
+    * the `nprobe` nearest lists and exact-re-rank inside them.
+    *
+    * Scale: centroids are the ONLY driver-side state (nlist×dim
+    * floats); the index pass is embarrassingly parallel; at rest the
+    * corpus would be written partitioned by `cid`, so a probe reads
+    * nprobe/nlist of the data — that partition pruning is the whole
+    * point of IVF at 100 TB. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+
+    def centroidCosines(embCol: Column, cents: Array[Array[Float]]): Seq[Column] =
+      cents.toIndexedSeq.map(c => call_function("graft_cosine", embCol, typedlit(c)))
+    def assignExpr(embCol: Column, cents: Array[Array[Float]]): Column =
+      array_max(array(centroidCosines(embCol, cents).zipWithIndex.map {
+        case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+      }: _*)).getField("c")
+
+    var centroids: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(assignExpr(col("embedding"), centroids).as("cid"),
+        posexplode(col("embedding")))
+      val means = assigned.groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+        .select(col("cid"),
+          expr("transform(array_sort(pv, (a, b) -> a.pos - b.pos), x -> cast(x.v as float))").as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids = Array.tabulate(centroids.length)(i => means.getOrElse(i, centroids(i)))
+    }
+
+    val indexed = corpus.withColumn("cid", assignExpr(col("embedding"), centroids))
+    // per-query probe list: nprobe best centroids by cosine
+    val withScores = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      array(centroidCosines(col("embedding"), centroids).zipWithIndex.map {
+        case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+      }: _*).as("probe_scores"))
+    val probed = withScores
+      .select(col("query_id"), col("q_emb"),
+        explode(expr(s"transform(slice(reverse(array_sort(probe_scores)), 1, $nprobe), x -> x.c)")).as("cid"))
+    val scored = indexed.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
 }

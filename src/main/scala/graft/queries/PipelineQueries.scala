@@ -64,6 +64,11 @@ object PipelineQueries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
   }
 
+  def ss3(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
+  }
+
   def tx1(s: SparkSession, d: String): DataFrame = TextFunctions.tokenStats(Tables.documents(s, d))
   def tx2(s: SparkSession, d: String): DataFrame = TextFunctions.qualityScore(Tables.documents(s, d))
   def tx3(s: SparkSession, d: String): DataFrame = TextFunctions.languageId(Tables.documents(s, d))
@@ -81,6 +86,7 @@ object PipelineQueries {
     ("dd5_embed_dup", dd5 _, null),
     ("ss1_brute_topk", ss1 _, null),
     ("ss2_lsh_ann", ss2 _, null),
+    ("ss3_ivf_ann", ss3 _, null),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, null),

@@ -31,6 +31,15 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Batch twin of [[windowedCounts]] (no watermark — complete data):
+    * used by specs to assert stream ≡ batch semantics. */
+  def windowedCounts0Batch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState: mirrors CoreQueries.q21Sessionize batch
     * semantics. Emits the running per-user session/event counters. */

@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9)
   }
 
+  test("ss3 IVF: planted exact duplicate retrieved at rank 1") {
+    val out = Similarity.ivfTopK(corpus, queries, dim, 5, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9)
+  }
+
+  test("ss3 IVF recall vs exact on the driver corpus is reasonable") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 64, 10, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed — probe/centroid logic broken")
+  }
+
   test("ss2 recall vs ss1 on the driver corpus is reasonable") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)

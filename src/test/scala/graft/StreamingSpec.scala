@@ -35,6 +35,25 @@ class StreamingSpec extends SparkTestBase {
       (120L, "click", 1L, 3.0)))
   }
 
+  test("file-source stream: windowed counts equal the batch answer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val data = (1 to 200).map(i =>
+      Event(i.toLong, ts(i * 7L), i % 10L, if (i % 3 == 0) "view" else "click", i.toDouble))
+    val df = data.toDF()
+    df.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(df.schema).parquet(dir)
+    val q = EventStreams.windowedCounts(streamed)
+      .writeStream.format("memory").queryName("fwc").outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fwc").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = EventStreams.windowedCounts0Batch(df).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionization matches batch gap semantics across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
