@@ -39,6 +39,30 @@ object TextFunctions {
       | FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 family shape, ASCII
+    * form): contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. Both Spark (Java regex)
+    * and DuckDB (RE2) agree on this subset — asserted by the oracle. */
+  val bpePattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** tx5: whitespace + BPE-ish subword counting — the token budget a
+    * training pipeline actually meters. Pure map-side column math. */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(lower(text), \"$bpePattern\", 0)")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(expr(s"regexp_extract_all(lower(text), \"$bpePattern\", 0)"))).cast("long").as("n_bpe_distinct"))
+      .orderBy(col("doc_id"))
+
+  val bpeTokenStatsSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(len(list_distinct(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS n_bpe_distinct
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "was")
   private val stopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
 

@@ -74,6 +74,8 @@ object PipelineQueries {
   def tx3(s: SparkSession, d: String): DataFrame = TextFunctions.languageId(Tables.documents(s, d))
   def tx4(s: SparkSession, d: String): DataFrame = TextFunctions.fingerprints(Tables.documents(s, d))
 
+  def tx5(s: SparkSession, d: String): DataFrame = TextFunctions.bpeTokenStats(Tables.documents(s, d))
+
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
   def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtract(Tables.documents(s, d))
 
@@ -91,6 +93,7 @@ object PipelineQueries {
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, null),
     ("tx4_fingerprint", tx4 _, null),
+    ("tx5_bpe_tokens", tx5 _, TextFunctions.bpeTokenStatsSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
   )

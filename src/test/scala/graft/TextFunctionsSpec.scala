@@ -41,6 +41,18 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(out === again)
   }
 
+  test("tx5 BPE-ish counting on a hand-computed fixture") {
+    import spark.implicits._
+    val d = Seq((1L, "It's 42 degrees, really!")).toDF("doc_id", "text")
+    val r = TextFunctions.bpeTokenStats(d).collect().head
+    // ws tokens: [It's, 42, degrees,, really!] = 4
+    // bpe on "it's 42 degrees, really!":
+    //   "it" "'s" " 42" " degrees" "," " really" "!" = 7
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 7L)
+    assert(r.getLong(3) === 7L) // all distinct here
+  }
+
   test("tx4 fingerprints: identical texts → identical fingerprint sets") {
     import spark.implicits._
     val d = Seq(
