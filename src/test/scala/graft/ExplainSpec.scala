@@ -39,6 +39,16 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q04 star join: AQE broadcasts every dimension at runtime") {
+    val df = CoreQueries.q04StarJoin(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // region/nation/customer/supplier are all broadcast-sized; the
+    // only shuffle joins left should involve the two fact tables
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.count(_ == '\n') > 0 && p.contains("isFinalPlan=true"), p)
+  }
+
   test("q01: aggregation is partial (map-side combine before shuffle)") {
     val p = plan(CoreQueries.q01PricingSummary(spark, Sf0001))
     assert(p.contains("partial"), s"no partial aggregation phase:\n$p")
