@@ -98,6 +98,19 @@ class DedupSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("dd2 bigram (n=2) shingles: word-order changes break similarity") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),     // identical → bigram jaccard 1.0
+      (3L, "j i h g f e d c b a"),     // same unigrams, reversed order
+    ).toDF("doc_id", "text")
+    val uni = Dedup.ngramJaccard(d, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bi = Dedup.ngramJaccard(d, 2, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uni === Set((1L, 2L), (1L, 3L), (2L, 3L))) // unigram sets identical
+    assert(bi === Set((1L, 2L)))                      // bigrams see the reordering
+  }
+
   test("dd3 LSH path (vocab > 64) matches a brute-force oracle") {
     import spark.implicits._
     def toks(i: Int): Seq[String] = (0 until 20).map(j => s"t${(7 * i + j) % 300}")
