@@ -20,6 +20,7 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+  case class ClosedSession(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. Works on
     * any streaming DataFrame with (ts, event_type, value). */
@@ -63,5 +64,42 @@ object EventStreams {
 
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Closed-session emission via flatMapGroupsWithState: state holds
+    * only the OPEN session per user (start, last-seen, count); a batch
+    * may close zero or many sessions for a user, hence flatMap. At
+    * scale, state is O(active users) × a 3-long record, and with an
+    * event-time watermark + timeout the open tail evicts itself.
+    * Late events inside one batch are ordered before folding; exact
+    * cross-batch semantics for in-order sources (e.g. log segments
+    * per user partition), matching CoreQueries.q21Sessionize. */
+  def closedSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60L * 1000L
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[(Long, Long, Long)]): Iterator[ClosedSession] = {
+      // state = (openStartMs, openLastMs, openCount)
+      var open = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some((s0, last, n)) if t - last <= gapMs =>
+            open = Some((s0, t, n + 1))
+          case Some((s0, last, n)) =>
+            out += ClosedSession(userId, s0, last, n)
+            open = Some((t, t, 1L))
+          case None =>
+            open = Some((t, t, 1L))
+        }
+      }
+      open.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 }

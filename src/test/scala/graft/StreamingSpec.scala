@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{Event, SessionUpdate}
+import graft.streaming.EventStreams.{ClosedSession, Event, SessionUpdate}
 
 /** §2.F Structured Streaming specs: memory source → memory sink,
   * asserting batch-equivalent semantics (SURVEY.md §2.F). */
@@ -52,6 +52,29 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState emits exactly the closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.closedSessions(source.toDS())
+      .writeStream.format("memory").queryName("closed").outputMode(OutputMode.Append()).start()
+    try {
+      // session A: 0–10min; gap > 30min; session B: 50min, still open
+      source.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0))
+      q.processAllAvailable()
+      source.addData(Event(3, ts(50), 1, "a", 0))
+      q.processAllAvailable()
+      // user 2: two sessions closed inside ONE batch, third open
+      source.addData(Event(4, ts(0), 2, "b", 0), Event(5, ts(40), 2, "b", 0), Event(6, ts(80), 2, "b", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("closed").as[ClosedSession].collect().toSet
+    assert(got === Set(
+      ClosedSession(1L, ts(0).getTime, ts(10).getTime, 2L),
+      ClosedSession(2L, ts(0).getTime, ts(0).getTime, 1L),
+      ClosedSession(2L, ts(40).getTime, ts(40).getTime, 1L)))
   }
 
   test("stateful sessionization matches batch gap semantics across batches") {
