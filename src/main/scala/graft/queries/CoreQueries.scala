@@ -463,6 +463,44 @@ object CoreQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** For every click event: the same user's most recent purchase at or
+    * before the click (point-in-time lookup via graft's AsOfJoin —
+    * union + ordered window, one shuffle, no range join). Purchases
+    * pre-aggregate to one row per (user, ts) so the as-of pick is
+    * deterministic; ts stays exact INT64 nanos for the comparison and
+    * converts to micros timestamp only at the output boundary. */
+  def q22AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+    graft.operators.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+        Seq("p_event_id", "p_value"))
+      .select(
+        col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("click_ts"),
+        col("asof_p_event_id").as("p_event_id"),
+        col("asof_p_value").as("p_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q22Sql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, MAX(event_id) AS p_event_id,
+      |         arg_max(value, event_id) AS p_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+      |       p.p_event_id, p.p_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
   /** (spark-fn, oracle-sql) registry for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -486,5 +524,6 @@ object CoreQueries {
     ("q19_string_ops", q19StringOps _, q19Sql),
     ("q20_date_agg", q20DateAgg _, q20Sql),
     ("q21_sessionize", q21Sessionize _, q21Sql),
+    ("q22_asof_join", q22AsofJoin _, q22Sql),
   )
 }
