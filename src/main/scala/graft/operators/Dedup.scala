@@ -232,12 +232,16 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
     val contrib = toks.withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val sums = contrib.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // bit j of the signature is set iff more tokens have bit j than
+    // not: 2·sum((h>>j)&1) > count. Summing the raw bit keeps each of
+    // the 64 aggregate expressions a two-op arithmetic tree (shift,
+    // and) — the when/±1 form made the generated aggregate class big
+    // enough that JIT/codegen time dominated the whole operator.
+    val bitSums = (0 until 64).map(j => sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
+    val sums = contrib.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("cnt"): _*)
     val simhashExpr = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col("doc_id"), simhashExpr.as("simhash"))
   }
