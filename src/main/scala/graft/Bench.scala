@@ -24,7 +24,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stop first: Spark shutdown logs (stderr) can't then interleave
+    // after the JSON line the driver parses. Also persist to a file.
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

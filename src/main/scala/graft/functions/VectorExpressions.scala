@@ -131,6 +131,8 @@ object VectorFunctions {
         reg.createOrReplaceTempFunction("graft_cosine", exprs => CosineFloat(exprs(0), exprs(1)), "scala_udf")
         reg.createOrReplaceTempFunction("graft_topk",
           exprs => TopKScoreId(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_simhash64",
+          exprs => SimHash64(exprs(0)).toAggregateExpression(), "scala_udf")
         registered += key
       }
     }

@@ -108,26 +108,49 @@ object Dedup {
   }
 
   /** Small-vocab exact all-pairs: docs collapse to their distinct
-    * bitmasks first (identical sets are interchangeable), the
-    * mask×mask comparison is pure codegen'd bit math on the distinct
-    * sets only, and qualifying mask pairs re-expand to doc pairs. The
-    * m² work runs on m = |distinct sets| ≤ min(n_docs, 2^|vocab|),
-    * broadcast against itself — no shuffle of document content at
-    * all. */
+    * bitmasks first (identical sets are interchangeable; identical-mask
+    * pairs are jaccard exactly 1.0 with no comparison at all), and the
+    * distinct masks are pair-generated by a Hamming band equi-join, NOT
+    * an m×m nested loop: jaccard(A,B) ≥ t bounds the symmetric
+    * difference |A Δ B| = |A∪B|·(1−J) ≤ 64·(1−t) bits, so splitting
+    * the 64-bit mask into ⌊64(1−t)⌋+1 bit-ranges guarantees (pigeonhole)
+    * every qualifying pair agrees EXACTLY on at least one full band.
+    * Candidates are popcount-verified, so output = the exact answer
+    * while the join stays an equi-join on (band, band-bits) — the same
+    * sub-quadratic shape as the LSH paths, but with zero misses.
+    * Work is per-bucket; m = |distinct masks| never squares. */
   private def jaccardByMask(masksIn: DataFrame, threshold: Double): DataFrame = {
     val masks = masksIn.cache()
-    val groups = masks.groupBy("mask").agg(collect_list(col("doc_id")).as("ids"))
+    val groups = masks.groupBy("mask").agg(collect_list(col("doc_id")).as("ids")).cache()
     // identical sets: jaccard exactly 1.0, all intra-group pairs
-    val m1 = masks.as("a"); val m2 = masks.as("b")
-    val intra = m1.join(broadcast(m2),
-        col("a.mask") === col("b.mask") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    // distinct-set pairs: popcount jaccard, then expand member lists
-    val cross = groups.as("x").join(broadcast(groups.as("y")), col("x.mask") < col("y.mask"))
-      .select(col("x.ids").as("ids_a"), col("y.ids").as("ids_b"),
+    val intra = groups.select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
+    // distinct-mask pairs via Hamming pigeonhole banding
+    val maxHam = math.max(0, (64.0 * (1.0 - threshold)).toInt)
+    val nBands = maxHam + 1 // t=0.9 → 7 bands of 9–10 bits
+    val bounds = (0 to nBands).map(k => k * 64 / nBands)
+    val bandCols = (0 until nBands).map { k =>
+      val lo = bounds(k); val width = bounds(k + 1) - lo
+      val bits = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(k).as("band"), expr(s"(mask >> $lo) & $bits").as("bv"))
+    }
+    val bands = groups.select(col("mask"), explode(array(bandCols: _*)).as("b"))
+      .select(col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val x = bands.as("x"); val y = bands.as("y")
+    val maskPairs = x.join(y,
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.mask") < col("y.mask"))
+      .select(col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
         maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
+      // filter BEFORE distinct so the dedup shuffle carries only
+      // qualifying mask pairs, not the full band-join output
       .filter(col("jaccard") >= threshold)
+      .distinct()
+    val ga = groups.select(col("mask").as("mask_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
+    val cross = maskPairs.join(ga, "mask_a").join(gb, "mask_b")
       .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
       .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
       .select(least(col("da"), col("db")).as("doc_a"),
@@ -229,21 +252,19 @@ object Dedup {
     * (catches every pair with ≤3 differing bits exactly, and most up
     * to the requested distance when errors cluster). */
   def simhash(docs: DataFrame): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
     val toks = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
-    val contrib = toks.withColumn("h", xxhash64(col("tok")))
-    // bit j of the signature is set iff more tokens have bit j than
-    // not: 2·sum((h>>j)&1) > count. Summing the raw bit keeps each of
-    // the 64 aggregate expressions a two-op arithmetic tree (shift,
-    // and) — the when/±1 form made the generated aggregate class big
-    // enough that JIT/codegen time dominated the whole operator.
-    val bitSums = (0 until 64).map(j => sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
-    val sums = contrib.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("cnt"): _*)
-    val simhashExpr = (0 until 64)
-      .map(j => when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), simhashExpr.as("simhash"))
+    // ONE aggregate (graft.functions.SimHash64, a long[65] buffer)
+    // instead of 64 separate sum((h>>j)&1) columns: the 64-sum form
+    // made the generated aggregate class so large that codegen/JIT
+    // time dominated the operator (196 s in the round-1 bench).
+    // Partial aggregation is preserved — map-side buffers merge by
+    // element-wise add — and the aggregate emits the finished
+    // majority-rule signature directly.
+    toks.withColumn("h", xxhash64(col("tok")))
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash64", col("h")).as("simhash"))
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {

@@ -74,4 +74,16 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
       .orderBy(col("doc_id"))
   }
+
+  /** mm2 driver-facing variant: same extraction, but the feature vector
+    * is flattened to scalar columns f0…f7 (plus a canonical string) so
+    * the result is sortable/hashable by generic tooling — an
+    * `array<float>` cell is not. The array variant above stays the
+    * internal API (ANN ops consume arrays). */
+  def featureExtractFlat(docs: DataFrame): DataFrame = {
+    val base = featureExtract(docs)
+    val flat = (0 until FeatureDim).map(j => col("features").getItem(j).as(s"f$j"))
+    base.select(Seq(col("doc_id"), col("n_bytes"), col("batch_size")) ++ flat: _*)
+      .orderBy(col("doc_id"))
+  }
 }

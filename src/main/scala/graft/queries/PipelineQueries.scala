@@ -77,7 +77,7 @@ object PipelineQueries {
   def tx5(s: SparkSession, d: String): DataFrame = TextFunctions.bpeTokenStats(Tables.documents(s, d))
 
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
-  def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtract(Tables.documents(s, d))
+  def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtractFlat(Tables.documents(s, d))
 
   /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

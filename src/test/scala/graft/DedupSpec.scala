@@ -98,6 +98,30 @@ class DedupSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("dd2 mask path with many distinct masks matches a brute-force oracle") {
+    import spark.implicits._
+    // 40-token vocabulary (≤ 64 → bitmask path) but 500 docs with
+    // near-unique shingle sets, so m = |distinct masks| ≈ n_docs: the
+    // round-1 m² nested-loop regime. The Hamming band join must still
+    // produce the exact answer (and sub-quadratically).
+    def toks(i: Int): Seq[String] = (0 until 12).map(j => s"v${(i * 5 + j * 3) % 40}").distinct
+    val rows = (0 until 250).map(i => (i.toLong, toks(i).mkString(" "))) ++
+      (0 until 250).map(i => ((1000 + i).toLong, toks(i).reverse.mkString(" "))) // same set, reversed
+    val docs = rows.toDF("doc_id", "text")
+    def set(text: String): Set[String] = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    val t = 0.8
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = set(ta); sb = set(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= t
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccard(docs, 1, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.size >= 250) // at least the planted same-set pairs
+  }
+
   test("dd2 bigram (n=2) shingles: word-order changes break similarity") {
     import spark.implicits._
     val d = Seq(

@@ -34,4 +34,18 @@ class MultimodalSpec extends SparkTestBase {
     val again = Multimodal.featureExtract(docs).collect()
     assert(out.map(_.getSeq[Float](3)).toSeq === again.map(_.getSeq[Float](3)).toSeq)
   }
+
+  test("mm2 flat variant: scalar f0…f7 equal the array elements, no array column") {
+    val arr = Multimodal.featureExtract(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val flat = Multimodal.featureExtractFlat(docs)
+    // driver-hashable: every column is scalar
+    assert(flat.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")))
+    flat.collect().foreach { r =>
+      val expect = arr(r.getLong(0))
+      (0 until Multimodal.FeatureDim).foreach { j =>
+        assert(r.getFloat(3 + j) === expect(j))
+      }
+    }
+  }
 }
