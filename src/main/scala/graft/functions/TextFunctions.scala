@@ -136,21 +136,57 @@ object TextFunctions {
     scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
   }
 
+  /** tx3 oracle: hit counting via list_filter mirrors the Spark
+    * filter-HOF exactly (integers, no FP); the argmax CASE chain tests
+    * languages in profile order with >= comparisons, which is precisely
+    * the foldRight in [[languageId]] (the last profile is the ELSE —
+    * by then every earlier isMax failed, so its own when is a no-op). */
+  val languageIdSql: String = {
+    val langs = LangProfiles.map(_._1)
+    val hitCols = LangProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ($list))) AS BIGINT) AS hits_$lang"
+    }.mkString(",\n  ")
+    val whens = langs.init.map { lang =>
+      val cond = langs.filter(_ != lang).map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n  ")
+    s"""SELECT doc_id, labeled_lang, ${langs.map("hits_" + _).mkString(", ")},
+      | CASE
+      |  $whens
+      |  ELSE '${langs.last}' END AS pred_lang
+      |FROM (
+      | SELECT doc_id, lang AS labeled_lang,
+      |  $hitCols
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** tx4: winnowing document fingerprints (k-char shingles, window w):
-    * rolling xxhash64 over character k-grams, per-window minimum,
-    * distinct mins are the fingerprint set. HOF-based; a custom
-    * one-pass Expression is the planned scale path. */
+    * xxhash64 over character k-grams, per-window minimum, distinct mins
+    * are the fingerprint set — all in the one-pass O(len) native
+    * expression graft.functions.WinnowMinima (the nested-HOF
+    * formulation re-evaluated the hash array inside every window
+    * lambda, quadratic for long documents). */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    docs.select(
+        col("doc_id"),
+        call_function("graft_winnow", lower(col("text")), lit(k), lit(w)).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
+    * column — kept ONLY for the spec that pins WinnowMinima to the
+    * original semantics. Not used in any query plan. */
+  private[graft] def fingerprintsHofReference(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val body = "lower(text)"
     val hashes =
       s"transform(sequence(1, greatest(length($body) - ${k - 1}, 1)), i -> xxhash64(substring($body, i, $k)))"
     val mins =
       s"transform(sequence(1, greatest(size($hashes) - ${w - 1}, 1)), j -> array_min(slice($hashes, j, $w)))"
-    docs.select(
-        col("doc_id"),
-        expr(s"array_distinct($mins)").as("fps"))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
-        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
-      .orderBy(col("doc_id"))
+    docs.select(col("doc_id"), expr(s"array_distinct($mins)").as("fps"))
   }
 }

@@ -59,6 +59,28 @@ object PipelineQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NQueries), TopK)
   }
 
+  /** ss1 is exact, so it oracles against DuckDB's cosine + rank window.
+    * CAST to DOUBLE[] is load-bearing: DuckDB then accumulates in
+    * double left-to-right exactly like graft_cosine (verified
+    * bit-exact); on FLOAT[] it accumulates in float and diverges in
+    * the 8th decimal. Ties broken (cosine DESC, vec_id ASC) in both
+    * engines. */
+  val ss1Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |   list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", vec_id, cosine
+      |FROM ranked WHERE rnk <= $TopK
+      |ORDER BY query_id, "rank"""".stripMargin
+
   def ss2(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
@@ -86,12 +108,12 @@ object PipelineQueries {
     ("dd3_minhash_lsh", dd3 _, ddJaccardSql),
     ("dd4_simhash", dd4 _, null),
     ("dd5_embed_dup", dd5 _, null),
-    ("ss1_brute_topk", ss1 _, null),
+    ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
-    ("tx3_langid", tx3 _, null),
+    ("tx3_langid", tx3 _, TextFunctions.languageIdSql),
     ("tx4_fingerprint", tx4 _, null),
     ("tx5_bpe_tokens", tx5 _, TextFunctions.bpeTokenStatsSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),

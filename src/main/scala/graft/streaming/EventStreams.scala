@@ -68,18 +68,39 @@ object EventStreams {
 
   /** Closed-session emission via flatMapGroupsWithState: state holds
     * only the OPEN session per user (start, last-seen, count); a batch
-    * may close zero or many sessions for a user, hence flatMap. At
-    * scale, state is O(active users) × a 3-long record, and with an
-    * event-time watermark + timeout the open tail evicts itself.
-    * Late events inside one batch are ordered before folding; exact
-    * cross-batch semantics for in-order sources (e.g. log segments
-    * per user partition), matching CoreQueries.q21Sessionize. */
-  def closedSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    * may close zero or many sessions for a user, hence flatMap.
+    *
+    * State eviction: with `watermarkDelay = Some(d)` the stream gets an
+    * event-time watermark and EventTimeTimeout — each update arms a
+    * timeout at (last-seen + gap), so once the watermark passes the
+    * point where no on-time event could extend the open session, the
+    * session is emitted as closed and its state REMOVED. State is then
+    * O(users active within one gap+delay window), not O(users ever
+    * seen) — the difference between bounded and unbounded state at
+    * 100 TB of events. Events older than the watermark are dropped by
+    * Spark before reaching the state function (standard late-data
+    * semantics); a dropped late event can neither extend nor resurrect
+    * a closed session.
+    *
+    * With `watermarkDelay = None` (NoTimeout) semantics are exact for
+    * in-order sources (e.g. log segments per user partition) and state
+    * never evicts — only for bounded replays. Late events inside one
+    * batch are ordered before folding either way; matches
+    * CoreQueries.q21Sessionize. */
+  def closedSessions(events: Dataset[Event], gapMinutes: Int = 30,
+      watermarkDelay: Option[String] = None): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes.toLong * 60L * 1000L
 
     def update(userId: Long, evs: Iterator[Event],
         state: GroupState[(Long, Long, Long)]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        // watermark passed last-seen + gap: the open session is closed
+        val out = state.getOption
+          .map { case (s0, last, n) => ClosedSession(userId, s0, last, n) }
+        state.remove()
+        return out.iterator
+      }
       // state = (openStartMs, openLastMs, openCount)
       var open = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
@@ -95,11 +116,21 @@ object EventStreams {
             open = Some((t, t, 1L))
         }
       }
-      open.foreach(state.update)
+      open.foreach { o =>
+        state.update(o)
+        if (watermarkDelay.isDefined)
+          // never arm in the past: the watermark may already be beyond
+          // last+gap when this key's event was itself near-late
+          state.setTimeoutTimestamp(
+            math.max(o._2 + gapMs, state.getCurrentWatermarkMs() + 1L))
+      }
       out.iterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    val timeout = if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(update)
   }
 }

@@ -77,6 +77,37 @@ class StreamingSpec extends SparkTestBase {
       ClosedSession(2L, ts(40).getTime, ts(40).getTime, 1L)))
   }
 
+  test("event-time timeout closes the open tail and evicts its state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // gap 30 min, watermark delay 10 min
+    val q = EventStreams.closedSessions(source.toDS(), 30, Some("10 minutes"))
+      .writeStream.format("memory").queryName("evict").outputMode(OutputMode.Append()).start()
+    try {
+      // timeline starts at 1000min — epoch 0 would collide with the
+      // initial watermark (ts ≤ wm rows are dropped as late)
+      // user 1: open session [1000, 1010] — nothing closed yet
+      source.addData(Event(1, ts(1000), 1, "a", 0), Event(2, ts(1010), 1, "a", 0))
+      q.processAllAvailable()
+      // user 9 far in the future pushes the watermark to 1100−10 =
+      // 1090min, past user 1's timeout at 1010+30 = 1040min → session
+      // must be emitted by TIMEOUT (no further user-1 event arrives).
+      source.addData(Event(3, ts(1100), 9, "a", 0))
+      q.processAllAvailable()
+      source.addData(Event(4, ts(1101), 9, "a", 0)) // extra batch: timeout fires
+      q.processAllAvailable()
+      // late event for user 1 at 1020min (< watermark 1090) is dropped:
+      // must not resurrect or re-extend the closed session
+      source.addData(Event(5, ts(1020), 1, "a", 0))
+      q.processAllAvailable()
+      source.addData(Event(6, ts(1102), 9, "a", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("evict").as[ClosedSession].collect().toSet
+    assert(got === Set(ClosedSession(1L, ts(1000).getTime, ts(1010).getTime, 2L)))
+  }
+
   test("stateful sessionization matches batch gap semantics across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -53,6 +53,27 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r.getLong(3) === 7L) // all distinct here
   }
 
+  test("tx4 WinnowMinima is bit-identical to the nested-HOF reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit, lower}
+    graft.functions.VectorFunctions.register(spark)
+    // edge shapes: empty, shorter than k, between k and k+w, long, repeats
+    val fixture = Seq(
+      (1L, ""), (2L, "abc"), (3L, "abcdefgh"), (4L, "abcdefghij"),
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaa"), (6L, "The quick brown fox JUMPS over 42 lazy dogs, twice."),
+    ).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+      .union(fixture)
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 7))) {
+      val fast = corpus.select(col("doc_id"),
+          call_function("graft_winnow", lower(col("text")), lit(k), lit(w)).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = TextFunctions.fingerprintsHofReference(corpus, k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fast === ref, s"(k=$k, w=$w)")
+    }
+  }
+
   test("tx4 fingerprints: identical texts → identical fingerprint sets") {
     import spark.implicits._
     val d = Seq(
