@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.sources.CsvIngest
+
+/** SQL-string entry point + CSV-sourced query.
+  *
+  * The other half of a Spark engine's user surface: `spark.sql(text)`
+  * over registered views. q24/q25 are written in the ANSI subset both
+  * engines parse, so the SAME string is the Spark plan AND the DuckDB
+  * oracle — the strongest possible equivalence gate (any semantic
+  * divergence between the two engines on this text shows up as a hash
+  * mismatch). Plans produced by spark.sql go through exactly the same
+  * Catalyst pipeline as the DataFrame API: pushdown, pruning, AQE all
+  * apply unchanged.
+  */
+object SqlQueries {
+
+  private val ViewTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view (idempotent;
+    * `events` goes through Tables.events for the nanos conf). */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    ViewTables.foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+    Tables.events(s, dir).createOrReplaceTempView("events")
+  }
+
+  /** q24: discounted-revenue aggregate per ship year (TPC-H Q6 shape
+    * widened with a GROUP BY). year() is cast to BIGINT because Spark
+    * returns INT and DuckDB BIGINT — the cast pins both to one type. */
+  val q24Sql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |GROUP BY CAST(year(l_shipdate) AS BIGINT)
+      |ORDER BY ship_year""".stripMargin
+
+  def q24(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q24Sql)
+  }
+
+  /** q25: customer-segment × order-priority revenue with HAVING. */
+  val q25Sql: String =
+    """SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment, o.o_orderpriority
+      |HAVING COUNT(*) > 10
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  def q25(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q25Sql)
+  }
+
+  /** q23: per-segment aggregate over the CSV-ingested customer table.
+    * The oracle reads the parquet original — the CSV round-trip must
+    * be value-exact for the hashes to match. */
+  def q23(s: SparkSession, d: String): DataFrame =
+    CsvIngest.customerCsv(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 6))).cast("double").as("sum_acctbal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("c_mktsegment"))
+
+  val q23Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal,
+      | MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** (name, spark-fn, oracle-sql) for SparkEntry. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q23_csv_ingest", q23 _, q23Sql),
+    ("q24_sql_revenue", q24 _, q24Sql),
+    ("q25_sql_segment_orders", q25 _, q25Sql),
+  )
+}

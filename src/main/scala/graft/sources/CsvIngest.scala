@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** CSV ingestion path.
+  *
+  * The driver's testdata is parquet, so the CSV query materializes the
+  * `customer` table as CSV once per SF directory (tiny dimension
+  * table; write-once guarded by Spark's _SUCCESS marker) and then
+  * exercises the real CSV read path: explicit schema, header,
+  * FAILFAST. At 100 TB the loader is what matters — schema is always
+  * explicit (inference would be a full extra scan of the data),
+  * malformed rows fail loudly instead of silently nulling, and the
+  * scan parallelizes per file split like any other FileFormat source.
+  */
+object CsvIngest {
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** Generic CSV reader — single place for read options. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .csv(path)
+
+  private def csvDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_csv_${Integer.toHexString(dir.hashCode)}/customer"
+
+  /** The customer table via the CSV path (parquet → CSV → read back).
+    * Doubles survive the round-trip exactly: Spark writes shortest
+    * round-trip decimal strings and parses them back to the same
+    * bits. */
+  def customerCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = csvDir(dir)
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      Tables.customer(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
+    csv(spark, out, customerSchema)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.SqlQueries
+import graft.sources.CsvIngest
+
+/** CSV ingestion + SQL-string entry specs. */
+class SqlQueriesSpec extends SparkTestBase {
+
+  test("q23 CSV round-trip: CSV-sourced aggregate equals the parquet answer") {
+    val fromCsv = SqlQueries.q23(spark, Sf0001).collect()
+    val fromParquet = Tables.customer(spark, Sf0001)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 6))).cast("double").as("sum_acctbal"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+      .orderBy(col("c_mktsegment")).collect()
+    assert(fromCsv.toSeq === fromParquet.toSeq)
+    assert(fromCsv.nonEmpty)
+  }
+
+  test("CSV loader applies the explicit schema (no inference)") {
+    val df = CsvIngest.customerCsv(spark, Sf0001)
+    assert(df.schema === CsvIngest.customerSchema)
+    assert(df.count() === Tables.customer(spark, Sf0001).count())
+  }
+
+  test("q24 SQL text equals the DataFrame-API computation") {
+    val viaSql = SqlQueries.q24(spark, Sf0001).collect()
+    val viaApi = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 6)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("ship_year")).collect()
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("q25 SQL join/having returns stable, non-empty groups") {
+    val a = SqlQueries.q25(spark, Sf0001).collect()
+    val b = SqlQueries.q25(spark, Sf0001).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getLong(2) > 10))
+  }
+}
