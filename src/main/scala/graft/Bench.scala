@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the contended container intermittently blows the 300 s default
+      // during broadcast exchanges — not a plan problem, raise it
+      .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

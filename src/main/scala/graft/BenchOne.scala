@@ -1,21 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Time individual queries in isolation: `runMain graft.BenchOne <sfDir> <name>...` */
+/** Time individual queries in isolation:
+  * `runMain graft.BenchOne <sfDir> <name>...`
+  * Env SPARK_GRAFT_REPEAT=N runs each query N times and reports the
+  * minimum — single samples on this host swing 3–20× with container
+  * contention, so minima are the only comparable statistic. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the contended container intermittently blows the 300 s default
+      // during broadcast exchanges — not a plan problem, raise it
+      .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { name =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[b1] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val times = (1 to repeat).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[b1] $name rows=$n $dt%.1fs")
+        dt
+      }
+      if (repeat > 1) println(f"[b1min] $name ${times.min}%.1fs")
     }
     spark.stop()
   }

@@ -121,17 +121,18 @@ object Similarity {
     * corpus would be written partitioned by `cid`, so a probe reads
     * nprobe/nlist of the data — that partition pruning is the whole
     * point of IVF at 100 TB. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+  private def centroidCosines(embCol: Column, cents: Array[Array[Float]]): Seq[Column] =
+    cents.toIndexedSeq.map(c => call_function("graft_cosine", embCol, typedlit(c)))
+  private def assignExpr(embCol: Column, cents: Array[Array[Float]]): Column =
+    array_max(array(centroidCosines(embCol, cents).zipWithIndex.map {
+      case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+    }: _*)).getField("c")
+
+  /** Lloyd-refined centroids — the only driver-side state (nlist×dim
+    * floats). Seeded from the lowest vec_ids (deterministic); each
+    * iteration is one distributed pass. */
+  private[graft] def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int): Array[Array[Float]] = {
     VectorFunctions.register(corpus.sparkSession)
-
-    def centroidCosines(embCol: Column, cents: Array[Array[Float]]): Seq[Column] =
-      cents.toIndexedSeq.map(c => call_function("graft_cosine", embCol, typedlit(c)))
-    def assignExpr(embCol: Column, cents: Array[Array[Float]]): Column =
-      array_max(array(centroidCosines(embCol, cents).zipWithIndex.map {
-        case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
-      }: _*)).getField("c")
-
     var centroids: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -146,16 +147,64 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       centroids = Array.tabulate(centroids.length)(i => means.getOrElse(i, centroids(i)))
     }
+    centroids
+  }
 
-    val indexed = corpus.withColumn("cid", assignExpr(col("embedding"), centroids))
-    // per-query probe list: nprobe best centroids by cosine
-    val withScores = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      array(centroidCosines(col("embedding"), centroids).zipWithIndex.map {
-        case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
-      }: _*).as("probe_scores"))
-    val probed = withScores
+  /** Per-query probe list: the `nprobe` best centroids by cosine. */
+  private def probeLists(queries: DataFrame, cents: Array[Array[Float]], nprobe: Int): DataFrame =
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        array(centroidCosines(col("embedding"), cents).zipWithIndex.map {
+          case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+        }: _*).as("probe_scores"))
       .select(col("query_id"), col("q_emb"),
         explode(expr(s"transform(slice(reverse(array_sort(probe_scores)), 1, $nprobe), x -> x.c)")).as("cid"))
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val centroids = trainCentroids(corpus, nlist, iters)
+    val indexed = corpus.withColumn("cid", assignExpr(col("embedding"), centroids))
+    val probed = probeLists(queries, centroids, nprobe)
+    val scored = indexed.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Materialized IVF index: the corpus written to `path` PARTITIONED
+    * BY its centroid assignment, centroids alongside as a tiny parquet.
+    * This is the at-rest layout the ivfTopK scaladoc promises — at
+    * 100 TB the index write is one linear pass, and every probe after
+    * it touches only nprobe/nlist of the files on disk. */
+  def ivfWriteIndex(corpus: DataFrame, path: String,
+      nlist: Int = 16, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(corpus, nlist, iters)
+    corpus.withColumn("cid", assignExpr(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+    centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a materialized IVF index. The `cid` filter lands on the
+    * PARTITION column of the index layout, so Spark prunes non-probed
+    * directories at planning time — the scan never opens them
+    * (IvfIndexSpec asserts the pruned plan). */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val probed = probeLists(queries, centroids, nprobe)
+    val probedCids = probed.select("cid").distinct().collect().map(_.getInt(0))
+    val indexed = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
     val scored = indexed.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

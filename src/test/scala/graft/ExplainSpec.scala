@@ -67,6 +67,8 @@ class ExplainSpec extends SparkTestBase {
     val docs = Tables.documents(spark, Sf0001)
     val p = plan(Dedup.ngramJaccard(docs, 1, 0.9))
     assert(!p.contains("CartesianProduct"), p)
+    // the small-vocab mask path must band-join, not nested-loop m×m
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("dd3 LSH banding join is an equi-join, not cartesian") {

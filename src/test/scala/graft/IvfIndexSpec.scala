@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+/** Materialized IVF index: partitioned layout, pruned probe reads. */
+class IvfIndexSpec extends SparkTestBase {
+
+  test("index write → probe equals inline ivfTopK and prunes partitions") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfWriteIndex(emb, dir, nlist = 16, iters = 2)
+
+    val probe = Similarity.ivfProbeIndex(spark, dir, q, k = 10, nprobe = 2)
+    val inline = Similarity.ivfTopK(emb, q, dim = 64, k = 10,
+      nlist = 16, nprobe = 2, iters = 2)
+    assert(probe.collect().toSeq === inline.collect().toSeq)
+
+    // partition pruning: the cid predicate must land in the scan's
+    // PartitionFilters (directory-level pruning at planning time), not
+    // as a post-scan data filter. (inputFiles can't show this — it
+    // lists the relation's files before pruning.)
+    val p = probe.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l => l.contains("FileScan") && l.contains("vectors"))
+    assert(scanLine.exists(_.contains("PartitionFilters: [cid#")),
+      s"cid not a partition filter:\n$p")
+    assert(scanLine.exists(l => l.contains(" IN (") || l.contains("cid#") && l.contains("=")),
+      s"no pruning predicate on the vectors scan:\n$p")
+  }
+}
