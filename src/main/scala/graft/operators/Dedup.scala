@@ -305,6 +305,49 @@ object Dedup {
     intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** dd6: duplicate GROUPS — connected components over the near-dup
+    * pair graph, every doc labeled with the minimum doc_id reachable
+    * from it (singletons label themselves). A dedup pipeline keeps one
+    * canonical doc per group; pairs alone can't express transitivity
+    * (a~b, b~c ⟹ one group even when a≁c).
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * equi-join (labels ⋈ edges) + one partial-agg min groupBy — both
+    * shuffle-partitioned on doc_id, no driver-side graph. Rounds
+    * needed = graph diameter, and near-dup components are dense
+    * near-cliques (diameter ~2–3); `maxIters` is a safety rail that
+    * throws rather than return a wrong (unconverged) labeling.
+    * `localCheckpoint` truncates the per-round lineage so the plan
+    * doesn't deepen linearly with rounds. At pathological diameters
+    * the standard fix is alternating large-star/small-star rounds
+    * (halves diameter per round); not needed for dedup graphs. */
+  def dupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0) {
+      if (it >= maxIters)
+        throw new IllegalStateException(s"dupGroups did not converge in $maxIters rounds")
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("doc_id"), col("comp").as("group_id")).orderBy(col("doc_id"))
+  }
+
   // 6 bits × 8 tables: recall ≈ 99.8% at cosine 0.95 (true near-dups),
   // ~36% at cosine 0.35 — candidates stay sub-quadratic while real
   // duplicates essentially always collide in some table.

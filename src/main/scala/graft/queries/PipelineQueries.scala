@@ -48,6 +48,35 @@ object PipelineQueries {
   def dd3(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), JaccardThreshold)
 
+  /** dd6: transitive duplicate groups over the dd2 near-dup graph. */
+  def dd6(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.dupGroups(docs, Dedup.ngramJaccard(docs, 1, JaccardThreshold))
+  }
+
+  /** DuckDB oracle: same edges (the dd2 oracle as a CTE), connected
+    * components via recursive transitive closure, component label =
+    * min reachable doc_id. Closure is O(n·component) — fine at oracle
+    * SF, which is the only place this SQL runs. */
+  val dd6Sql: String =
+    s"""WITH RECURSIVE docsets AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM docsets a, docsets b WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardThreshold),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM prs
+      |  UNION ALL SELECT doc_b, doc_a FROM prs),
+      |rch(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM rch r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, MIN(dst) AS group_id
+      |FROM rch GROUP BY src ORDER BY doc_id""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -107,6 +136,7 @@ object PipelineQueries {
     ("dd2_ngram_jaccard", dd2 _, ddJaccardSql),
     ("dd3_minhash_lsh", dd3 _, ddJaccardSql),
     ("dd4_simhash", dd4 _, null),
+    ("dd6_dup_groups", dd6 _, dd6Sql),
     ("dd5_embed_dup", dd5 _, null),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),

@@ -53,6 +53,27 @@ class DedupSpec extends SparkTestBase {
     assert(!byKey.contains((1L, 4L)) && !byKey.contains((2L, 4L)))
   }
 
+  test("dd6 dup groups: transitive closure over near-dup pairs") {
+    import spark.implicits._
+    // chain: 1~2 (19/21 ≈ .905) and 2~3 (19/21) but 1≁3 (18/22 ≈ .818)
+    // → transitivity must still put {1,2,3} in ONE group
+    val w = (1 to 20).map(i => s"w$i")
+    val d1 = w.mkString(" ")
+    val d2 = (w.take(19) :+ "x0").mkString(" ")
+    val d3 = (w.take(18) ++ Seq("x0", "y0")).mkString(" ")
+    val chain = Seq(
+      (1L, d1), (2L, d2), (3L, d3),
+      (4L, "totally unrelated content z1 z2 z3 z4 z5 z6"),
+      (5L, d1), // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(chain, 1, 0.9)
+    val keys = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!keys.contains((1L, 3L))) // the chain is genuinely non-transitive at pair level
+    val groups = Dedup.dupGroups(chain, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L))
+  }
+
   test("dd5 embedding near-dup finds planted identical + near vectors") {
     import spark.implicits._
     val dim = 8
