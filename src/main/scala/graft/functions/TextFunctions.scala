@@ -178,6 +178,26 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** tx6: corpus vocabulary — global token frequency top-k (the vocab
+    * build step of a tokenizer pipeline). explode→groupBy gets map-side
+    * partial aggregation (shuffle carries one row per distinct token
+    * per task, not per occurrence); the global top-k plans as
+    * TakeOrderedAndProject — each task keeps k rows, no full sort
+    * shuffle. Ties broken by token so the cut is deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(expr(tokensExpr)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  def vocabTopKSql(k: Int): String =
+    s"""SELECT token, freq FROM (
+      | SELECT token, COUNT(*) AS freq FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents)
+      | GROUP BY token)
+      |ORDER BY freq DESC, token LIMIT $k""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

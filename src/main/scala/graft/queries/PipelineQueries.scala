@@ -126,6 +126,7 @@ object PipelineQueries {
   def tx4(s: SparkSession, d: String): DataFrame = TextFunctions.fingerprints(Tables.documents(s, d))
 
   def tx5(s: SparkSession, d: String): DataFrame = TextFunctions.bpeTokenStats(Tables.documents(s, d))
+  def tx6(s: SparkSession, d: String): DataFrame = TextFunctions.vocabTopK(Tables.documents(s, d), 100)
 
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
   def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtractFlat(Tables.documents(s, d))
@@ -146,6 +147,7 @@ object PipelineQueries {
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),
     ("tx4_fingerprint", tx4 _, null),
     ("tx5_bpe_tokens", tx5 _, TextFunctions.bpeTokenStatsSql),
+    ("tx6_vocab", tx6 _, TextFunctions.vocabTopKSql(100)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
   )

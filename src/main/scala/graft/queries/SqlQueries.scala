@@ -83,10 +83,30 @@ object SqlQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q26: per-(lang, source) stats over the JSON-ingested documents
+    * table; oracle reads the parquet original, so the JSON string
+    * escaping round-trip must be value-exact. */
+  def q26(s: SparkSession, d: String): DataFrame =
+    CsvIngest.documentsJson(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+      .orderBy(col("lang"), col("source"))
+
+  val q26Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   /** (name, spark-fn, oracle-sql) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q23_csv_ingest", q23 _, q23Sql),
     ("q24_sql_revenue", q24 _, q24Sql),
     ("q25_sql_segment_orders", q25 _, q25Sql),
+    ("q26_json_ingest", q26 _, q26Sql),
   )
 }

@@ -46,4 +46,25 @@ object CsvIngest {
       Tables.customer(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
     csv(spark, out, customerSchema)
   }
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Generic JSON-lines reader — explicit schema for the same reasons
+    * as CSV (inference = extra scan; FAILFAST = loud corruption). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("mode", "FAILFAST").schema(schema).json(path)
+
+  /** The documents table via the JSON-lines path (parquet → JSONL →
+    * read back): free-text fields exercise JSON string escaping. */
+  def documentsJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${Integer.toHexString(dir.hashCode)}/documents"
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      Tables.documents(spark, dir).write.mode("overwrite").json(out)
+    jsonLines(spark, out, documentsSchema)
+  }
 }

@@ -41,6 +41,16 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Exactly-once event ingestion: drop duplicate event_ids arriving
+    * within the watermark window (at-least-once sources — Kafka
+    * redelivery, retried log shippers — make this the standard first
+    * stage of an ingestion pipeline). State is one entry per event_id
+    * seen inside the delay window and the watermark evicts it, so
+    * state size is rate×delay-bounded, independent of stream
+    * lifetime. */
+  def dedupedEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState: mirrors CoreQueries.q21Sessionize batch
     * semantics. Emits the running per-user session/event counters. */

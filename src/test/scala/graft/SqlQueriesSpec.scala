@@ -27,6 +27,17 @@ class SqlQueriesSpec extends SparkTestBase {
     assert(df.count() === Tables.customer(spark, Sf0001).count())
   }
 
+  test("q26 JSON round-trip: JSONL-sourced aggregate equals the parquet answer") {
+    val fromJson = SqlQueries.q26(spark, Sf0001).collect()
+    val fromParquet = Tables.documents(spark, Sf0001)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+      .orderBy(col("lang"), col("source")).collect()
+    assert(fromJson.toSeq === fromParquet.toSeq)
+    assert(fromJson.nonEmpty)
+  }
+
   test("q24 SQL text equals the DataFrame-API computation") {
     val viaSql = SqlQueries.q24(spark, Sf0001).collect()
     val viaApi = Tables.lineitem(spark, Sf0001)

@@ -77,6 +77,24 @@ class StreamingSpec extends SparkTestBase {
       ClosedSession(2L, ts(40).getTime, ts(40).getTime, 1L)))
   }
 
+  test("streaming dedup drops redelivered event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(source.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(Event(1, ts(1000), 1, "a", 0), Event(2, ts(1001), 1, "a", 0),
+        Event(1, ts(1000), 1, "a", 0)) // intra-batch redelivery
+      q.processAllAvailable()
+      source.addData(Event(2, ts(1002), 1, "a", 0), // cross-batch redelivery
+        Event(3, ts(1003), 1, "a", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("event-time timeout closes the open tail and evicts its state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -53,6 +53,18 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r.getLong(3) === 7L) // all distinct here
   }
 
+  test("tx6 vocab top-k: hand-counted frequencies, deterministic tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a c d"),
+    ).toDF("doc_id", "text")
+    // freqs: b=3, a=3, c=2, d=1 → order: (a,3),(b,3),(c,2) at k=3
+    val out = TextFunctions.vocabTopK(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("tx4 WinnowMinima is bit-identical to the nested-HOF reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{call_function, col, lit, lower}
