@@ -20,6 +20,9 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache() // operator-internal caches must not tax later queries
+      // localCheckpoint RDDs (iterative ops) bypass the catalog cache;
+      // free them too or repeated runs degrade under memory pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -22,6 +22,8 @@ object BenchOne {
     args.drop(1).foreach { name =>
       val times = (1 to repeat).map { _ =>
         spark.catalog.clearCache()
+        // localCheckpoint RDDs bypass the catalog cache; free them too
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

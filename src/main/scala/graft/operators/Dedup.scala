@@ -322,8 +322,12 @@ object Dedup {
     * the standard fix is alternating large-star/small-star rounds
     * (halves diameter per round); not needed for dedup graphs. */
   def dupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // checkpoint the pair plan ONCE: the symmetric union would
+    // otherwise evaluate the (expensive) candidate-join plan twice,
+    // and every round would re-plan its whole lineage
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = docs.select(col("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
@@ -336,9 +340,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val relaxed = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jumping (path halving): comp ← comp(comp). Labels are
+      // doc_ids, so comp resolves against the label table itself; this
+      // collapses label chains exponentially — O(log diameter) rounds
+      // instead of O(diameter) on chain-shaped components.
+      val parentComp = relaxed.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
+      val next = relaxed.withColumnRenamed("comp", "c1")
+        .join(parentComp, col("c1") === col("p_id"), "left")
+        .select(col("doc_id"), least(col("c1"), coalesce(col("p_comp"), col("c1"))).as("comp"))
         .localCheckpoint(true)
       changed = next.join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
         .filter(col("comp") =!= col("old")).count()
