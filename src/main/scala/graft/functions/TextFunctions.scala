@@ -198,6 +198,33 @@ object TextFunctions {
       | GROUP BY token)
       |ORDER BY freq DESC, token LIMIT $k""".stripMargin
 
+  /** tx7: canonical text normalization — the first stage of any text
+    * pipeline, so downstream hashing/dedup sees one encoding per
+    * logical string. Order is pinned in BOTH engines: lowercase →
+    * Unicode NFC (native graft_nfc expression; Spark has no built-in)
+    * → collapse ASCII whitespace/control runs to one space → trim.
+    * Pure map-side, whole-stage codegen (graft_nfc is a static
+    * invoke). */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    val norm = trim(regexp_replace(
+      call_function("graft_nfc", lower(col("text"))),
+      "[\\s\\x00-\\x1f\\x7f]+", " "))
+    docs.select(col("doc_id"), norm.as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Identical op chain in DuckDB (regexp class [\s\x00-\x1f\x7f]
+    * means the same ASCII set in Java regex and RE2). */
+  val normalizeTextSql: String =
+    """SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+      |FROM (
+      | SELECT doc_id,
+      |  trim(regexp_replace(nfc_normalize(lower(text)), '[\s\x00-\x1f\x7f]+', ' ', 'g')) AS norm_text
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

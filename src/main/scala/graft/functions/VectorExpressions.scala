@@ -133,6 +133,8 @@ object VectorFunctions {
           exprs => TopKScoreId(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
         reg.createOrReplaceTempFunction("graft_simhash64",
           exprs => SimHash64(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_nfc",
+          exprs => NormalizeNfc(exprs(0)), "scala_udf")
         reg.createOrReplaceTempFunction("graft_winnow",
           exprs => WinnowMinima(exprs(0),
             exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -502,6 +502,63 @@ object CoreQueries {
       |ORDER BY c.event_id""".stripMargin
 
   /** (spark-fn, oracle-sql) registry for SparkEntry. */
+  // ---------------------------------------------------------------- q27
+  /** Funnel: purchases within 24 hours of a user's FIRST click. The
+    * anchor aggregate (min click ts per user) is dimension-sized, so
+    * AQE broadcasts it against the events scan; ts arithmetic stays
+    * exact INT64 nanos. */
+  def q27Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    ev.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("ts") > col("t0") &&
+        col("ts") - col("t0") <= lit(24L * 3600L * 1000L * 1000L * 1000L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases_24h"), dsum(col("value")).as("purchase_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q27Sql: String =
+    """SELECT e.user_id, COUNT(*) AS n_purchases_24h,
+      | CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+      |FROM events e
+      |JOIN (SELECT user_id, MIN(ts) AS t0 FROM events
+      |      WHERE event_type = 'click' GROUP BY user_id) f
+      |  ON e.user_id = f.user_id
+      |WHERE e.event_type = 'purchase'
+      |  AND e.ts > f.t0 AND e.ts <= f.t0 + INTERVAL 24 HOUR
+      |GROUP BY e.user_id
+      |ORDER BY e.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Semi-structured props: extract the JSON field k from the event
+    * payload and aggregate it per event type. get_json_object is
+    * codegen'd path extraction — no parse-to-struct materialization,
+    * no UDF. */
+  def q28JsonProps(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q28Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(k) AS BIGINT) AS sum_k,
+      | MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (
+      | SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      | FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -525,5 +582,7 @@ object CoreQueries {
     ("q20_date_agg", q20DateAgg _, q20Sql),
     ("q21_sessionize", q21Sessionize _, q21Sql),
     ("q22_asof_join", q22AsofJoin _, q22Sql),
+    ("q27_funnel", q27Funnel _, q27Sql),
+    ("q28_json_props", q28JsonProps _, q28Sql),
   )
 }

@@ -127,6 +127,7 @@ object PipelineQueries {
 
   def tx5(s: SparkSession, d: String): DataFrame = TextFunctions.bpeTokenStats(Tables.documents(s, d))
   def tx6(s: SparkSession, d: String): DataFrame = TextFunctions.vocabTopK(Tables.documents(s, d), 100)
+  def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
 
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
   def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtractFlat(Tables.documents(s, d))
@@ -148,6 +149,7 @@ object PipelineQueries {
     ("tx4_fingerprint", tx4 _, null),
     ("tx5_bpe_tokens", tx5 _, TextFunctions.bpeTokenStatsSql),
     ("tx6_vocab", tx6 _, TextFunctions.vocabTopKSql(100)),
+    ("tx7_normalize", tx7 _, TextFunctions.normalizeTextSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
   )

@@ -56,4 +56,27 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
   }
+
+  test("q27 funnel: purchases strictly inside (t0, t0+24h] of first click") {
+    import org.apache.spark.sql.functions.{col, min}
+    val rows = CoreQueries.q27Funnel(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // cross-check one user against raw events
+    val u = rows.head.getLong(0)
+    val ev = Tables.events(spark, Sf0001).filter(col("user_id") === u)
+    val t0 = ev.filter(col("event_type") === "click").agg(min("ts")).collect().head.getLong(0)
+    val n = ev.filter(col("event_type") === "purchase")
+      .collect().map(_.getAs[Long]("ts"))
+      .count(t => t > t0 && t - t0 <= 24L * 3600L * 1000L * 1000L * 1000L)
+    assert(rows.head.getLong(1) === n.toLong)
+  }
+
+  test("q28 json props: k extraction covers every event") {
+    val rows = CoreQueries.q28JsonProps(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, Sf0001).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) <= 99L) // props k ∈ [0, 99]
+      assert(r.getLong(2) >= r.getLong(1) * r.getLong(3))
+    }
+  }
 }
