@@ -75,6 +75,44 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  val FrameBytes = 256
+  val FrameStride = 4
+
+  /** mm3: frame sampling over a media blob — every `FrameStride`-th
+    * fixed-size frame, the batch shape a video/audio pipeline feeds to
+    * a decoder. One explode of a sequence per doc (no shuffle); frame
+    * boundaries are pure arithmetic on n_bytes, so the sampling plan is
+    * oracle-checkable even though no codec exists in this container.
+    * Byte-level frame content (md5 per frame) is spec-gated —
+    * MultimodalSpec checks it against a JVM reference. */
+  def frameSample(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"), expr("octet_length(blob)").cast("long").as("n_bytes"), col("blob"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), (n_bytes - 1) div $FrameBytes, $FrameStride)")).as("frame_idx"),
+        col("blob"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * FrameBytes).as("off"),
+        least(lit(FrameBytes.toLong), col("n_bytes") - col("frame_idx") * FrameBytes).as("flen"),
+        md5(expr(s"substring(blob, frame_idx * $FrameBytes + 1, $FrameBytes)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Driver-facing mm3: metadata only (frame_md5 needs byte-level blob
+    * slicing the oracle engine lacks; the spec gates it instead). */
+  def frameSampleMeta(docs: DataFrame): DataFrame =
+    frameSample(docs).drop("frame_md5")
+
+  val frameSampleMetaSql: String =
+    s"""SELECT doc_id, frame_idx, frame_idx * $FrameBytes AS off,
+      | LEAST($FrameBytes, n_bytes - frame_idx * $FrameBytes) AS flen
+      |FROM (
+      | SELECT doc_id, n_bytes,
+      |  unnest(generate_series(0, (n_bytes - 1) // $FrameBytes, $FrameStride)) AS frame_idx
+      | FROM (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents))
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** mm2 driver-facing variant: same extraction, but the feature vector
     * is flattened to scalar columns f0…f7 (plus a canonical string) so
     * the result is sortable/hashable by generic tooling — an

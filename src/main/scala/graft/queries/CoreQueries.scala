@@ -559,6 +559,24 @@ object CoreQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Approximate count-distinct (HyperLogLog++): the cardinality
+    * estimator a 100 TB pipeline uses where exact count-distinct
+    * would shuffle every distinct value — the sketch is a fixed-size
+    * buffer per group, merged map-side like any partial aggregate.
+    * Sketch estimates are engine-specific, so the gate is the spec
+    * (≤ 5% relative error vs exact on the driver corpus), not a
+    * cross-engine hash. */
+  def q29ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -584,5 +602,6 @@ object CoreQueries {
     ("q22_asof_join", q22AsofJoin _, q22Sql),
     ("q27_funnel", q27Funnel _, q27Sql),
     ("q28_json_props", q28JsonProps _, q28Sql),
+    ("q29_approx_distinct", q29ApproxDistinct _, null),
   )
 }

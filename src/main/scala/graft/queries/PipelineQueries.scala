@@ -130,6 +130,7 @@ object PipelineQueries {
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
 
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
+  def mm3(s: SparkSession, d: String): DataFrame = Multimodal.frameSampleMeta(Tables.documents(s, d))
   def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtractFlat(Tables.documents(s, d))
 
   /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
@@ -152,5 +153,6 @@ object PipelineQueries {
     ("tx7_normalize", tx7 _, TextFunctions.normalizeTextSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
+    ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
   )
 }

@@ -71,6 +71,22 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(rows.head.getLong(1) === n.toLong)
   }
 
+  test("q29 approx distinct within 5% of exact") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val approx = CoreQueries.q29ApproxDistinct(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (p, s)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p).toDouble / p <= 0.05, s"$k parts: $ap vs $p")
+      assert(math.abs(as_ - s).toDouble / s <= 0.05, s"$k supps: $as_ vs $s")
+    }
+  }
+
   test("q28 json props: k extraction covers every event") {
     val rows = CoreQueries.q28JsonProps(spark, Sf0001).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.events(spark, Sf0001).count())

@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.getSeq[Float](3)).toSeq === again.map(_.getSeq[Float](3)).toSeq)
   }
 
+  test("mm3 frame sampling: boundaries and per-frame md5 match a JVM reference") {
+    val out = Multimodal.frameSample(docs).collect()
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, idx, off, flen) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(idx % Multimodal.FrameStride === 0)
+      assert(off === idx * Multimodal.FrameBytes)
+      assert(flen === math.min(Multimodal.FrameBytes.toLong, bytes.length - off))
+      val frame = bytes.slice(off.toInt, math.min(off + Multimodal.FrameBytes, bytes.length).toInt)
+      val md5 = MessageDigest.getInstance("MD5").digest(frame).map("%02x".format(_)).mkString
+      assert(r.getString(4) === md5)
+    }
+    // every doc contributes its frame 0
+    assert(out.count(_.getLong(1) == 0L) === docs.count())
+  }
+
   test("mm2 flat variant: scalar f0…f7 equal the array elements, no array column") {
     val arr = Multimodal.featureExtract(docs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
