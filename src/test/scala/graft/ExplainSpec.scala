@@ -91,6 +91,22 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"rank window would shuffle every scored row:\n$p")
   }
 
+  test("q27 funnel: anchor aggregate broadcasts against the events scan") {
+    val df = CoreQueries.q27Funnel(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm3 frame sampling plans with zero shuffles (map-side explode)") {
+    val f = formatted(graft.operators.Multimodal.frameSampleMeta(Tables.documents(spark, Sf0001)))
+    // the only Exchange allowed is the final output ordering's sort
+    val body = f.split("== Physical Plan ==")(1)
+    assert(body.linesIterator.count(_.contains("Exchange")) <= 2, f) // orderBy range partitioning only
+    assert(!body.contains("HashAggregate"), f)
+  }
+
   test("native cosine expression participates in codegen (no UDF)") {
     val emb = Tables.embeddings(spark, Sf0001)
     val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
