@@ -225,6 +225,50 @@ object TextFunctions {
       | FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** tx8: repetition scoring — the boilerplate/spam signal a training
+    * pipeline filters on (a doc whose single most frequent token
+    * dominates is template junk). The top-token frequency is computed
+    * WITHOUT a shuffle: sort the token array per row, then the longest
+    * run of equal adjacent elements IS the max frequency — one
+    * aggregate() HOF pass over the sorted array, O(n log n) per row,
+    * map-side only. (The explode→groupBy(doc,token)→max formulation
+    * shuffles one row per token occurrence — pointless for a per-row
+    * statistic.) Ratio divides two exact ints → bit-deterministic. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = expr(tokensExpr)
+    val runBest = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        runBest.as("top_freq"))
+      .withColumn("repetition_ratio",
+        when(col("n_tokens") > 0, col("top_freq").cast("double") / col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle states the semantics directly: per-token counts via list
+    * comprehension (quadratic per row is fine at oracle SF). */
+  val repetitionStatsSql: String =
+    """SELECT doc_id, n_tokens, n_distinct, top_freq,
+      | CASE WHEN n_tokens > 0 THEN CAST(top_freq AS DOUBLE) / n_tokens END AS repetition_ratio
+      |FROM (
+      | SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(coalesce(list_max(list_transform(list_distinct(toks),
+      |        t -> len(list_filter(toks, x -> x = t)))), 0) AS BIGINT) AS top_freq
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |       FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

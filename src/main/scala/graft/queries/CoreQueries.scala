@@ -577,6 +577,97 @@ object CoreQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Band (non-equi) join: per-part neighbor stats over parts whose
+    * retail price lies within ±1.0. Bucketized so it's an EQUI-join:
+    * bucket width = band width, so a row's band partners can only sit
+    * in its own or adjacent price buckets — each probe row explodes to
+    * exactly 3 bucket keys and the join shuffles hash-partitioned on
+    * bucket. The naive formulation (`abs(a.price-b.price) <= band` with
+    * no equi key) plans as a BroadcastNestedLoopJoin — O(n·m) row
+    * comparisons, the classic 100 TB scale-killer; here comparisons are
+    * confined to genuine near-misses. Dense price regions skew some
+    * buckets; AQE's skew-join splitter handles that at runtime. */
+  def q30BandJoin(s: SparkSession, d: String): DataFrame = {
+    val band = 1.0
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))
+    val probe = p.select(
+      col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"),
+      explode(array(
+        floor(col("p_retailprice") / band) - 1,
+        floor(col("p_retailprice") / band),
+        floor(col("p_retailprice") / band) + 1)).as("bucket"))
+    val build = p.select(
+      col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"),
+      floor(col("p_retailprice") / band).as("bucket"))
+    probe.join(build, "bucket")
+      .filter(col("a_key") =!= col("b_key") &&
+        abs(col("a_price") - col("b_price")) <= band)
+      .groupBy(col("a_key").as("p_partkey"))
+      .agg(count(lit(1)).as("n_band_neighbors"),
+        dsum(col("b_price")).as("sum_neighbor_price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Oracle states the semantics directly (quadratic is fine at oracle SF). */
+  val q30Sql: String =
+    """SELECT a.p_partkey, COUNT(*) AS n_band_neighbors,
+      | CAST(SUM(CAST(b.p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_neighbor_price
+      |FROM part a JOIN part b
+      | ON a.p_partkey <> b.p_partkey
+      | AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
+      |GROUP BY a.p_partkey
+      |ORDER BY a.p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** CUBE over (returnflag, linestatus): all four grouping levels in
+    * one pass. Spark expands the cube BEFORE the partial aggregate, so
+    * the shuffle still carries only (group-count × 4) partial rows —
+    * no extra scan per level. Labels use COALESCE('ALL') rather than
+    * grouping_id() so the oracle doesn't depend on cross-engine bitmask
+    * conventions (the data columns are never NULL in this schema). */
+  def q31Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+
+  val q31Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      | COALESCE(l_linestatus, 'ALL') AS status,
+      | COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Deterministic hash sampling: keep a row iff the first hex byte of
+    * md5(key) < 0x20 (a 12.5% sample). Unlike rand()-based sampling
+    * this is reproducible across runs, engines, partitionings and
+    * retries — the property an eval-holdout split needs — and it's a
+    * pure map-side filter evaluated inside the scan stage, so the
+    * aggregate only sees the sampled 12.5%. */
+  def q32HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "20")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum(col("o_totalprice")).as("sum_sampled_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val q32Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_sampled,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_sampled_price
+      |FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -603,5 +694,8 @@ object CoreQueries {
     ("q27_funnel", q27Funnel _, q27Sql),
     ("q28_json_props", q28JsonProps _, q28Sql),
     ("q29_approx_distinct", q29ApproxDistinct _, null),
+    ("q30_band_join", q30BandJoin _, q30Sql),
+    ("q31_cube", q31Cube _, q31Sql),
+    ("q32_hash_sample", q32HashSample _, q32Sql),
   )
 }

@@ -128,6 +128,7 @@ object PipelineQueries {
   def tx5(s: SparkSession, d: String): DataFrame = TextFunctions.bpeTokenStats(Tables.documents(s, d))
   def tx6(s: SparkSession, d: String): DataFrame = TextFunctions.vocabTopK(Tables.documents(s, d), 100)
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
+  def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
   def mm3(s: SparkSession, d: String): DataFrame = Multimodal.frameSampleMeta(Tables.documents(s, d))
@@ -151,6 +152,7 @@ object PipelineQueries {
     ("tx5_bpe_tokens", tx5 _, TextFunctions.bpeTokenStatsSql),
     ("tx6_vocab", tx6 _, TextFunctions.vocabTopKSql(100)),
     ("tx7_normalize", tx7 _, TextFunctions.normalizeTextSql),
+    ("tx8_repetition", tx8 _, TextFunctions.repetitionStatsSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

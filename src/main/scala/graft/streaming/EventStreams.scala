@@ -51,6 +51,33 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the clicks
+    * it follows within `horizonHours`, per user. BOTH sides carry a
+    * watermark and the join condition bounds purchase_ts relative to
+    * click_ts, so Spark derives a state-eviction horizon for each
+    * side — buffered clicks older than watermark−horizon and buffered
+    * purchases older than watermark are dropped from the join state.
+    * Without the time bound the state would grow with the full history
+    * of both streams; with it, state is O(rate × (horizon + delay)),
+    * stream-lifetime-independent — the only viable shape at 100 TB.
+    * Shuffles hash-partitioned on user_id like any equi-join. */
+  def purchaseAttribution(events: DataFrame, horizonHours: Int = 1,
+      delay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+        expr(s"""c_user = p_user AND purchase_ts >= click_ts
+                 AND purchase_ts <= click_ts + interval $horizonHours hour"""))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState: mirrors CoreQueries.q21Sessionize batch
     * semantics. Emits the running per-user session/event counters. */

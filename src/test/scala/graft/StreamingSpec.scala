@@ -126,6 +126,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Set(ClosedSession(1L, ts(1000).getTime, ts(1010).getTime, 2L)))
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.purchaseAttribution(source.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(
+        Event(1, ts(1000), 1, "click", 0),
+        Event(2, ts(1030), 1, "purchase", 9.5), // 30 min after click → match
+        Event(3, ts(1070), 1, "purchase", 2.0), // 70 min > 1h horizon → no match
+        Event(4, ts(1030), 2, "purchase", 5.0)) // user 2 never clicked
+      q.processAllAvailable()
+      source.addData(Event(5, ts(1040), 1, "purchase", 1.0)) // cross-batch match
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    assert(got === Set((1L, 1L, 2L, 9.5), (1L, 1L, 5L, 1.0)))
+  }
+
   test("stateful sessionization matches batch gap semantics across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
