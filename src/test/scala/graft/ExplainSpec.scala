@@ -107,6 +107,21 @@ class ExplainSpec extends SparkTestBase {
     assert(!body.contains("HashAggregate"), f)
   }
 
+  test("q30 band join stays an equi-join on bucket, never a nested loop") {
+    val p = plan(CoreQueries.q30BandJoin(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx8 repetition is map-side: no shuffle before the output sort") {
+    val f = formatted(graft.functions.TextFunctions.repetitionStats(Tables.documents(spark, Sf0001)))
+    val body = f.split("== Physical Plan ==")(1)
+    // the only Exchange allowed is the final orderBy's range partitioning
+    // (formatted mode prints each operator twice: tree line + detail)
+    assert(body.linesIterator.count(_.contains("Exchange")) <= 2, f)
+    assert(!body.contains("HashAggregate"), f) // aggregate() is the HOF, not an agg operator
+  }
+
   test("native cosine expression participates in codegen (no UDF)") {
     val emb = Tables.embeddings(spark, Sf0001)
     val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
