@@ -668,6 +668,116 @@ object CoreQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Full outer join: 1996 vs 1997 purchaser profiles — customers
+    * active in either year, with zero-filled counts on the missing
+    * side. Both inputs are partial-agg'd per customer BEFORE the join,
+    * so the outer join matches two already-small aggregates instead of
+    * raw fact rows (at 100 TB the groupBy-then-join order is the
+    * difference between joining billions of order rows and joining
+    * one row per customer). */
+  def q33OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def yearly(y: Int, n: String, v: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(n), dsum(col("o_totalprice")).as(v))
+    yearly(1996, "n_1996", "spend_1996")
+      .join(yearly(1997, "n_1997", "spend_1997"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        coalesce(col("spend_1996"), lit(0.0)).as("spend_1996"),
+        coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+        coalesce(col("spend_1997"), lit(0.0)).as("spend_1997"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q33Sql: String =
+    """SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      | COALESCE(a.n_1996, 0) AS n_1996,
+      | COALESCE(a.spend_1996, 0.0) AS spend_1996,
+      | COALESCE(b.n_1997, 0) AS n_1997,
+      | COALESCE(b.spend_1997, 0.0) AS spend_1997
+      |FROM
+      | (SELECT o_custkey, COUNT(*) AS n_1996,
+      |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend_1996
+      |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) a
+      |FULL OUTER JOIN
+      | (SELECT o_custkey, COUNT(*) AS n_1997,
+      |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend_1997
+      |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) b
+      |ON a.o_custkey = b.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Unpivot (melt): wide per-flag aggregates → long (flag, measure,
+    * value) triples. Dataset.unpivot is a zero-shuffle row expansion
+    * of the (tiny) aggregate output — the shuffle happened once in the
+    * groupBy; melting wide metric tables into EAV form for storage or
+    * charting is a pure map on top. */
+  def q34Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q34Sql: String =
+    """WITH wide AS (
+      | SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      | SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+      | UNION ALL
+      | SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      | UNION ALL
+      | SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Time-RANGE window frame: 7-day trailing average of a customer's
+    * daily spend — the frame is bounded by event-TIME distance, not row
+    * count (q08's frame is row-based). Spark's rangeBetween needs a
+    * numeric ordering key, so the frame orders by epoch seconds; state
+    * per window is one running frame per customer partition, bounded by
+    * the 7-day span regardless of history length. */
+  def q35MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("day_spend"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-6L * 86400L, 0L)
+    daily
+      .withColumn("epoch_s", col("day").cast("timestamp").cast("long"))
+      .withColumn("avg_7d",
+        (sum(col("day_spend").cast(DecimalType(18, 6))).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .select(col("o_custkey"), col("day").cast("timestamp_ntz").as("day"),
+        col("day_spend"), col("avg_7d"))
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
+  val q35Sql: String =
+    """WITH daily AS (
+      | SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS day_spend
+      | FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE))
+      |SELECT o_custkey, CAST(day AS TIMESTAMP) AS day, day_spend,
+      | CAST(SUM(CAST(day_spend AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |   / COUNT(*) OVER w AS avg_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -697,5 +807,8 @@ object CoreQueries {
     ("q30_band_join", q30BandJoin _, q30Sql),
     ("q31_cube", q31Cube _, q31Sql),
     ("q32_hash_sample", q32HashSample _, q32Sql),
+    ("q33_outer_join", q33OuterJoin _, q33Sql),
+    ("q34_unpivot", q34Unpivot _, q34Sql),
+    ("q35_moving_avg", q35MovingAvg _, q35Sql),
   )
 }
