@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions
 
@@ -211,4 +212,27 @@ object Similarity {
         call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** Per-label mean embedding (class centroids), emitted in long form
+    * (label, pos, n_vecs, centroid) so the result is flat scalar
+    * columns — driver-hashable and directly joinable back onto vector
+    * rows for e.g. distance-to-centroid outlier scoring.
+    *
+    * Scale: posexplode multiplies rows ×dim, but the groupBy's partial
+    * (map-side) aggregation collapses each input partition to at most
+    * |labels|×dim rows BEFORE the exchange, so shuffle volume is
+    * partitions×labels×dim — independent of corpus size. Sums
+    * accumulate in DECIMAL(18,6), which is exact and
+    * addition-order-independent, so the result is bit-deterministic
+    * under Spark's nondeterministic partition merge order (the same
+    * trick every dsum oracle query uses). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("centroid"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n_vecs"), col("centroid"))
+      .orderBy(col("label"), col("pos"))
 }

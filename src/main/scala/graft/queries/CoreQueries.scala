@@ -778,6 +778,55 @@ object CoreQueries {
       |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, day""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Latest record per key (CDC / upsert compaction): each user's most
+    * recent event. Deliberately a groupBy + max_by(struct) rather than
+    * a row_number window: the aggregate partial-combines map-side, so
+    * each input partition ships at most one candidate row per user to
+    * the shuffle — a window would shuffle and SORT every raw event.
+    * (ts, event_id) is a unique ordering key, so "latest" is
+    * well-defined and both engines agree. ts stays exact INT64 nanos
+    * through the aggregate; converted for output. */
+  def q36LatestEvent(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        timestamp_micros(expr("last.ts div 1000")).cast("timestamp_ntz").as("ts"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+      .orderBy(col("user_id"))
+
+  val q36Sql: String =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      | SELECT user_id, ts, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |                     ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Mergeable quantile sketch per group: p50/p90/p99 of event value
+    * via percentile_approx (Greenwald-Khanna). Like q29's HLL, the
+    * sketch is the 100 TB path — partials merge associatively so the
+    * shuffle carries one bounded sketch per (partition, group) instead
+    * of the raw values an exact percentile must sort. Sketch internals
+    * are engine-specific → no SQL oracle; ApproxSpec gates rank error
+    * against the exact quantiles at fixed accuracy. */
+  def q37ApproxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(2500)).as("qs"))
+      .select(col("event_type"), col("n_events"),
+        col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+      .orderBy(col("event_type"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -810,5 +859,7 @@ object CoreQueries {
     ("q33_outer_join", q33OuterJoin _, q33Sql),
     ("q34_unpivot", q34Unpivot _, q34Sql),
     ("q35_moving_avg", q35MovingAvg _, q35Sql),
+    ("q36_latest_event", q36LatestEvent _, q36Sql),
+    ("q37_approx_quantile", q37ApproxQuantile _, null),
   )
 }

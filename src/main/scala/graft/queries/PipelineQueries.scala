@@ -120,6 +120,23 @@ object PipelineQueries {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
   }
 
+  def ss4(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, d))
+
+  /** Long-form per-label centroids; generate_subscripts aligns with
+    * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
+    * DECIMAL accumulation mirrors the Spark plan exactly. */
+  val ss4Sql: String =
+    """SELECT label, CAST(gs - 1 AS BIGINT) AS pos, COUNT(*) AS n_vecs,
+      | CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |   / COUNT(*) AS centroid
+      |FROM (
+      | SELECT label, unnest(embedding) AS v,
+      |  generate_subscripts(embedding, 1) AS gs
+      | FROM embeddings)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
   def tx1(s: SparkSession, d: String): DataFrame = TextFunctions.tokenStats(Tables.documents(s, d))
   def tx2(s: SparkSession, d: String): DataFrame = TextFunctions.qualityScore(Tables.documents(s, d))
   def tx3(s: SparkSession, d: String): DataFrame = TextFunctions.languageId(Tables.documents(s, d))
@@ -145,6 +162,7 @@ object PipelineQueries {
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
+    ("ss4_label_centroids", ss4 _, ss4Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

@@ -87,6 +87,34 @@ class CoreQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q36 latest event agrees with a window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val got = CoreQueries.q36LatestEvent(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ref = Tables.events(spark, Sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(got === ref)
+  }
+
+  test("q37 approx quantiles have bounded rank error vs exact") {
+    import org.apache.spark.sql.functions.col
+    val approx = CoreQueries.q37ApproxQuantile(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val raw = Tables.events(spark, Sf0001).select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet === raw.keySet)
+    for ((k, sorted) <- raw; (q, v) <- Seq(0.5, 0.9, 0.99).zip(approx(k))) {
+      val rank = sorted.count(_ <= v).toDouble / sorted.length
+      assert(math.abs(rank - q) <= 0.05 + 1.0 / sorted.length,
+        s"$k q=$q: value $v has rank $rank")
+    }
+  }
+
   test("q28 json props: k extraction covers every event") {
     val rows = CoreQueries.q28JsonProps(spark, Sf0001).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.events(spark, Sf0001).count())

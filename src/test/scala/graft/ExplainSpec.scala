@@ -122,6 +122,19 @@ class ExplainSpec extends SparkTestBase {
     assert(!body.contains("HashAggregate"), f) // aggregate() is the HOF, not an agg operator
   }
 
+  test("q36 latest-event compacts via partial aggregate, not a window sort") {
+    val p = plan(CoreQueries.q36LatestEvent(spark, Sf0001))
+    assert(!p.contains("Window"), s"window would shuffle+sort every raw event:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial"),
+      s"no map-side combine before the shuffle:\n$p")
+  }
+
+  test("ss4 centroids partial-agg the exploded rows before the exchange") {
+    val p = plan(Similarity.labelCentroids(Tables.embeddings(spark, Sf0001)))
+    assert(p.contains("partial"), s"no map-side combine after posexplode:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native cosine expression participates in codegen (no UDF)") {
     val emb = Tables.embeddings(spark, Sf0001)
     val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)

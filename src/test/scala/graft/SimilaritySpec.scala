@@ -73,6 +73,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"IVF recall $recall collapsed — probe/centroid logic broken")
   }
 
+  test("ss4 centroids: planted vectors give exact per-position means") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      (0, 0L) -> (2L, 2.0), (0, 1L) -> (2L, 3.0),
+      (1, 0L) -> (1L, 10.0), (1, 1L) -> (1L, 20.0)))
+  }
+
   test("ss2 recall vs ss1 on the driver corpus is reasonable") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
