@@ -269,6 +269,93 @@ object TextFunctions {
       |       FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // PII patterns restricted to the regex subset Java and RE2 interpret
+  // identically (no backrefs, no lookaround) so the DuckDB oracle runs
+  // the very same patterns.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat  = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhonePat = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+  /** tx9: PII redaction — scrub emails, IPv4s, and phone-like digit
+    * runs before text reaches a training set, with per-document match
+    * counts (from the ORIGINAL text) so the redaction is auditable.
+    * Replacement order is pinned email → ip → phone in both engines
+    * (emails eat their domain digits first; dots exclude IPs from the
+    * phone class). Pure map-side regexp chain: no shuffle, scales as a
+    * column scan. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+            lit(Ipv4Pat), lit("<IP>")),
+          lit(PhonePat), lit("<PHONE>")).as("clean_text"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  val redactPiiSql: String =
+    """SELECT doc_id,
+      | regexp_replace(regexp_replace(regexp_replace(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |   '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+      | CAST(len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** tx10: the end-to-end cleaning pipeline a corpus actually runs —
+    * normalize (tx7 chain) → token/stopword gate → exact dedup on the
+    * NORMALIZED text (so case/whitespace variants collapse) — fused
+    * into ONE scan + ONE shuffle: every per-document feature is
+    * computed map-side from `norm_text`, and the only exchange is the
+    * dedup groupBy. At 100 TB the group key would be
+    * xxhash64(norm_text) to keep shuffle rows narrow (dd1's scaladoc
+    * discusses the collision math); the text key keeps the oracle
+    * comparison byte-exact here. */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 10, minStopRatio: Double = 0.05): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    val norm = trim(regexp_replace(
+      call_function("graft_nfc", lower(col("text"))),
+      "[\\s\\x00-\\x1f\\x7f]+", " "))
+    val toks = "regexp_extract_all(norm_text, '[a-z0-9]+', 0)"
+    docs.select(col("doc_id"), norm.as("norm_text"))
+      .withColumn("n_tokens", size(expr(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter($toks, t -> t IN ($stopListSql))")).cast("long"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_stop").cast("double") / col("n_tokens") >= minStopRatio)
+      .groupBy(col("norm_text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_copies"), col("n_tokens"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def cleanCorpusSql(minTokens: Int, minStopRatio: Double): String =
+    s"""WITH feat AS (
+      | SELECT doc_id, norm_text,
+      |  CAST(len(regexp_extract_all(norm_text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(regexp_extract_all(norm_text, '[a-z0-9]+'),
+      |        t -> t IN ($stopListSql))) AS BIGINT) AS n_stop
+      | FROM (
+      |  SELECT doc_id,
+      |   trim(regexp_replace(nfc_normalize(lower(text)), '[\\s\\x00-\\x1f\\x7f]+', ' ', 'g')) AS norm_text
+      |  FROM documents))
+      |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+      | MIN(n_tokens) AS n_tokens,
+      | CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+      |FROM feat
+      |WHERE n_tokens >= $minTokens
+      | AND CAST(n_stop AS DOUBLE) / n_tokens >= $minStopRatio
+      |GROUP BY norm_text
+      |ORDER BY doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

@@ -143,6 +143,8 @@ object PipelineQueries {
   def tx4(s: SparkSession, d: String): DataFrame = TextFunctions.fingerprints(Tables.documents(s, d))
 
   def tx5(s: SparkSession, d: String): DataFrame = TextFunctions.bpeTokenStats(Tables.documents(s, d))
+  def tx9(s: SparkSession, d: String): DataFrame = TextFunctions.redactPii(Tables.documents(s, d))
+  def tx10(s: SparkSession, d: String): DataFrame = TextFunctions.cleanCorpus(Tables.documents(s, d))
   def tx6(s: SparkSession, d: String): DataFrame = TextFunctions.vocabTopK(Tables.documents(s, d), 100)
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
@@ -171,6 +173,8 @@ object PipelineQueries {
     ("tx6_vocab", tx6 _, TextFunctions.vocabTopKSql(100)),
     ("tx7_normalize", tx7 _, TextFunctions.normalizeTextSql),
     ("tx8_repetition", tx8 _, TextFunctions.repetitionStatsSql),
+    ("tx9_pii_redact", tx9 _, TextFunctions.redactPiiSql),
+    ("tx10_clean_corpus", tx10 _, TextFunctions.cleanCorpusSql(10, 0.05)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
