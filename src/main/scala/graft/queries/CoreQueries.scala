@@ -668,6 +668,44 @@ object CoreQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Stratified deterministic sampling: per-stratum rates on top of
+    * q32's md5 trick — rare strata kept whole, dominant ones
+    * down-sampled (how a training mix rebalances sources). The first
+    * two hex digits of md5(event_id) are uniform over [0,256); each
+    * event_type keeps rows below its own cutoff. Same reproducibility
+    * story as q32 (stable across runs/engines/retries/partitionings)
+    * and still a pure map-side filter in the scan stage — no shuffle
+    * until the audit aggregate. */
+  // cutoffs are 2-hex-digit strings compared lexicographically (q32's
+  // trick): '08' ≈ 3.1%, '20' = 12.5%, 'g0' sorts above every hex pair
+  // → keep the whole stratum.
+  private val StratRates: Seq[(String, String)] =
+    Seq("click" -> "08", "view" -> "20", "purchase" -> "g0")
+
+  def q38StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(col("event_id").cast("string")), 1, 2)
+    val cutoff = StratRates.foldRight(lit("00")) { case ((t, r), els) =>
+      when(col("event_type") === t, lit(r)).otherwise(els)
+    }
+    Tables.events(s, d)
+      .filter(bucket < cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q38Sql: String = {
+    val whens = StratRates.map { case (t, r) => s"WHEN '$t' THEN '$r'" }.mkString(" ")
+    s"""SELECT event_type, COUNT(*) AS n_sampled,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2)
+      |      < CASE event_type $whens ELSE '00' END
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q33
   /** Full outer join: 1996 vs 1997 purchaser profiles — customers
     * active in either year, with zero-filled counts on the missing
@@ -861,5 +899,6 @@ object CoreQueries {
     ("q35_moving_avg", q35MovingAvg _, q35Sql),
     ("q36_latest_event", q36LatestEvent _, q36Sql),
     ("q37_approx_quantile", q37ApproxQuantile _, null),
+    ("q38_stratified_sample", q38StratifiedSample _, q38Sql),
   )
 }
