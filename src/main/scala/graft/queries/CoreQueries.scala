@@ -706,6 +706,48 @@ object CoreQueries {
       |ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q39
+  /** The remaining window-function family in one pass: lag/lead
+    * (neighbor rows), ntile (equi-depth quartiles), first/last value
+    * (frame endpoints) over each customer's order sequence. One
+    * partitioned sort serves all five functions — Spark evaluates them
+    * in a single Window operator, so adding functions to the same
+    * (partition, order) spec is free; only a DIFFERENT spec would add
+    * another sort. Ordering key (o_orderdate, o_orderkey) is unique →
+    * deterministic output. All values are copies of input columns (no
+    * FP arithmetic) → bit-exact oracle. */
+  def q39WindowFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("spend_quartile"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q39Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      | o_totalprice,
+      | lag(o_totalprice, 1) OVER w AS prev_price,
+      | lead(o_totalprice, 1) OVER w AS next_price,
+      | CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+      | first_value(o_orderkey) OVER
+      |   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+      | last_value(o_orderkey) OVER
+      |   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q33
   /** Full outer join: 1996 vs 1997 purchaser profiles — customers
     * active in either year, with zero-filled counts on the missing
@@ -900,5 +942,6 @@ object CoreQueries {
     ("q36_latest_event", q36LatestEvent _, q36Sql),
     ("q37_approx_quantile", q37ApproxQuantile _, null),
     ("q38_stratified_sample", q38StratifiedSample _, q38Sql),
+    ("q39_window_family", q39WindowFamily _, q39Sql),
   )
 }
