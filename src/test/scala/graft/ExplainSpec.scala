@@ -135,6 +135,32 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q33 outer join matches pre-aggregated sides, not raw fact rows") {
+    val df = CoreQueries.q33OuterJoin(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // each HashAggregate pair (partial+final) must sit BELOW the outer
+    // join: the join input is one row per customer, not per order
+    val joinIdx = p.indexOf("FullOuter")
+    assert(joinIdx > 0, p)
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.substring(joinIdx).contains("HashAggregate"),
+      s"aggregates did not stay below the outer join:\n$p")
+  }
+
+  test("q38 stratified sample filters map-side before any exchange") {
+    val f = formatted(CoreQueries.q38StratifiedSample(spark, Sf0001))
+    val body = f.split("== Physical Plan ==")(1)
+    // scan → filter → partial agg → exchange → final agg → sort's
+    // exchange: exactly two Exchanges (formatted mode prints each
+    // operator twice: tree line + detail), none before the Filter
+    assert(body.linesIterator.count(_.contains("Exchange")) <= 4, f)
+    val firstEx = body.indexOf("Exchange")
+    val firstFil = body.indexOf("Filter")
+    assert(firstFil >= 0 && (firstEx < 0 || firstFil > firstEx),
+      s"filter should be upstream (printed below) of every exchange:\n$f")
+  }
+
   test("native cosine expression participates in codegen (no UDF)") {
     val emb = Tables.embeddings(spark, Sf0001)
     val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
