@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, sum => ssum, xxhash64}
+
+/** Columnar-format interop: the engine's operators are format-agnostic
+  * DataFrame plans — ORC round-trips byte-identically and keeps the
+  * same pushdown behavior as parquet (the loaders in `Tables` would
+  * point at either). */
+class FormatsSpec extends SparkTestBase {
+
+  private def contentHash(df: org.apache.spark.sql.DataFrame) =
+    df.agg(ssum(xxhash64(col("doc_id"), col("text"), col("lang")).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+
+  test("ORC round-trip preserves content and downstream query results") {
+    val base = Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.documents(spark, Sf0001)
+    docs.write.mode("overwrite").orc(s"$base/docs")
+    val orc = spark.read.orc(s"$base/docs")
+    assert(orc.count() === docs.count())
+    assert(contentHash(orc.select("doc_id", "text", "lang")) ===
+      contentHash(docs.select("doc_id", "text", "lang")))
+    // an operator over the ORC copy matches the parquet answer
+    val a = graft.functions.TextFunctions.tokenStats(docs).collect().map(_.toSeq).toSeq
+    val b = graft.functions.TextFunctions.tokenStats(orc).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("ORC scans get predicate pushdown and column pruning too") {
+    val base = Files.createTempDirectory("graft-orc-pd").toString
+    Tables.documents(spark, Sf0001).write.mode("overwrite").orc(s"$base/docs")
+    val f = spark.read.orc(s"$base/docs")
+      .filter(col("doc_id") > 100).select("doc_id", "lang")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(f.contains("PushedFilters: ["), f)
+    assert(f.contains("GreaterThan(doc_id,100"), s"doc_id filter not pushed:\n$f")
+    assert(!f.contains("text"), s"ReadSchema not pruned:\n$f")
+  }
+}
