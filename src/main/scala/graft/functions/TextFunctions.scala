@@ -64,7 +64,7 @@ object TextFunctions {
       |ORDER BY doc_id""".stripMargin
 
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "was")
-  private val stopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
+  private[graft] val stopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** tx2: quality scoring — stopword ratio, punctuation ratio, length
     * bucket, and a composite score. All ratios divide exact ints; the

@@ -748,6 +748,97 @@ object CoreQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Incremental aggregate maintenance (operators.IncrementalAgg):
+    * per-customer order stats refreshed from a "delta" partition
+    * (1997+) merged into a "base" state (pre-1997) — NO rescan of the
+    * base fact rows, just a state merge shuffling O(|customers|) rows.
+    * The oracle is a FULL recompute over all orders: the refresh must
+    * be bit-identical to it (exact DECIMAL partials make the merge
+    * lossless and order-independent). */
+  def q40IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val o = Tables.orders(s, d)
+    val keys = Seq("o_custkey")
+    val ms = Map("price" -> col("o_totalprice"))
+    val base = IncrementalAgg.partialState(
+      o.filter(year(col("o_orderdate")) < 1997), keys, ms)
+    val delta = IncrementalAgg.partialState(
+      o.filter(year(col("o_orderdate")) >= 1997), keys, ms)
+    IncrementalAgg.finalizeState(
+        IncrementalAgg.merge(keys, Seq("price"), base, delta), keys, Seq("price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Time-series gap filling: each user's daily event counts on a
+    * dense calendar spine — missing days appear with zeros. The spine
+    * is generated per user from their own [min_day, max_day] via
+    * sequence()+explode: row expansion is map-side off a one-row-per-
+    * user aggregate, so the spine costs |users|×span rows AFTER
+    * aggregation, never a cross join against a global calendar. */
+  def q41GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").as("day"),
+        col("value"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("timestamp_ntz").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_value"), lit(0.0)).as("day_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q41Sql: String =
+    """WITH daily AS (
+      | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      | FROM events GROUP BY 1, 2),
+      |spine AS (
+      | SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      | FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id))
+      |SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+      | COALESCE(d.n_events, 0) AS n_events,
+      | COALESCE(d.day_value, 0.0) AS day_value
+      |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Equi-width histogram of event values per event_type: bucket =
+    * floor(value/50). The bucket id is computed in the scan stage, so
+    * the shuffle carries one partial row per (type, bucket) per task —
+    * the classic distribution profile at full-corpus scale. */
+  def q42Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"),
+        col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("bucket_value"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  val q42Sql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q33
   /** Full outer join: 1996 vs 1997 purchaser profiles — customers
     * active in either year, with zero-filled counts on the missing
@@ -943,5 +1034,8 @@ object CoreQueries {
     ("q37_approx_quantile", q37ApproxQuantile _, null),
     ("q38_stratified_sample", q38StratifiedSample _, q38Sql),
     ("q39_window_family", q39WindowFamily _, q39Sql),
+    ("q40_incremental_agg", q40IncrementalAgg _, q40Sql),
+    ("q41_gap_fill", q41GapFill _, q41Sql),
+    ("q42_histogram", q42Histogram _, q42Sql),
   )
 }

@@ -77,6 +77,76 @@ object PipelineQueries {
       |SELECT src AS doc_id, MIN(dst) AS group_id
       |FROM rch GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** dd7: canonical document selection — the stage after grouping:
+    * per transitive near-dup group keep the BEST document by tx2's
+    * quality score (ties → lowest doc_id). Composes dd6's groups with
+    * the quality operator: one extra broadcast-sized join + one
+    * max_by groupBy on top of the propagation — the aggregate carries
+    * (group, best-doc) partials, so the shuffle is O(|groups|). */
+  def dd7(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val groups = Dedup.dupGroups(docs, Dedup.ngramJaccard(docs, 1, JaccardThreshold))
+    val quality = TextFunctions.qualityScore(docs).select(col("doc_id"), col("quality"))
+    groups.join(quality, "doc_id")
+      .groupBy(col("group_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("tie"))).as("keep_doc"),
+        count(lit(1)).as("n_members"),
+        max(col("quality")).as("best_quality"))
+      .orderBy(col("group_id"))
+  }
+
+  /** dd6's recursive-closure oracle extended with tx2's quality
+    * expression; the per-group argmax mirrors max_by's (quality,
+    * −doc_id) ordering via a rank window. */
+  val dd7Sql: String =
+    s"""WITH RECURSIVE docsets AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM docsets a, docsets b WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardThreshold),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM prs
+      |  UNION ALL SELECT doc_b, doc_a FROM prs),
+      |rch(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM rch r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS doc_id, MIN(dst) AS group_id FROM rch GROUP BY src),
+      |qual AS (
+      |  SELECT doc_id,
+      |   (stop_ratio * 0.5) + ((1.0 - punct_ratio) * 0.3) +
+      |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2) AS quality
+      |  FROM (
+      |   SELECT doc_id,
+      |    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+      |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+      |    n_tokens
+      |   FROM (
+      |    SELECT doc_id,
+      |     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |     CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |           t -> t IN (${TextFunctions.stopListSql}))) AS BIGINT) AS n_stop,
+      |     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      |     CAST(length(text) AS BIGINT) AS n_chars
+      |    FROM documents))),
+      |ranked AS (
+      |  SELECT c.group_id, c.doc_id, q.quality,
+      |   row_number() OVER (PARTITION BY c.group_id
+      |                      ORDER BY q.quality DESC, c.doc_id ASC) AS rnk
+      |  FROM comp c JOIN qual q USING (doc_id))
+      |SELECT group_id,
+      | MAX(CASE WHEN rnk = 1 THEN doc_id END) AS keep_doc,
+      | COUNT(*) AS n_members,
+      | MAX(quality) AS best_quality
+      |FROM ranked
+      |GROUP BY group_id
+      |ORDER BY group_id""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -160,6 +230,7 @@ object PipelineQueries {
     ("dd3_minhash_lsh", dd3 _, ddJaccardSql),
     ("dd4_simhash", dd4 _, null),
     ("dd6_dup_groups", dd6 _, dd6Sql),
+    ("dd7_canonical_docs", dd7 _, dd7Sql),
     ("dd5_embed_dup", dd5 _, null),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
