@@ -356,6 +356,163 @@ object TextFunctions {
       |GROUP BY norm_text
       |ORDER BY doc_id""".stripMargin
 
+  /** Word n-gram shingle array (distinct), as one SQL expression.
+    * Guarded: docs shorter than n tokens get an empty array (an
+    * unguarded sequence(1, size-n+1) would DESCEND for short docs —
+    * Spark infers step -1 when start > stop). */
+  private def shingleExpr(n: Int): String =
+    s"""CASE WHEN size($tokensExpr) >= $n
+       | THEN array_distinct(transform(sequence(1, size($tokensExpr) - ${n - 1}),
+       |        i -> concat_ws(' ', slice($tokensExpr, i, $n))))
+       | ELSE CAST(array() AS array<string>) END""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** tx11: train/eval contamination check — the benchmark-leakage gate
+    * every training corpus needs. The corpus is split by a deterministic
+    * key rule (doc_id % 10 = 0 → eval); for each eval document, count
+    * how many of its distinct word 3-gram shingles also occur anywhere
+    * in the train split.
+    *
+    * Scale design: the train side collapses to DISTINCT shingles before
+    * the join (set semantics — counting train occurrences would inflate
+    * with corpus size), and the probe is a left-semi hash equi-join on
+    * the shingle string, partial-agg'd back to one row per eval doc. At
+    * 100 TB both sides would key on xxhash64(shingle) so the exchange
+    * carries 8-byte keys instead of strings (collision odds ~n²/2⁶⁴ —
+    * negligible); the string key is kept here so the DuckDB oracle can
+    * replay the join byte-for-byte. Nothing is ever all-pairs: cost is
+    * O(|shingles|) shuffle, the same as one dedup pass. */
+  def contamination(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), expr(shingleExpr(n)).as("shs"))
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(col("shs")).as("shingle")).distinct()
+    val eval_ = sh.filter(col("doc_id") % 10 === 0)
+    val hits = eval_.select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .join(train, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    eval_.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") / col("n_shingles")).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** generate_series is end-inclusive (Spark's sequence equivalent);
+    * list slice l[i:j] is 1-based inclusive (Spark's slice(l,i,n)). */
+  val contaminationSql: String =
+    """WITH sh AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(ts) >= 3
+      |   THEN list_distinct(list_transform(generate_series(1, len(ts) - 2),
+      |          i -> array_to_string(ts[i:i+2], ' ')))
+      |   ELSE [] END AS shs
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |       FROM documents)),
+      |train AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE doc_id % 10 <> 0),
+      |ev AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE doc_id % 10 = 0),
+      |hits AS (
+      | SELECT e.doc_id, COUNT(*) AS n_contaminated
+      | FROM ev e JOIN train t ON e.shingle = t.shingle
+      | GROUP BY e.doc_id)
+      |SELECT s.doc_id, CAST(len(s.shs) AS BIGINT) AS n_shingles,
+      | coalesce(h.n_contaminated, 0) AS n_contaminated,
+      | CASE WHEN len(s.shs) > 0
+      |  THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / len(s.shs)
+      |  ELSE 0.0 END AS contamination_ratio
+      |FROM sh s LEFT JOIN hits h USING (doc_id)
+      |WHERE s.doc_id % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** tx12: sequence packing — the concat-and-chunk step that fills
+    * fixed token budgets for pretraining. Documents are concatenated in
+    * (source, doc_id) order and a document starts pack p when the
+    * tokens BEFORE it have filled p budgets (documents are never
+    * split, so a boundary-crossing doc overflows its pack — the
+    * standard greedy variant). That rule is a prefix sum, not a
+    * sequential fold: one window cumsum per source partition, no
+    * iteration.
+    *
+    * Scale: the window partitions by source; if one source outgrows an
+    * executor, re-key the partition to (source, doc_id div C) — each
+    * chunk packs independently and pack ids stay deterministic (chunk
+    * boundaries become pack boundaries). Exact integer arithmetic
+    * end-to-end. */
+  def packDocs(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        size(expr(tokensExpr)).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budgetTokens.toLong))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def packDocsSql(budgetTokens: Int): String =
+    s"""SELECT doc_id, source, n_tokens,
+      | CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (
+      |   PARTITION BY source ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      |  / $budgetTokens) AS BIGINT) AS pack_id
+      |FROM (
+      | SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      | FROM documents)
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** tx13: distinctive terms per source — TF-IDF-style ranking used to
+    * characterize/cluster corpus slices. Score = tf × (N_sources/df):
+    * the idf stays a RATIO of exact integers (one IEEE divide + one
+    * multiply, engine-identical) rather than a log, whose libm rounding
+    * could differ between engines in the last ulp and break the
+    * hash-compare. Ranking ties break on the token string.
+    *
+    * Scale: explode→groupBy partial-aggregates map-side (shuffle is one
+    * row per distinct (source, token) per task); df aggregates the
+    * already-small tf table; N_sources is a one-row broadcast; the
+    * per-source top-k is a rank window over |sources| × |vocab| rows —
+    * nothing touches raw token occurrences after the first groupBy. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nSrc = docs.select(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_sources").cast("double") / col("df")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk").cast("long").as("rnk"),
+        col("token"), col("tf"), col("df"), col("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  def tfidfTopTermsSql(k: Int): String =
+    s"""WITH tf AS (
+      | SELECT source, token, COUNT(*) AS tf FROM (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents)
+      | GROUP BY source, token),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+      |scored AS (
+      | SELECT tf.source, tf.token, tf.tf, df.df,
+      |  CAST(tf.tf AS DOUBLE) * (CAST(ns.n_sources AS DOUBLE) / df.df) AS score
+      | FROM tf JOIN df USING (token) CROSS JOIN ns)
+      |SELECT source, CAST(rnk AS BIGINT) AS rnk, token, tf, df, score FROM (
+      | SELECT *, row_number() OVER (PARTITION BY source
+      |                              ORDER BY score DESC, token) AS rnk
+      | FROM scored)
+      |WHERE rnk <= $k
+      |ORDER BY source, rnk""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

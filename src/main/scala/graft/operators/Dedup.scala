@@ -20,12 +20,16 @@ import graft.functions.VectorFunctions
 object Dedup {
 
   private def withShingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    val t = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    val toks = expr(t)
+    // CASE guard, not greatest(..., 0): sequence(1, 0) DESCENDS in
+    // Spark (step defaults to -1 when start > stop), which would feed
+    // slice() index 0 and error on any doc shorter than n tokens.
     val sh =
       if (n <= 1) array_distinct(toks)
       else array_distinct(expr(
-        s"transform(sequence(1, greatest(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - ${n - 1}, 0)), " +
-        s"i -> concat_ws(' ', slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i, $n)))"))
+        s"CASE WHEN size($t) >= $n THEN transform(sequence(1, size($t) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice($t, i, $n))) ELSE CAST(array() AS array<string>) END"))
     docs.select(col("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
   }
@@ -379,6 +383,62 @@ object Dedup {
   /** Deterministic pseudo-random unit-free hyperplane weights — a
     * splitmix64-style integer mix (public-domain algorithm), no RNG
     * state, so every run/executor derives identical planes. */
+  /** dd8: duplicate-SPAN detection — substring-level dedup (the
+    * repeated-passage signal exact/doc-level dedup can't see: boilerplate
+    * headers, licence blocks, templated paragraphs shared across
+    * otherwise-distinct documents). A span is a run of `n` consecutive
+    * word tokens; a span is "duplicated" when it occurs in ≥ 2 distinct
+    * documents. Output per document: how many of its distinct spans are
+    * corpus-duplicated, and the ratio — the filter signal a training
+    * pipeline thresholds on.
+    *
+    * Scale design: two shuffles, both keyed on the span — (1) groupBy
+    * span counting distinct docs (per-doc spans are pre-distincted, so
+    * count(*) IS the doc frequency; partial-agg'd map-side), (2) the
+    * duplicated-span set semi-joins back against per-doc spans. At
+    * 100 TB the span key becomes xxhash64(span) (8-byte shuffle rows;
+    * the string key is kept so the DuckDB oracle replays the join
+    * exactly), and ubiquitous spans (df ≫ 2) can be capped with a
+    * count-min pre-filter — neither changes the plan shape. Never
+    * all-pairs: cost is O(total spans), the same as one token scan. */
+  def dupSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val sh = withShingles(docs, n) // distinct n-gram spans per doc
+    val perDoc = sh.select(col("doc_id"), explode(col("shingles")).as("span"))
+    val dup = perDoc.groupBy(col("span")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("span"))
+    val hits = perDoc.join(dup, Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_spans"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Docs with < n tokens have no spans and drop out (mirrors
+    * withShingles' size>0 filter). */
+  def dupSpansSql(n: Int): String =
+    s"""WITH sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(ts) - ${n - 1}),
+      |    i -> array_to_string(ts[i:i+${n - 1}], ' '))) AS spans
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |       FROM documents)
+      | WHERE len(ts) >= $n),
+      |per_doc AS (SELECT doc_id, unnest(spans) AS span FROM sh),
+      |dup AS (SELECT span FROM per_doc GROUP BY span HAVING COUNT(*) >= 2),
+      |hits AS (
+      | SELECT p.doc_id, COUNT(*) AS n_dup_spans
+      | FROM per_doc p JOIN dup d ON p.span = d.span
+      | GROUP BY p.doc_id)
+      |SELECT s.doc_id, CAST(len(s.spans) AS BIGINT) AS n_spans,
+      | coalesce(h.n_dup_spans, 0) AS n_dup_spans,
+      | CAST(coalesce(h.n_dup_spans, 0) AS DOUBLE) / len(s.spans) AS dup_span_ratio
+      |FROM sh s LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private def planeWeight(table: Int, plane: Int, dim: Int): Float = {
     var z = table.toLong * 1000003L + plane.toLong * 7919L + dim.toLong + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -998,6 +998,115 @@ object CoreQueries {
         col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------- q44
+  /** Multi-EXISTS/NOT-EXISTS composition (TPC-H Q21 shape): suppliers
+    * who were the ONLY late shipper on a multi-supplier order. "Late"
+    * = shipped >60 days after the order date. Three passes over the
+    * same fact join, all equi-joins on l_orderkey:
+    *   1. semi-join: some OTHER supplier has a line on the order;
+    *   2. anti-join: no OTHER supplier shipped late on it;
+    *   3. dedup (orderkey, suppkey) then count per supplier.
+    * Scale: the candidate side is pre-filtered to late lines (a small
+    * fraction) before either join, and both probes are hash joins on
+    * orderkey with the inequality as a residual filter — never a
+    * nested loop. The final groupBy ships one partial count per
+    * supplier. */
+  def q44ExclusiveLate(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val late = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 60))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .dropDuplicates("l_orderkey", "l_suppkey")
+    val lines = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateO = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    late
+      .join(lines, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(lateO, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  val q44Sql: String =
+    """WITH late AS (
+      | SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      | WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+      |SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+      |FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l2
+      |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      | AND NOT EXISTS (
+      |  SELECT 1 FROM late l3
+      |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Collection aggregate: per supplier, the sorted distinct set of
+    * part brands they ship, rendered as one canonical string. The
+    * driver hash can't compare array columns, so the array is
+    * canonicalized (sort_array → concat_ws) — also the honest output
+    * for an EAV/export surface. Scale: collect_set partial-merges
+    * map-side and is bounded by the brand domain (|brands| ≈ 25), so
+    * per-group state is small no matter how many fact rows feed it. */
+  def q45BrandSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("p_brand")))).as("brands"),
+        size(collect_set(col("p_brand"))).cast("long").as("n_brands"))
+      .orderBy(col("l_suppkey"))
+
+  val q45Sql: String =
+    """SELECT l_suppkey,
+      | array_to_string(list_sort(list(DISTINCT p_brand)), ',') AS brands,
+      | CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Correlated per-group scalar subquery (TPC-H Q17 shape): revenue
+    * from small-quantity outlier lines — quantity below 50% of that
+    * PART's average — grouped by brand. q15's subquery is one global
+    * scalar; this one correlates per part key, which Catalyst executes
+    * as an aggregate-then-rejoin on l_partkey (the same plan written
+    * here explicitly). Scale: the per-part average table is |part|
+    * rows (partial-agg'd from the fact), the rejoin is an equi-join
+    * AQE can broadcast, and the threshold compare (one IEEE multiply)
+    * is deterministic in both engines. */
+  def q46CorrelatedAvg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q46Sql: String =
+    """WITH pa AS (
+      | SELECT l_partkey AS pk,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      | FROM lineitem GROUP BY l_partkey)
+      |SELECT p_brand, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN pa ON l_partkey = pk
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1037,5 +1146,8 @@ object CoreQueries {
     ("q40_incremental_agg", q40IncrementalAgg _, q40Sql),
     ("q41_gap_fill", q41GapFill _, q41Sql),
     ("q42_histogram", q42Histogram _, q42Sql),
+    ("q44_exclusive_late", q44ExclusiveLate _, q44Sql),
+    ("q45_brand_sets", q45BrandSets _, q45Sql),
+    ("q46_correlated_avg", q46CorrelatedAvg _, q46Sql),
   )
 }

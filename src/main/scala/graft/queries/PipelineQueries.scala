@@ -150,6 +150,9 @@ object PipelineQueries {
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
+  def dd8(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, d), n = 10)
+
   def dd5(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingDup(Tables.embeddings(s, d), EmbDim, CosineDupThreshold)
 
@@ -216,6 +219,9 @@ object PipelineQueries {
   def tx9(s: SparkSession, d: String): DataFrame = TextFunctions.redactPii(Tables.documents(s, d))
   def tx10(s: SparkSession, d: String): DataFrame = TextFunctions.cleanCorpus(Tables.documents(s, d))
   def tx6(s: SparkSession, d: String): DataFrame = TextFunctions.vocabTopK(Tables.documents(s, d), 100)
+  def tx11(s: SparkSession, d: String): DataFrame = TextFunctions.contamination(Tables.documents(s, d))
+  def tx12(s: SparkSession, d: String): DataFrame = TextFunctions.packDocs(Tables.documents(s, d), 512)
+  def tx13(s: SparkSession, d: String): DataFrame = TextFunctions.tfidfTopTerms(Tables.documents(s, d), 5)
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -232,6 +238,7 @@ object PipelineQueries {
     ("dd6_dup_groups", dd6 _, dd6Sql),
     ("dd7_canonical_docs", dd7 _, dd7Sql),
     ("dd5_embed_dup", dd5 _, null),
+    ("dd8_dup_spans", dd8 _, Dedup.dupSpansSql(10)),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
@@ -246,6 +253,9 @@ object PipelineQueries {
     ("tx8_repetition", tx8 _, TextFunctions.repetitionStatsSql),
     ("tx9_pii_redact", tx9 _, TextFunctions.redactPiiSql),
     ("tx10_clean_corpus", tx10 _, TextFunctions.cleanCorpusSql(10, 0.05)),
+    ("tx11_contamination", tx11 _, TextFunctions.contaminationSql),
+    ("tx12_pack", tx12 _, TextFunctions.packDocsSql(512)),
+    ("tx13_tfidf", tx13 _, TextFunctions.tfidfTopTermsSql(5)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

@@ -102,11 +102,37 @@ object SqlQueries {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** q43: GROUPING SETS — the general form q12 (ROLLUP) and q31 (CUBE)
+    * specialize. Three chosen grouping levels in one pass; GROUPING()
+    * flags disambiguate a NULL key from an aggregated-away one. Shared
+    * SQL text (both engines parse it); the NULLS FIRST ordering is
+    * load-bearing — Spark defaults nulls-first ASC, DuckDB nulls-last.
+    * Scale: Spark expands grouping sets BEFORE the exchange, so each
+    * map task emits partials for all three levels and the shuffle
+    * stays one pass over the fact side. */
+  val q43Sql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+      | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+      |                        (c_mktsegment), (o_orderpriority))
+      |ORDER BY g_seg, g_pri,
+      | c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  def q43(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q43Sql)
+  }
+
   /** (name, spark-fn, oracle-sql) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q23_csv_ingest", q23 _, q23Sql),
     ("q24_sql_revenue", q24 _, q24Sql),
     ("q25_sql_segment_orders", q25 _, q25Sql),
     ("q26_json_ingest", q26 _, q26Sql),
+    ("q43_grouping_sets", q43 _, q43Sql),
   )
 }

@@ -123,4 +123,31 @@ class CoreQueriesSpec extends SparkTestBase {
       assert(r.getLong(2) >= r.getLong(1) * r.getLong(3))
     }
   }
+
+  test("q44 DataFrame plan equals Catalyst's EXISTS/NOT-EXISTS rewrite of the same SQL") {
+    graft.queries.SqlQueries.registerViews(spark, Sf0001)
+    val df = CoreQueries.q44ExclusiveLate(spark, Sf0001).collect()
+    val sql = spark.sql(CoreQueries.q44Sql).collect()
+    assert(df.map(_.toSeq).toSeq === sql.map(_.toSeq).toSeq)
+    assert(df.nonEmpty)
+  }
+
+  test("q45 brand sets are sorted, distinct, and sized consistently") {
+    val rows = CoreQueries.q45BrandSets(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val brands = r.getString(1).split(",").toSeq
+      assert(brands === brands.sorted)
+      assert(brands.distinct.size === brands.size)
+      assert(brands.size.toLong === r.getLong(2))
+    }
+  }
+
+  test("q46 DataFrame plan equals the correlated-subquery SQL") {
+    graft.queries.SqlQueries.registerViews(spark, Sf0001)
+    val df = CoreQueries.q46CorrelatedAvg(spark, Sf0001).collect()
+    val sql = spark.sql(CoreQueries.q46Sql).collect()
+    assert(df.map(_.toSeq).toSeq === sql.map(_.toSeq).toSeq)
+    assert(df.nonEmpty)
+  }
 }

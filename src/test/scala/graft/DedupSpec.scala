@@ -178,6 +178,23 @@ class DedupSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("dd8 duplicate spans: planted shared passage detected; short docs drop") {
+    import spark.implicits._
+    val boiler = "this licence text is repeated verbatim across many documents today"
+    val d = Seq(
+      (1L, s"unique opening words one two three four $boiler"),
+      (2L, s"different preface tokens alpha beta gamma delta $boiler"),
+      (3L, "a completely original document with enough tokens to form several spans here now"),
+      (4L, "tiny"), // < n tokens → no spans → not in output
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, n = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // the 10-token boilerplate contributes exactly one shared 10-gram
+    assert(out(1L)._2 === 1L && out(2L)._2 === 1L)
+    assert(out(3L)._2 === 0L)
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

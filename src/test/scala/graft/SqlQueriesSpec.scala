@@ -58,4 +58,23 @@ class SqlQueriesSpec extends SparkTestBase {
     assert(a.nonEmpty)
     a.foreach(r => assert(r.getLong(2) > 10))
   }
+
+  test("q43 grouping sets: levels reconcile with the plain aggregate") {
+    val rows = SqlQueries.q43(spark, Sf0001).collect()
+    val nOrders = Tables.orders(spark, Sf0001).count()
+    // exactly the three requested levels, flagged by GROUPING()
+    val levels = rows.map(r => (r.getLong(2), r.getLong(3))).distinct.sorted
+    assert(levels.toSeq === Seq((0L, 0L), (0L, 1L), (1L, 0L)))
+    // every level partitions the order count
+    levels.foreach { case (gs, gp) =>
+      val n = rows.filter(r => r.getLong(2) == gs && r.getLong(3) == gp)
+        .map(_.getLong(4)).sum
+      assert(n === nOrders, s"level ($gs,$gp)")
+    }
+    // aggregated-away keys are NULL exactly when their flag is 1
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === (r.getLong(2) == 1L))
+      assert(r.isNullAt(1) === (r.getLong(3) == 1L))
+    }
+  }
 }
