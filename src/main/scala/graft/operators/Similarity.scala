@@ -213,6 +213,113 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ---------------------------------------------------------- ss5: PQ
+  /** Product quantization — the memory-bounded ANN path at 100 TB. The
+    * vector is split into `m` subspaces; each subspace gets its own
+    * `ksub`-centroid codebook (Lloyd, L2); a vector is stored as `m`
+    * small codes (m=8, ksub=16 → 8 codes ≤ 8 bytes, a 32× compression
+    * of a 64-float embedding). Query time reconstructs each corpus
+    * vector from its codes IN-FLIGHT (asymmetric distance: exact query
+    * vs quantized corpus) and scores it with the native cosine — the
+    * scan streams 8-byte codes off disk, never the raw vectors.
+    *
+    * Scale: codebooks are the only driver state (m×ksub×subDim floats);
+    * training is `iters` distributed passes over subvector rows (one
+    * broadcast hash join per pass, partial-agg'd means); encoding is
+    * one linear pass. Lloyd means accumulate in DECIMAL(18,6), so
+    * training — and therefore the codebook and every code — is
+    * bit-deterministic under partition reordering (plain fp avg would
+    * make codes flicker between runs for borderline vectors). */
+  private def subVectorRows(corpus: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col("embedding"), s * subDim + 1, subDim).as("sub")))
+    corpus.select(col("vec_id"), explode(array(subs: _*)).as("b"))
+      .select(col("vec_id"), col("b.s").as("s"), col("b.sub").as("sub"))
+  }
+
+  /** (s, c, cent, cnorm) codebook rows as a broadcastable DF. */
+  private def codebookDF(corpus: DataFrame, cents: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (cent, c) =>
+        (s, c, cent.toSeq, cent.map(x => x.toDouble * x).sum)
+      }
+    }.toIndexedSeq.toDF("s", "c", "cent", "cnorm")
+  }
+
+  /** Per-(vector, subspace) nearest codebook entry by L2 — computed as
+    * argmax of dot(sub,cent) − |cent|²/2 (equivalent, one fused pass);
+    * ties break toward the lower code. Carries `sub` through max_by so
+    * the Lloyd update needs no rejoin. */
+  private def assignSubs(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "s")
+      .withColumn("score",
+        call_function("graft_dot", col("sub"), col("cent")) - col("cnorm") / 2d)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max_by(struct(col("c"), col("sub")),
+        struct(col("score"), (-col("c")).cast("double"))).as("v"))
+      .select(col("vec_id"), col("s"), col("v.c").as("c"), col("v.sub").as("sub"))
+
+  private[graft] def trainPq(corpus: DataFrame, dim: Int, m: Int,
+      ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    VectorFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    // deterministic seed: the lowest-vec_id rows, sliced per subspace
+    var cents: Array[Array[Array[Float]]] = {
+      val seed = corpus.orderBy(col("vec_id")).limit(ksub)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      Array.tabulate(m)(s => seed.map(_.slice(s * subDim, (s + 1) * subDim)))
+    }
+    val subs = subVectorRows(corpus, dim, m)
+    for (_ <- 0 until iters) {
+      val means = assignSubs(subs, codebookDF(corpus, cents))
+        .select(col("s"), col("c"), posexplode(col("sub")))
+        .groupBy(col("s"), col("c"), col("pos"))
+        .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("v"))
+        .groupBy(col("s"), col("c"))
+        .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+        .select(col("s"), col("c"),
+          expr("transform(array_sort(pv, (a, b) -> a.pos - b.pos), x -> cast(x.v as float))").as("cent"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      cents = Array.tabulate(m)(s =>
+        Array.tabulate(ksub)(c => means.getOrElse((s, c), cents(s)(c))))
+    }
+    cents
+  }
+
+  /** (vec_id, codes: array<int>) — the at-rest PQ index rows. */
+  private[graft] def pqEncode(corpus: DataFrame, dim: Int, m: Int,
+      cents: Array[Array[Array[Float]]]): DataFrame =
+    assignSubs(subVectorRows(corpus, dim, m), codebookDF(corpus, cents))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, c))), x -> x.c)").as("codes"))
+
+  /** In-flight reconstruction: concat of each subspace's centroid,
+    * looked up by code from the literal codebook (constant-size plan —
+    * m element_at calls, codebook rides in the plan like planeLit). */
+  private def reconCol(cents: Array[Array[Array[Float]]], m: Int): Column =
+    concat((0 until m).map { s =>
+      val book = typedlit(cents(s).map(_.toIndexedSeq).toIndexedSeq)
+      element_at(book, col("codes").getItem(s) + lit(1))
+    }: _*)
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = trainPq(corpus, dim, m, ksub, iters)
+    val codes = pqEncode(corpus, dim, m, cents)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = codes
+      .withColumn("recon", reconCol(cents, m))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("recon")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-label mean embedding (class centroids), emitted in long form
     * (label, pos, n_vecs, centroid) so the result is flat scalar
     * columns — driver-hashable and directly joinable back onto vector

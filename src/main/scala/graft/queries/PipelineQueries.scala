@@ -196,6 +196,11 @@ object PipelineQueries {
   def ss4(s: SparkSession, d: String): DataFrame =
     Similarity.labelCentroids(Tables.embeddings(s, d))
 
+  def ss5(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
+  }
+
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
     * DECIMAL accumulation mirrors the Spark plan exactly. */
@@ -243,6 +248,7 @@ object PipelineQueries {
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
     ("ss4_label_centroids", ss4 _, ss4Sql),
+    ("ss5_pq_ann", ss5 _, null),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

@@ -87,6 +87,31 @@ class SimilaritySpec extends SparkTestBase {
       (1, 0L) -> (1L, 10.0), (1, 1L) -> (1L, 20.0)))
   }
 
+  test("ss5 PQ: planted exact duplicate retrieved at rank 1; codes are m-wide") {
+    val out = Similarity.pqTopK(corpus, queries, dim, 5, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // 101 is an exact copy of the query: it quantizes to the cell
+    // nearest the query in every subspace, so ADC ranks it first
+    // (ties vs the near-copy 102 break toward the lower vec_id).
+    assert(out(0)._3 === 101L)
+    val codes = Similarity.pqEncode(corpus, dim, 4,
+        Similarity.trainPq(corpus, dim, 4, 8, 2))
+      .collect().map(r => r.getSeq[Int](1))
+    assert(codes.forall(c => c.length === 4 && c.forall(x => x >= 0 && x < 8)))
+  }
+
+  test("ss5 PQ recall vs exact on the driver corpus is reasonable") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, q, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    assert(recall >= 0.2, s"PQ recall $recall collapsed — codebook/ADC broken")
+  }
+
   test("ss2 recall vs ss1 on the driver corpus is reasonable") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
