@@ -167,4 +167,35 @@ class ExplainSpec extends SparkTestBase {
     val p = plan(df)
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("q44 semi/anti probes are hash joins on orderkey, never nested loops") {
+    val p = plan(CoreQueries.q44ExclusiveLate(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("tx11 contamination probe is a semi equi-join on the shingle") {
+    val docs = Tables.documents(spark, Sf0001)
+    val p = plan(graft.functions.TextFunctions.contamination(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("dd8 span-dedup aggregates partial map-side; equi-joins only") {
+    val docs = Tables.documents(spark, Sf0001)
+    val p = plan(Dedup.dupSpans(docs, 10))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial"), s"span df count not partial-agg'd:\n$p")
+  }
+
+  test("tx12 packing plans one window per source partition, no extra exchange") {
+    val docs = Tables.documents(spark, Sf0001)
+    val df = graft.functions.TextFunctions.packDocs(docs, 512)
+    val p = plan(df)
+    // exactly one exchange feeds the window (hash by source); the final
+    // orderBy adds the output-contract range exchange and nothing else
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
+  }
 }
