@@ -1107,6 +1107,39 @@ object CoreQueries {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Per-group top-k WITHOUT a window sort: top-3 orders by price per
+    * customer segment through the graft_topk partial aggregate (the
+    * same TypedImperativeAggregate ss1 uses for ANN ranking). A
+    * row_number window must shuffle and sort EVERY order row to rank
+    * them; the aggregate keeps a k-heap per segment per map task, so
+    * only partitions×|segments|×k candidate rows reach the exchange —
+    * at 100 TB that's the difference between sorting the fact table
+    * and shipping a few hundred rows. Tie order (price DESC, orderkey
+    * ASC) matches the oracle's window exactly. */
+  def q47GroupTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(call_function("graft_topk",
+        col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+      .select(col("c_mktsegment"), posexplode(col("tk")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  val q47Sql: String =
+    """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+      |FROM (
+      | SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+      |  row_number() OVER (PARTITION BY c.c_mktsegment
+      |                     ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |WHERE rnk <= 3
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1149,5 +1182,6 @@ object CoreQueries {
     ("q44_exclusive_late", q44ExclusiveLate _, q44Sql),
     ("q45_brand_sets", q45BrandSets _, q45Sql),
     ("q46_correlated_avg", q46CorrelatedAvg _, q46Sql),
+    ("q47_group_topk", q47GroupTopK _, q47Sql),
   )
 }

@@ -51,6 +51,19 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each event decorated with its
+    * user's dimension attributes (segment, account tier, …). The
+    * static side is a plain batch DataFrame: Spark re-plans it into
+    * every micro-batch and broadcasts it (dim ≪ stream), so the join
+    * keeps NO streaming state at all — no watermark required, nothing
+    * to evict. At scale the static side's freshness is a re-read
+    * cadence choice (file source re-lists per batch); the join itself
+    * stays a broadcast hash join no matter how long the stream runs.
+    * Left-outer so unknown users pass through un-enriched rather than
+    * silently dropping. */
+  def enrichedEvents(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(broadcast(dims), Seq("user_id"), "left_outer")
+
   /** Stream-stream interval join: each purchase joined to the clicks
     * it follows within `horizonHours`, per user. BOTH sides carry a
     * watermark and the join condition bounds purchase_ts relative to

@@ -189,6 +189,12 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial"), s"span df count not partial-agg'd:\n$p")
   }
 
+  test("q47 per-group top-k runs the partial aggregate, not a window sort") {
+    val p = plan(CoreQueries.q47GroupTopK(spark, Sf0001))
+    assert(p.contains("partial_graft_topk"), s"no map-side top-k phase:\n$p")
+    assert(!p.contains("Window"), s"rank window would sort every order row:\n$p")
+  }
+
   test("tx12 packing plans one window per source partition, no extra exchange") {
     val docs = Tables.documents(spark, Sf0001)
     val df = graft.functions.TextFunctions.packDocs(docs, 512)

@@ -54,6 +54,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment joins dim attributes with no stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0),
+      Event(3, ts(3), 99, "click", 3.0)) // user 99 has no dim row
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val q = EventStreams.enrichedEvents(source.toDF(), dims)
+      .writeStream.format("memory").queryName("enr").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enr").select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    // no state: the progress counters report zero state rows
+    // (stateOperators is empty for a stateless micro-batch plan)
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("flatMapGroupsWithState emits exactly the closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
