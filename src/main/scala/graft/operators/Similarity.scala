@@ -320,6 +320,45 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialized PQ index: the corpus stored as (vec_id, codes) —
+    * m small ints per vector, ~8 bytes against 256 for the raw
+    * 64-float embedding — plus the codebook as a tiny parquet. At
+    * 100 TB this is the layout that makes ANN affordable: a probe
+    * scans the code table (32× less IO than raw vectors) and never
+    * touches the embeddings. */
+  def pqWriteIndex(corpus: DataFrame, path: String, dim: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainPq(corpus, dim, m, ksub, iters)
+    pqEncode(corpus, dim, m, cents)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cents.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toIndexedSeq.toDF("s", "c", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Probe a materialized PQ index: reconstruct from the stored codes
+    * and the (re-loaded, driver-resident) codebook, score with the
+    * exact query vector. The scan reads ONLY the code table. */
+  def pqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val rows = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    val cents = Array.tabulate(m, ksub)((s, c) => rows((s, c)))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = spark.read.parquet(s"$path/codes")
+      .withColumn("recon", reconCol(cents, m))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("recon")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-label mean embedding (class centroids), emitted in long form
     * (label, pos, n_vecs, centroid) so the result is flat scalar
     * columns — driver-hashable and directly joinable back onto vector

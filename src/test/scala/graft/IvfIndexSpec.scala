@@ -29,4 +29,22 @@ class IvfIndexSpec extends SparkTestBase {
     assert(scanLine.exists(l => l.contains(" IN (") || l.contains("cid#") && l.contains("=")),
       s"no pruning predicate on the vectors scan:\n$p")
   }
+
+  test("PQ index write → probe equals inline pqTopK; scan reads only codes") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.pqWriteIndex(emb, dir, dim = 64)
+
+    val probe = Similarity.pqProbeIndex(spark, dir, q, k = 10)
+    val inline = Similarity.pqTopK(emb, q, dim = 64, k = 10)
+    assert(probe.collect().toSeq === inline.collect().toSeq)
+
+    // the probe's corpus-side scan must touch the code table only —
+    // no file under the index path carries raw embeddings
+    val p = probe.queryExecution.executedPlan.toString
+    val codeScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("codes"))
+    assert(codeScan.isDefined, s"no codes FileScan in probe plan:\n$p")
+    assert(!codeScan.get.contains("embedding"), s"probe scan reads embeddings:\n$p")
+  }
 }
