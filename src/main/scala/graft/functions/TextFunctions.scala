@@ -513,6 +513,43 @@ object TextFunctions {
       |WHERE rnk <= $k
       |ORDER BY source, rnk""".stripMargin
 
+  /** tx14: token-rarity scoring — the unigram-LM quality signal: each
+    * document scored by the mean CORPUS frequency of its token
+    * occurrences. Boilerplate/templated text (all high-frequency
+    * tokens) scores high; rare-token noise (OCR garbage, code dumps)
+    * scores low — both ends are the usual filter targets. Log-free on
+    * purpose: sum-of-counts / count is a ratio of exact integers (one
+    * IEEE division), so both engines agree bit-exactly where a log
+    * perplexity could differ in the last ulp.
+    *
+    * Scale: the unigram table is one explode→groupBy (map-side partial
+    * agg: shuffle rows = distinct tokens per task); the frequency
+    * lookup is a shuffle hash join on token — NOT a broadcast, the
+    * vocabulary of a 100 TB corpus outgrows one executor; the per-doc
+    * aggregate partial-combines. Hot tokens skew the join key — AQE
+    * skew-split handles it (same story as every band join here). */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    occ.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-less docs drop out in both engines (no occurrence rows). */
+  val rarityScoreSql: String =
+    """WITH occ AS (
+      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      | FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS freq FROM occ GROUP BY token)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(freq) AS BIGINT) AS sum_freq,
+      | CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_freq
+      |FROM occ JOIN freq USING (token)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */
