@@ -1140,6 +1140,63 @@ object CoreQueries {
       |WHERE rnk <= 3
       |ORDER BY c_mktsegment, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Skew-salted join under the correctness gate: the salted plan must
+    * return EXACTLY what the plain join returns — here the oracle runs
+    * the plain SQL join while Spark runs the salted one, so any
+    * row-duplication/-loss bug in the salt mechanics is a hash
+    * mismatch. (SkewJoinSpec additionally asserts the salt spreads a
+    * 90%-hot-key fixture across reducers; this query asserts the
+    * semantics on driver data.) */
+  def q48SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
+    graft.operators.SkewJoin.saltedEquiJoin(Tables.orders(s, d), cust, "o_custkey", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q48Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Ratio-to-report: each (segment, priority) cell's share of its
+    * segment's revenue — a whole-partition (unordered) window frame,
+    * the shape q39's ordered windows don't cover. The window total
+    * sums DECIMAL(18,6), so it is partition-order-independent and the
+    * share is one deterministic IEEE division; window state is one
+    * accumulator per segment. */
+  def q49Share(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+    cells
+      .withColumn("seg_revenue",
+        sum(col("revenue").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .withColumn("share", col("revenue") / col("seg_revenue"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  val q49Sql: String =
+    """WITH cells AS (
+      | SELECT c.c_mktsegment, o.o_orderpriority,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      | GROUP BY c.c_mktsegment, o.o_orderpriority)
+      |SELECT c_mktsegment, o_orderpriority, revenue,
+      | CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+      |   OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS seg_revenue,
+      | revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+      |   OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS share
+      |FROM cells
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1183,5 +1240,7 @@ object CoreQueries {
     ("q45_brand_sets", q45BrandSets _, q45Sql),
     ("q46_correlated_avg", q46CorrelatedAvg _, q46Sql),
     ("q47_group_topk", q47GroupTopK _, q47Sql),
+    ("q48_salted_join", q48SaltedJoin _, q48Sql),
+    ("q49_share", q49Share _, q49Sql),
   )
 }
