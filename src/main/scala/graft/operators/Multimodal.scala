@@ -113,6 +113,49 @@ object Multimodal {
       |  FROM documents))
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  val ResizeTarget = 64
+
+  /** mm4: resize — the remaining verb of the decode/extract/resize/
+    * frame-sample family. Nearest-neighbor downsample of the payload
+    * to a fixed target length: output position i reads source position
+    * ⌊i·n/target⌋ (exact integer arithmetic, so both engines pick
+    * identical sample points; payloads at or under the target pass
+    * through). A real image resize maps (x,y) through the same index
+    * arithmetic per axis — the sampling plan, not the pixel math, is
+    * what this stub keeps honest. Pure map-side HOF over a sequence:
+    * no shuffle, O(target) per row, whole-stage codegen. The payload
+    * is resampled at character granularity so the DuckDB oracle can
+    * replay the exact sampling (byte-level blob slicing is the one op
+    * it lacks); md5 of the resized payload rides along so the gate
+    * compares content, not just lengths. */
+  def resizeStub(docs: DataFrame, target: Int = ResizeTarget): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars_orig"))
+      .withColumn("resized",
+        when(col("n_chars_orig") <= target, col("text"))
+          .otherwise(expr(
+            s"concat_ws('', transform(sequence(0, ${target - 1}), " +
+            s"i -> substring(text, cast((cast(i AS BIGINT) * n_chars_orig) div $target AS INT) + 1, 1)))")))
+      .select(col("doc_id"), col("n_chars_orig"),
+        length(col("resized")).cast("long").as("n_chars_out"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+
+  def resizeStubSql(target: Int): String =
+    s"""SELECT doc_id, n_chars_orig,
+      | CAST(length(resized) AS BIGINT) AS n_chars_out,
+      | md5(resized) AS resized_md5
+      |FROM (
+      | SELECT doc_id, n_chars_orig,
+      |  CASE WHEN n_chars_orig <= $target THEN text
+      |   ELSE array_to_string(list_transform(generate_series(0, ${target - 1}),
+      |     i -> text[CAST((i * n_chars_orig) // $target AS INT) + 1]), '')
+      |  END AS resized
+      | FROM (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_orig
+      |  FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** mm2 driver-facing variant: same extraction, but the feature vector
     * is flattened to scalar columns f0…f7 (plus a canonical string) so
     * the result is sortable/hashable by generic tooling — an

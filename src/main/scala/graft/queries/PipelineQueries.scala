@@ -234,6 +234,7 @@ object PipelineQueries {
   def mm1(s: SparkSession, d: String): DataFrame = Multimodal.blobMeta(Tables.documents(s, d))
   def mm3(s: SparkSession, d: String): DataFrame = Multimodal.frameSampleMeta(Tables.documents(s, d))
   def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtractFlat(Tables.documents(s, d))
+  def mm4(s: SparkSession, d: String): DataFrame = Multimodal.resizeStub(Tables.documents(s, d))
 
   /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -267,5 +268,6 @@ object PipelineQueries {
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
+    ("mm4_resize_stub", mm4 _, Multimodal.resizeStubSql(Multimodal.ResizeTarget)),
   )
 }

@@ -53,6 +53,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.count(_.getLong(1) == 0L) === docs.count())
   }
 
+  test("mm4 resize: nearest-neighbor sample points match a JVM reference") {
+    import spark.implicits._
+    val target = 8
+    val texts = Seq(
+      (1L, "abcdefgh"),                          // == target → pass-through
+      (2L, "short"),                             // < target → pass-through
+      (3L, "abcdefghijklmnopqrstuvwxyz0123456"), // > target → resampled
+    )
+    val out = Multimodal.resizeStub(texts.toDF("doc_id", "text"), target)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def ref(t: String): String =
+      if (t.length <= target) t
+      else (0 until target).map(i => t.charAt((i.toLong * t.length / target).toInt)).mkString
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    texts.foreach { case (id, t) =>
+      val (nIn, nOut, dig) = out(id)
+      assert(nIn === t.length.toLong)
+      assert(nOut === math.min(t.length, target).toLong)
+      assert(dig === md5(ref(t)))
+    }
+  }
+
   test("mm2 flat variant: scalar f0…f7 equal the array elements, no array column") {
     val arr = Multimodal.featureExtract(docs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
