@@ -33,5 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => WinnowMinima(e(0),
         e(1).eval().asInstanceOf[Number].intValue(),
         e(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(fn("graft_heavyhitters",
+      e => MisraGries(e(0), e(1)).toAggregateExpression()))
   }
 }

@@ -550,6 +550,27 @@ object TextFunctions {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** tx15: heavy hitters — approximate hot tokens via the mergeable
+    * Misra–Gries aggregate (graft.functions.MisraGries). tx6 answers
+    * the same question EXACTLY but must shuffle one row per distinct
+    * token; the MG summary shuffles partitions × capacity fixed-width
+    * entries regardless of vocabulary size — the only workable shape
+    * when the item domain (n-grams, URLs, ids) tracks corpus size.
+    * Guarantee: any token with true frequency > n_tokens/(capacity+1)
+    * is present; estimates under-count by at most that same bound
+    * (spec-gated; estimates are merge-order-dependent, so no oracle
+    * hash). Returned top `k` ≤ capacity survivors, est desc. */
+  def heavyHitters(docs: DataFrame, capacity: Int = 256, k: Int = 20): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    docs.select(explode(expr(tokensExpr)).as("token"))
+      .agg(call_function("graft_heavyhitters", col("token"), lit(capacity)).as("hh"))
+      .select(posexplode(col("hh")))
+      .filter(col("pos") < k)
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.item").as("token"), col("col.est").as("est_count"))
+      .orderBy(col("rnk"))
+  }
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

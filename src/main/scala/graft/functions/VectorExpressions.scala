@@ -139,6 +139,8 @@ object VectorFunctions {
           exprs => WinnowMinima(exprs(0),
             exprs(1).eval().asInstanceOf[Number].intValue(),
             exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_heavyhitters",
+          exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
         registered += key
       }
     }
