@@ -359,6 +359,56 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ss6: k-NN label classification — majority vote over the exact
+    * top-k neighbors (the label-propagation / auto-labeling step of a
+    * curation pipeline). Composes the ss1 scan (corpus never shuffled,
+    * graft_topk partial ranking) with two small aggregates over
+    * queries×k rows; ties break (votes desc, label asc), so with ss1's
+    * deterministic neighbor set the prediction is deterministic and
+    * the whole operator oracle-hashes. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val neighbors = bruteForceTopK(corpus, queries, k)
+    val votes = neighbors
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes.groupBy(col("query_id"))
+      .agg(
+        max_by(col("label"), struct(col("n_votes"), (-col("label")).as("tb"))).as("pred_label"),
+        max(col("n_votes")).as("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ss7: IVF + PQ composed — the layered 100 TB ANN architecture:
+    * the coarse IVF quantizer prunes the search to nprobe/nlist of the
+    * corpus, and within probed lists the scan reads PQ codes (8 bytes)
+    * instead of raw vectors, reconstructing in-flight for the
+    * asymmetric-distance re-rank. Probe IO relative to a flat scan:
+    * (nprobe/nlist) × (code bytes / vector bytes) — with 4/16 lists
+    * and 8-byte codes that is 1/128 of the data touched, and both
+    * factors scale independently (lists with corpus size, code width
+    * with recall budget). Training = IVF centroids + PQ codebooks,
+    * both bounded driver state. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val coarse = trainCentroids(corpus, nlist, iters)
+    val books = trainPq(corpus, dim, m, ksub, iters)
+    val indexed = pqEncode(corpus, dim, m, books)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cid", assignExpr(col("embedding"), coarse))
+      .select(col("vec_id"), col("cid"), col("codes"))
+    val probed = probeLists(queries, coarse, nprobe)
+    val scored = indexed
+      .withColumn("recon", reconCol(books, m))
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("recon")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-label mean embedding (class centroids), emitted in long form
     * (label, pos, n_vecs, centroid) so the result is flat scalar
     * columns — driver-hashable and directly joinable back onto vector

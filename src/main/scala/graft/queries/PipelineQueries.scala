@@ -201,6 +201,42 @@ object PipelineQueries {
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
   }
 
+  def ss6(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnClassify(emb, emb.filter(col("vec_id") < NQueries), TopK)
+  }
+
+  /** ss1's exact neighbor CTEs extended with a majority vote; the
+    * argmax window mirrors max_by's (n_votes, −label) ordering. */
+  val ss6Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |   list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored),
+      |votes AS (
+      |  SELECT r.query_id, e.label, COUNT(*) AS n_votes
+      |  FROM ranked r JOIN embeddings e USING (vec_id)
+      |  WHERE r.rnk <= $TopK
+      |  GROUP BY r.query_id, e.label)
+      |SELECT query_id, label AS pred_label, n_votes FROM (
+      | SELECT *, row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY n_votes DESC, label) AS r
+      | FROM votes)
+      |WHERE r = 1
+      |ORDER BY query_id""".stripMargin
+
+  def ss7(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
+  }
+
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
     * DECIMAL accumulation mirrors the Spark plan exactly. */
@@ -252,6 +288,8 @@ object PipelineQueries {
     ("ss3_ivf_ann", ss3 _, null),
     ("ss4_label_centroids", ss4 _, ss4Sql),
     ("ss5_pq_ann", ss5 _, null),
+    ("ss6_knn_classify", ss6 _, ss6Sql),
+    ("ss7_ivfpq_ann", ss7 _, null),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

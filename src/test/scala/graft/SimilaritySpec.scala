@@ -112,6 +112,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"PQ recall $recall collapsed — codebook/ADC broken")
   }
 
+  test("ss6 knn classification: planted label cluster wins the vote") {
+    import spark.implicits._
+    val q0 = vec(0)
+    def near(j: Int): Seq[Float] = q0.zipWithIndex.map { case (x, i) => if (i == j % dim) x + 0.01f else x }
+    // 6 tight neighbors labeled 7, everything else far with label 1
+    val rows = (101L to 106L).map(i => (i, near(i.toInt), 7)) ++
+      (200L to 240L).map(i => (i, vec(i.toInt), 1))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, q0, 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus, queries, k = 6).collect()
+    assert(out.length === 1)
+    assert(out.head.getInt(1) === 7)
+    assert(out.head.getLong(2) === 6L)
+  }
+
+  test("ss7 IVF-PQ: planted exact duplicate retrieved at rank 1") {
+    val out = Similarity.ivfPqTopK(corpus, queries, dim, 5,
+        nlist = 4, nprobe = 2, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // the duplicate assigns to the query's own coarse cell (always
+    // probed) and shares its PQ codes → top ADC score, ties → lower id
+    assert(out(0)._3 === 101L)
+  }
+
+  test("ss7 IVF-PQ recall vs exact on the driver corpus is reasonable") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.ivfPqTopK(emb, q, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    // both layers cost recall (pruned lists × quantized distances);
+    // the floor guards against collapse, not a quality target
+    assert(recall >= 0.1, s"IVF-PQ recall $recall collapsed")
+  }
+
   test("ss2 recall vs ss1 on the driver corpus is reasonable") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
