@@ -51,6 +51,29 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Windowed heavy hitters on a text stream: per tumbling window, the
+    * approximate hot tokens via the mergeable Misra–Gries aggregate
+    * (graft.functions.MisraGries). The state store holds ONE
+    * fixed-capacity summary per open window — bounded regardless of
+    * how many distinct tokens the window saw, where an exact
+    * per-(window, token) count would grow state with the token domain.
+    * The watermark closes windows and evicts their summaries; the
+    * survivor guarantee (any token with in-window frequency >
+    * n/(cap+1) is present) holds per window because MG merges
+    * associatively across micro-batches. */
+  def windowedHotTokens(texts: DataFrame, capacity: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(texts.sparkSession)
+    texts
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("graft_heavyhitters", col("token"), lit(capacity)).as("hh"))
+      .select(col("window.start").as("window_start"), posexplode(col("hh")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.item").as("token"), col("col.est").as("est_count"))
+  }
+
   /** Stream-static enrichment join: each event decorated with its
     * user's dimension attributes (segment, account tier, …). The
     * static side is a plain batch DataFrame: Spark re-plans it into

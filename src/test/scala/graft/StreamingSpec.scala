@@ -54,6 +54,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("windowed heavy hitters: hot token exact per window at small vocab") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    // window [0h,1h): "hot" ×6, others ×1 each; window [1h,2h): "cold" ×3
+    source.addData(
+      (ts(5), "hot hot hot alpha beta"),
+      (ts(25), "hot hot hot gamma"),
+      (ts(70), "cold cold cold delta"))
+    val q = EventStreams.windowedHotTokens(
+        source.toDF().toDF("ts", "text"), capacity = 64)
+      .writeStream.format("memory").queryName("hht").outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("hht").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getString(2), r.getLong(3)))
+    // capacity > vocab → MG never decrements → estimates are exact
+    val w0 = rows.filter(_._1 == 0L)
+    assert(w0.head._2 === 1L && w0.head._3 === "hot" && w0.head._4 === 6L)
+    val w1 = rows.filter(_._1 == 60L)
+    assert(w1.head._3 === "cold" && w1.head._4 === 3L)
+  }
+
   test("stream-static enrichment joins dim attributes with no stream state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
