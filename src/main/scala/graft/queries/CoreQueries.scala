@@ -1197,6 +1197,40 @@ object CoreQueries {
       |FROM cells
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  private val WeekNs = 604800000000000L // 7 × 86400 × 1e9
+
+  /** Cohort retention — the product-analytics shape q27 (funnel) and
+    * q21 (sessions) don't cover: users bucketed by first-seen week,
+    * then counted per (cohort, weeks-since-first) activity cell. Week
+    * ids are exact integer division of the INT64-nanos timestamp, so
+    * both engines bucket identically (min-then-divide ≡ divide-then-min
+    * under a monotonic floor-div). Plan: one groupBy(user) for the
+    * cohort anchor, one distinct over (user, week) — both partial-agg
+    * and shuffle on user_id, so AQE can co-plan the join — then one
+    * small aggregate over cohort×offset cells. */
+  def q50CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(expr(s"min(ts) div ${WeekNs}L").as("cohort_week"))
+    val act = ev.select(col("user_id"), expr(s"ts div ${WeekNs}L").as("wk")).distinct()
+    act.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q50Sql: String =
+    s"""WITH f AS (
+      | SELECT user_id, epoch_ns(MIN(ts)) // $WeekNs AS cohort_week
+      | FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, epoch_ns(ts) // $WeekNs AS wk FROM events)
+      |SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+      | COUNT(*) AS n_active_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1242,5 +1276,6 @@ object CoreQueries {
     ("q47_group_topk", q47GroupTopK _, q47Sql),
     ("q48_salted_join", q48SaltedJoin _, q48Sql),
     ("q49_share", q49Share _, q49Sql),
+    ("q50_cohort_retention", q50CohortRetention _, q50Sql),
   )
 }

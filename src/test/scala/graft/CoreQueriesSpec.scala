@@ -124,6 +124,22 @@ class CoreQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q50 cohort cells reconcile: week-0 actives equal cohort sizes") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val rows = CoreQueries.q50CohortRetention(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // every user is active in their own first week → the offset-0 cell
+    // of each cohort counts exactly that cohort's population
+    val cohortSizes = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(expr("min(ts) div 604800000000000").as("cw"))
+      .groupBy(col("cw")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) === cohortSizes(r.getLong(0)))
+    }
+    rows.foreach(r => assert(r.getLong(1) >= 0L))
+  }
+
   test("q44 DataFrame plan equals Catalyst's EXISTS/NOT-EXISTS rewrite of the same SQL") {
     graft.queries.SqlQueries.registerViews(spark, Sf0001)
     val df = CoreQueries.q44ExclusiveLate(spark, Sf0001).collect()
