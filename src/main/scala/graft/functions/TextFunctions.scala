@@ -571,6 +571,71 @@ object TextFunctions {
       .orderBy(col("rnk"))
   }
 
+  /** tx16: the full curation pipeline as ONE composed plan — what a
+    * real user of this library runs nightly: normalize (tx7 chain) →
+    * quality gate (tx2's token/stopword thresholds) → exact dedup on
+    * the normalized text (dd1 semantics, keeping the min-id doc and
+    * its source) → sequence-pack the survivors per source (tx12). The
+    * point of the composition: every per-document feature is computed
+    * map-side in the SAME scan, so the whole pipeline is one scan, one
+    * dedup shuffle, and one window exchange — not four separate jobs
+    * re-reading the corpus. The stages share no driver state, so the
+    * plan scales exactly like its widest stage (the dedup groupBy,
+    * which at 100 TB keys on xxhash64(norm_text) as dd1 documents). */
+  def curate(docs: DataFrame, minTokens: Int = 10, minStopRatio: Double = 0.05,
+      budgetTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(docs.sparkSession)
+    val norm = trim(regexp_replace(
+      call_function("graft_nfc", lower(col("text"))),
+      "[\\s\\x00-\\x1f\\x7f]+", " "))
+    val toks = "regexp_extract_all(norm_text, '[a-z0-9]+', 0)"
+    val kept = docs.select(col("doc_id"), col("source"), norm.as("norm_text"))
+      .withColumn("n_tokens", size(expr(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter($toks, t -> t IN ($stopListSql))")).cast("long"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_stop").cast("double") / col("n_tokens") >= minStopRatio)
+      .groupBy(col("norm_text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_copies"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens.toLong))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_copies"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def curateSql(minTokens: Int, minStopRatio: Double, budgetTokens: Int): String =
+    s"""WITH feat AS (
+      | SELECT doc_id, source, norm_text,
+      |  CAST(len(regexp_extract_all(norm_text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(regexp_extract_all(norm_text, '[a-z0-9]+'),
+      |        t -> t IN ($stopListSql))) AS BIGINT) AS n_stop
+      | FROM (
+      |  SELECT doc_id, source,
+      |   trim(regexp_replace(nfc_normalize(lower(text)), '[\\s\\x00-\\x1f\\x7f]+', ' ', 'g')) AS norm_text
+      |  FROM documents)),
+      |kept AS (
+      | SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+      |  MIN(n_tokens) AS n_tokens, COUNT(*) AS n_copies
+      | FROM feat
+      | WHERE n_tokens >= $minTokens
+      |  AND CAST(n_stop AS DOUBLE) / n_tokens >= $minStopRatio
+      | GROUP BY norm_text)
+      |SELECT doc_id, source, n_tokens, n_copies,
+      | CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (
+      |   PARTITION BY source ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      |  / $budgetTokens) AS BIGINT) AS pack_id
+      |FROM kept
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */
