@@ -1231,6 +1231,43 @@ object CoreQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Multiset (bag) set operations — the ALL variants q16's
+    * distinct-style composition doesn't exercise: EXCEPT ALL keeps
+    * per-occurrence multiplicity (a part shipped 5× in 1996 and 2× in
+    * 1997 survives 3×), INTERSECT ALL keeps the min multiplicity.
+    * Spark plans these as aggregate+generate (count per key, then
+    * replicate) — no join of raw rows — so the shuffle carries one row
+    * per distinct key per side, not per occurrence. Output aggregates
+    * the multiplicities per key with the op tagged, so one result
+    * covers both semantics. */
+  def q51MultisetOps(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def keys(y: Int) =
+      li.filter(year(to_date(col("l_shipdate"))) === y).select(col("l_partkey"))
+    val ex = keys(1996).exceptAll(keys(1997))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = keys(1996).intersectAll(keys(1997))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionAll(in)
+      .select(col("op"), col("l_partkey"), col("n"))
+      .orderBy(col("op"), col("l_partkey"))
+  }
+
+  val q51Sql: String =
+    """WITH a AS (SELECT l_partkey FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1996),
+      |b AS (SELECT l_partkey FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997)
+      |SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+      |FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+      |GROUP BY l_partkey
+      |UNION ALL
+      |SELECT 'intersect_all', l_partkey, COUNT(*)
+      |FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+      |GROUP BY l_partkey
+      |ORDER BY op, l_partkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1277,5 +1314,6 @@ object CoreQueries {
     ("q48_salted_join", q48SaltedJoin _, q48Sql),
     ("q49_share", q49Share _, q49Sql),
     ("q50_cohort_retention", q50CohortRetention _, q50Sql),
+    ("q51_multiset_ops", q51MultisetOps _, q51Sql),
   )
 }

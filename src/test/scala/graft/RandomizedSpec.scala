@@ -89,6 +89,41 @@ class RandomizedSpec extends SparkTestBase {
     }
   }
 
+  test("dd2/dd3 equal a local brute-force Jaccard on a generated corpus") {
+    import spark.implicits._
+    val r = rng
+    // clustered corpus: 30 base docs, each with 0-3 near-variants made
+    // by swapping a couple of tokens — plants true pairs at varied
+    // similarities around the threshold
+    val vocab = (0 until 120).map(i => s"w$i")
+    def doc(): Seq[String] = Seq.fill(14 + r.nextInt(8))(vocab(r.nextInt(vocab.size)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 1L
+    for (_ <- 0 until 30) {
+      val base = doc()
+      rows += ((id, base.mkString(" "))); id += 1
+      for (_ <- 0 until r.nextInt(4)) {
+        val v = base.updated(r.nextInt(base.size), vocab(r.nextInt(vocab.size)))
+        rows += ((id, v.mkString(" "))); id += 1
+      }
+    }
+    val docs = rows.toSeq.toDF("doc_id", "text")
+    def set(t: String): Set[String] = t.split(" ").toSet
+    val t = 0.85
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = set(ta); sb = set(tb)
+      if (sa & sb).size.toDouble / (sa | sb).size >= t
+    } yield (a, b)).toSet
+    val dd2 = Dedup.ngramJaccard(docs, 1, t)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val dd3 = Dedup.minhashLsh(docs, t)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(dd2 === expected)
+    assert(dd3 === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("mm4 resize matches the JVM reference on generated text") {
     import spark.implicits._
     val r = rng
