@@ -1268,6 +1268,34 @@ object CoreQueries {
       |GROUP BY l_partkey
       |ORDER BY op, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Rank statistics — the normalized ranking functions q39's family
+    * (lag/lead/ntile/first/last) doesn't cover: dense_rank,
+    * percent_rank ((rank−1)/(n−1)) and cume_dist (rows ≤ current / n)
+    * per supplier over account-balance order. All three are exact
+    * integer arithmetic plus one IEEE division, so both engines agree
+    * bit-exactly; one Window operator serves all three (single sort,
+    * single pass — same consolidation argument as q39). */
+  def q52RankStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  val q52Sql: String =
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      | percent_rank() OVER w AS prnk,
+      | cume_dist() OVER w AS cdist
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1315,5 +1343,6 @@ object CoreQueries {
     ("q49_share", q49Share _, q49Sql),
     ("q50_cohort_retention", q50CohortRetention _, q50Sql),
     ("q51_multiset_ops", q51MultisetOps _, q51Sql),
+    ("q52_rank_stats", q52RankStats _, q52Sql),
   )
 }
