@@ -195,6 +195,19 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"rank window would sort every order row:\n$p")
   }
 
+  test("q51 multiset ops plan as aggregate+replicate, not a row-level join") {
+    val p = plan(CoreQueries.q51MultisetOps(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Spark rewrites EXCEPT/INTERSECT ALL via per-key count aggregation
+    // + Generate(replicate_rows) — occurrence rows never cross the wire
+    assert(p.contains("replicaterows") || p.contains("Generate"), s"no replicate stage:\n$p")
+  }
+
+  test("q52 computes all three rank statistics in a single Window operator") {
+    val p = plan(CoreQueries.q52RankStats(spark, Sf0001))
+    assert("Window".r.findAllIn(p).size === 1, s"rank stats split across windows:\n$p")
+  }
+
   test("tx12 packing plans one window per source partition, no extra exchange") {
     val docs = Tables.documents(spark, Sf0001)
     val df = graft.functions.TextFunctions.packDocs(docs, 512)

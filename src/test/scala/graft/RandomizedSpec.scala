@@ -124,6 +124,29 @@ class RandomizedSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("as-of join equals a local reference on generated event streams") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val r = rng
+    // left: lookups at random times; right: sparse quotes per key with
+    // UNIQUE (key, time) — the operator's documented precondition
+    val keys = (1 to 8).map(_.toLong)
+    val left = (1L to 300L).map(i =>
+      (i, keys(r.nextInt(keys.size)), r.nextInt(1000).toLong))
+    val right = keys.flatMap { k =>
+      r.shuffle((0 until 1000).toList).take(30).map(t => (k, t.toLong, s"p$k-$t"))
+    }
+    val out = AsOfJoin.asof(
+        left.toDF("id", "k", "t"), right.toSeq.toDF("k", "rt", "quote"),
+        "k", "t", "rt", Seq("quote"))
+      .collect().map(x => x.getLong(0) -> Option(x.getString(3))).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (id, k, t) =>
+      val expect = byKey(k).filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      assert(out(id) === expect, s"id=$id k=$k t=$t")
+    }
+  }
+
   test("mm4 resize matches the JVM reference on generated text") {
     import spark.implicits._
     val r = rng
