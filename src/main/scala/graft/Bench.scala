@@ -30,14 +30,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only a fixed-size stdout tail: a final line
+    // carrying ~90 per-query entries (~4 KB) gets its head cut off and
+    // fails to parse. So the FINAL stdout line is compact totals-only;
+    // the full per-query map lives exclusively in BENCH_LAST.json.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     // Stop first: Spark shutdown logs (stderr) can't then interleave
-    // after the JSON line the driver parses. Also persist to a file.
+    // after the JSON line the driver parses.
     spark.stop()
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
-      json.getBytes("UTF-8"))
+      full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(json)
+    println(compact)
   }
 }

@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -40,6 +41,24 @@ case class MisraGries(
   extends TypedImperativeAggregate[mutable.LinkedHashMap[String, Long]] {
 
   private lazy val cap: Int = capExpr.eval().asInstanceOf[Number].intValue()
+
+  /** Misuse fails at analysis time, not mid-job: the capacity must be a
+    * literal (a non-foldable capacity would be eval()'d with no input
+    * row) and >= 1 (cap <= 0 would make offer() take min of an empty
+    * map on the first item). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!itemExpr.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure("graft_heavyhitters: item must be STRING")
+    else if (!capExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_heavyhitters: capacity must be a literal")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(capExpr.dataType))
+      TypeCheckResult.TypeCheckFailure("graft_heavyhitters: capacity must be integral")
+    else capExpr.eval() match {
+      case n: Number if n.longValue() >= 1L => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("graft_heavyhitters: capacity must be >= 1")
+    }
+  }
 
   override def children: Seq[Expression] = Seq(itemExpr, capExpr)
   override def nullable: Boolean = false
@@ -111,7 +130,13 @@ case class MisraGries(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    // length-prefixed raw UTF-8, not writeUTF: writeUTF throws for
+    // items whose encoding exceeds 65535 bytes (base64-ish blobs in a
+    // real corpus) — a mid-job crash, not a graceful degrade
+    buf.foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -121,7 +146,12 @@ case class MisraGries(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var j = 0
-    while (j < n) { buf.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, "UTF-8"), in.readLong())
+      j += 1
+    }
     buf
   }
 

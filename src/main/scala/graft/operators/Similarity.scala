@@ -266,12 +266,16 @@ object Similarity {
       ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     VectorFunctions.register(corpus.sparkSession)
     val subDim = dim / m
-    // deterministic seed: the lowest-vec_id rows, sliced per subspace
+    // deterministic seed: the lowest-vec_id rows, sliced per subspace.
+    // A corpus smaller than ksub degrades to fewer centroids instead of
+    // crashing the Lloyd refresh fallback with an out-of-bounds lookup.
     var cents: Array[Array[Array[Float]]] = {
       val seed = corpus.orderBy(col("vec_id")).limit(ksub)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      require(seed.nonEmpty, "trainPq: corpus is empty")
       Array.tabulate(m)(s => seed.map(_.slice(s * subDim, (s + 1) * subDim)))
     }
+    val ksubEff = cents(0).length
     val subs = subVectorRows(corpus, dim, m)
     for (_ <- 0 until iters) {
       val means = assignSubs(subs, codebookDF(corpus, cents))
@@ -285,7 +289,7 @@ object Similarity {
           expr("transform(array_sort(pv, (a, b) -> a.pos - b.pos), x -> cast(x.v as float))").as("cent"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
       cents = Array.tabulate(m)(s =>
-        Array.tabulate(ksub)(c => means.getOrElse((s, c), cents(s)(c))))
+        Array.tabulate(ksubEff)(c => means.getOrElse((s, c), cents(s)(c))))
     }
     cents
   }
