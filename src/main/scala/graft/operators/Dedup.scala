@@ -54,6 +54,15 @@ object Dedup {
   private def smallVocabMasks(sh: DataFrame): Option[DataFrame] = {
     val spark = sh.sparkSession
     import spark.implicits._
+    // Sampled pre-check first: if 32 documents already use > 64
+    // distinct shingles the vocabulary cannot fit a mask, and the
+    // full explode+distinct probe job is skipped entirely — at corpus
+    // scale (always large-vocab) the bitmap question costs one
+    // 32-row narrow scan, not a distinct over every token.
+    val sampled = sh.select(col("shingles")).limit(32).collect()
+    val sampleVocab = scala.collection.mutable.HashSet.empty[String]
+    sampled.foreach(r => sampleVocab ++= r.getSeq[String](0))
+    if (sampleVocab.size > 64) return None
     // limit(65) bounds the driver-side collect: either the vocabulary
     // fits a mask or we learn so after 65 rows, never a full scan out.
     val toks = sh.select(explode(col("shingles")).as("sh")).distinct()
@@ -74,9 +83,13 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets; output = (doc_a, doc_b, jaccard ≥ threshold). The
     * division is set-size ints → one IEEE op → oracle-exact. Uses the
-    * bitmap fast path when the vocabulary allows it. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val scored = smallVocabMasks(sh) match {
+    * bitmap fast path when the caller's vocabulary probe allowed it —
+    * the probe result is passed IN, never recomputed here, so the
+    * large-vocab path costs exactly one vocabulary question per
+    * operator invocation. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double,
+      masksOpt: Option[DataFrame]): DataFrame = {
+    val scored = masksOpt match {
       case Some(masks) =>
         val ma = masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
         val mb = masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))
@@ -103,7 +116,13 @@ object Dedup {
     * (where one ubiquitous token alone generates df² pairs — quadratic
     * in the corpus). Candidates are then verified on the full sets, so
     * the output is exactly the naive answer. */
-  def ngramJaccard(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccard(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairs(docs, n, threshold).orderBy(col("doc_a"), col("doc_b"))
+
+  /** ngramJaccard without the output-presentation sort — the
+    * composition entry point: dupGroups/dd7 consume the pairs as an
+    * edge set, where a global range-partition + sort is pure waste. */
+  private[graft] def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = withShingles(docs, n).cache()
     smallVocabMasks(sh) match {
       case Some(masks) => jaccardByMask(masks, threshold)
@@ -159,7 +178,7 @@ object Dedup {
       .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
+    intra.union(cross)
   }
 
   /** Large-vocab exact path: PPJoin-style prefix filtering. */
@@ -177,7 +196,7 @@ object Dedup {
     val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold).orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, sh, threshold, None)
   }
 
   private val MinhashK = 64
@@ -197,7 +216,7 @@ object Dedup {
       .select(col("da"), explode(col("ids")).as("db"))
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
-    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
+    intra.union(cross)
   }
 
   /** dd3: MinHash + LSH banding, then exact-Jaccard verification of the
@@ -210,7 +229,7 @@ object Dedup {
     * its whole row of the candidate matrix. */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val shIn = withShingles(docs, 1).cache()
-    smallVocabMasks(shIn) match {
+    val pairs = smallVocabMasks(shIn) match {
       // Tiny vocabulary ⟹ exact bitmask all-pairs strictly dominates
       // LSH: minhash APPROXIMATES set overlap that popcounts compute
       // exactly, and near-identical signatures make every band bucket
@@ -220,6 +239,7 @@ object Dedup {
       case Some(masks) => jaccardByMask(masks, threshold)
       case None        => minhashLshPath(shIn, threshold)
     }
+    pairs.orderBy(col("doc_a"), col("doc_b"))
   }
 
   private def minhashLshPath(shIn: DataFrame, threshold: Double): DataFrame = {
@@ -248,7 +268,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    expandGroups(verifyJaccard(cand, sh, threshold), groups)
+    // masks = None without re-probing: this path only runs after the
+    // caller's probe said large-vocab, and collapsing identical shingle
+    // sets leaves the vocabulary (the union of the sets) unchanged.
+    expandGroups(verifyJaccard(cand, sh, threshold, None), groups)
   }
 
   /** dd4: 64-bit SimHash over token counts; near-dup pairs = Hamming
@@ -324,12 +347,33 @@ object Dedup {
     * `localCheckpoint` truncates the per-round lineage so the plan
     * doesn't deepen linearly with rounds. At pathological diameters
     * the standard fix is alternating large-star/small-star rounds
-    * (halves diameter per round); not needed for dedup graphs. */
-  def dupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * (halves diameter per round); not needed for dedup graphs.
+    *
+    * Fault tolerance: the default `localCheckpoint(true)` stores the
+    * per-round blocks on EXECUTORS with lineage truncated — fast, but
+    * on a real cluster one lost executor mid-iteration kills the job
+    * with no recompute path. Pass `checkpointDir = Some(dir)` (HDFS/
+    * object store on a cluster) to use reliable `checkpoint()` instead:
+    * each round persists to the store and survives any executor loss,
+    * at the price of a round-trip write per round. At 100 TB the
+    * reliable path is the right default — iterations are long enough
+    * that the probability of losing an executor mid-job is ~1. */
+  def dupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    dupGroupLabels(docs, pairs, maxIters, checkpointDir).orderBy(col("doc_id"))
+
+  /** dupGroups without the output-presentation sort (see
+    * ngramJaccardPairs — same composition rationale). */
+  private[graft] def dupGroupLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int,
+      checkpointDir: Option[String]): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     // checkpoint the pair plan ONCE: the symmetric union would
     // otherwise evaluate the (expensive) candidate-join plan twice,
     // and every round would re-plan its whole lineage
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val p = snap(pairs.select(col("doc_a"), col("doc_b")))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -338,9 +382,8 @@ object Dedup {
     // shuffling their fixed labels through every round is pure waste.
     // The symmetric union covers both endpoints, so src alone spans
     // every non-singleton node; singletons re-attach after the loop.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
+    var labels = snap(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp")))
     var changed = 1L
     var it = 0
     while (changed > 0) {
@@ -359,11 +402,10 @@ object Dedup {
       val parentComp = relaxed.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
       // `old` rides along into the checkpoint so the convergence count
       // is a local scan of checkpointed rows, not another shuffle join
-      val next = relaxed.withColumnRenamed("comp", "c1")
+      val next = snap(relaxed.withColumnRenamed("comp", "c1")
         .join(parentComp, col("c1") === col("p_id"), "left")
         .select(col("doc_id"), col("old"),
-          least(col("c1"), coalesce(col("p_comp"), col("c1"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("c1"), coalesce(col("p_comp"), col("c1"))).as("comp")))
       changed = next.filter(col("comp") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("comp"))
       it += 1
@@ -371,8 +413,27 @@ object Dedup {
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("group_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Materialized duplicate-group index: dupGroups' (doc_id, group_id)
+    * labeling written once to `path`, mirroring the IVF/PQ index
+    * pattern (Similarity.ivfWriteIndex). The iterative CC computation
+    * is the expensive stage of a dedup pipeline; downstream consumers
+    * (canonical-doc selection, group statistics, per-group sampling)
+    * should PROBE this index — one parquet scan — instead of re-running
+    * propagation per query. At 100 TB the index is rebuilt on corpus
+    * refresh, not per consumer; rows are written sorted by group_id so
+    * per-group consumers get clustered reads. */
+  def dupGroupsWriteIndex(docs: DataFrame, pairs: DataFrame, path: String,
+      maxIters: Int = 50, checkpointDir: Option[String] = None): Unit =
+    dupGroupLabels(docs, pairs, maxIters, checkpointDir)
+      .repartition(col("group_id"))
+      .sortWithinPartitions(col("group_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe side of the materialized group index. */
+  def dupGroupsReadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   // 6 bits × 8 tables: recall ≈ 99.8% at cosine 0.95 (true near-dups),
   // ~36% at cosine 0.35 — candidates stay sub-quadratic while real

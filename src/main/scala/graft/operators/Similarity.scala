@@ -213,6 +213,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ss8: recall@k of every ANN variant against ss1's exact answer —
+    * the metric a user watches while tuning nprobe/bits/tables/m
+    * against their own corpus. Output: (variant, query_id, recall)
+    * with recall = |ANN top-k ∩ exact top-k| / k per query.
+    *
+    * Everything here is deterministic (exact ties broken, Lloyd
+    * training DECIMAL-pinned, hyperplanes derived from integer mixes),
+    * so the rows are stable run-to-run and the spec can pin floors.
+    * Cost = one exact pass + one pass per variant — this is the
+    * OFFLINE evaluation query run on a sampled query set, not a
+    * serving path; the exact side is computed once and reused across
+    * variants (cached: queries×k rows, driver-bounded). */
+  def annRecall(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).cache()
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "ss2_lsh"   -> lshTopK(corpus, queries, dim, k),
+      "ss3_ivf"   -> ivfTopK(corpus, queries, dim, k),
+      "ss5_pq"    -> pqTopK(corpus, queries, dim, k),
+      "ss7_ivfpq" -> ivfPqTopK(corpus, queries, dim, k))
+    variants.map { case (name, ann) =>
+      val hits = ann.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("variant"), col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+    }.reduce(_ union _).orderBy(col("variant"), col("query_id"))
+  }
+
   // ---------------------------------------------------------- ss5: PQ
   /** Product quantization — the memory-bounded ANN path at 100 TB. The
     * vector is split into `m` subspaces; each subspace gets its own

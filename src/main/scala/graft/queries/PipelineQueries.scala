@@ -48,10 +48,13 @@ object PipelineQueries {
   def dd3(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), JaccardThreshold)
 
-  /** dd6: transitive duplicate groups over the dd2 near-dup graph. */
+  /** dd6: transitive duplicate groups over the dd2 near-dup graph.
+    * Composes on the UNORDERED pair path — the edge set feeds a join,
+    * so dd2's output-presentation sort would be a wasted global
+    * exchange. */
   def dd6(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    Dedup.dupGroups(docs, Dedup.ngramJaccard(docs, 1, JaccardThreshold))
+    Dedup.dupGroups(docs, Dedup.ngramJaccardPairs(docs, 1, JaccardThreshold))
   }
 
   /** DuckDB oracle: same edges (the dd2 oracle as a CTE), connected
@@ -85,7 +88,18 @@ object PipelineQueries {
     * (group, best-doc) partials, so the shuffle is O(|groups|). */
   def dd7(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val groups = Dedup.dupGroups(docs, Dedup.ngramJaccard(docs, 1, JaccardThreshold))
+    val groups = Dedup.dupGroupLabels(docs,
+      Dedup.ngramJaccardPairs(docs, 1, JaccardThreshold), 50, None)
+    canonicalDocs(docs, groups)
+  }
+
+  /** The selection stage alone, over any (doc_id, group_id) labeling —
+    * the PROBE path when the labeling comes from a materialized
+    * dup-groups index (Dedup.dupGroupsWriteIndex): one parquet scan +
+    * one broadcast-sized join + one O(|groups|) partial-agg shuffle,
+    * no connected-components recompute. Inline dd7 ≡ index-probe dd7
+    * is spec-asserted (DedupSpec). */
+  def canonicalDocs(docs: DataFrame, groups: DataFrame): DataFrame = {
     val quality = TextFunctions.qualityScore(docs).select(col("doc_id"), col("quality"))
     groups.join(quality, "doc_id")
       .groupBy(col("group_id"))
@@ -95,6 +109,11 @@ object PipelineQueries {
         max(col("quality")).as("best_quality"))
       .orderBy(col("group_id"))
   }
+
+  /** dd7 probing a pre-built dup-groups index instead of recomputing
+    * the propagation inline. */
+  def canonicalDocsFromIndex(s: SparkSession, indexPath: String, docs: DataFrame): DataFrame =
+    canonicalDocs(docs, Dedup.dupGroupsReadIndex(s, indexPath))
 
   /** dd6's recursive-closure oracle extended with tx2's quality
     * expression; the per-group argmax mirrors max_by's (quality,
@@ -237,6 +256,14 @@ object PipelineQueries {
     Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
   }
 
+  /** ss8: recall@k of each ANN variant vs ss1's exact top-k at the
+    * registry's default parameters — rows-gated (engine-specific
+    * metric), floors pinned in SimilaritySpec. */
+  def ss8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
+  }
+
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
     * DECIMAL accumulation mirrors the Spark plan exactly. */
@@ -291,6 +318,7 @@ object PipelineQueries {
     ("ss5_pq_ann", ss5 _, null),
     ("ss6_knn_classify", ss6 _, ss6Sql),
     ("ss7_ivfpq_ann", ss7 _, null),
+    ("ss8_ann_recall", ss8 _, null),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

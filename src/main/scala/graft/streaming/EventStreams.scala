@@ -11,8 +11,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale design: windowed counts shuffle on (window, event_type) with
   * partial aggregation and watermark-bounded state; sessionization
-  * keys state by user_id so state size is O(active users), evicted via
-  * ProcessingTime timeout. Both run identically against Kafka/file
+  * keys state by user_id and evicts via watermark + event-time
+  * timeout, so state size is O(active users). Both run identically against Kafka/file
   * sources at cluster scale — the source is a parameter, not a design
   * assumption.
   */
@@ -114,15 +114,39 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
-  /** Stateful gap-based sessionization (30-min inactivity) via
-    * mapGroupsWithState: mirrors CoreQueries.q21Sessionize batch
-    * semantics. Emits the running per-user session/event counters. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+  /** Stateful gap-based sessionization (30-min inactivity): mirrors
+    * CoreQueries.q21Sessionize batch semantics. Emits the running
+    * per-user session/event counters.
+    *
+    * State eviction: with `watermarkDelay = Some(d)` the stream gets an
+    * event-time watermark and EventTimeTimeout — once the watermark
+    * passes (last-seen + gap) the user's counter state is REMOVED, so
+    * state is O(users active within one gap+delay window), not O(every
+    * user ever seen). The trade: an evicted user who returns restarts
+    * their cumulative counters from zero — correct per-session
+    * semantics either way (any post-eviction event is necessarily a
+    * NEW session, since the watermark already passed last+gap; a
+    * pre-eviction late event would be dropped by the watermark before
+    * reaching this function), but lifetime totals become
+    * per-activity-epoch totals. Exact lifetime counters at bounded
+    * state is what q40's incremental batch aggregate is for.
+    *
+    * With `watermarkDelay = None` (NoTimeout) the counters are exact
+    * over the whole stream and state never evicts — only for bounded
+    * replays. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermarkDelay: Option[String] = None): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes.toLong * 60L * 1000L
 
     def update(userId: Long, evs: Iterator[Event],
-        state: GroupState[(Long, Long, Long)]): SessionUpdate = {
+        state: GroupState[(Long, Long, Long)]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        // watermark passed last-seen + gap: no on-time event can extend
+        // the current session — drop the counters, emit nothing
+        state.remove()
+        return Iterator.empty
+      }
       // state = (lastTsMs, nSessions, nEvents)
       var (lastTs, nSessions, nEvents) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
       evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
@@ -132,11 +156,18 @@ object EventStreams {
         lastTs = t
       }
       state.update((lastTs, nSessions, nEvents))
-      SessionUpdate(userId, nSessions, nEvents)
+      if (watermarkDelay.isDefined)
+        // never arm in the past (see closedSessions)
+        state.setTimeoutTimestamp(
+          math.max(lastTs + gapMs, state.getCurrentWatermarkMs() + 1L))
+      Iterator.single(SessionUpdate(userId, nSessions, nEvents))
     }
 
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    val timeout = if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), timeout)(update)
   }
 
   /** Closed-session emission via flatMapGroupsWithState: state holds

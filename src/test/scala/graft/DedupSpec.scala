@@ -202,4 +202,37 @@ class DedupSpec extends SparkTestBase {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("materialized dup-groups index: probe ≡ inline dd7 on the driver corpus") {
+    val t = Tables.documents(spark, Sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ddidx").toString
+    Dedup.dupGroupsWriteIndex(t, Dedup.ngramJaccardPairs(t, 1, 0.9), idx)
+    val inline = graft.queries.PipelineQueries.dd7(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val probed = graft.queries.PipelineQueries.canonicalDocsFromIndex(spark, idx, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(probed === inline)
+    assert(probed.nonEmpty)
+  }
+
+  test("dupGroups reliable-checkpoint path produces the same labeling") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i")
+    val chain = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (w.take(19) :+ "x0").mkString(" ")),
+      (3L, (w.take(18) ++ Seq("x0", "y0")).mkString(" ")),
+      (4L, "totally unrelated content z1 z2 z3 z4 z5 z6"),
+      (5L, w.mkString(" ")),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, 1, 0.9)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Dedup.dupGroups(chain, pairs, 50, Some(ckpt)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L))
+    // the reliable path actually wrote checkpoint data to the configured dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0)
+  }
 }

@@ -160,4 +160,35 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (truth & ann).size.toDouble / truth.size
     assert(recall >= 0.3, s"ANN recall $recall collapsed — bucketing broken")
   }
+
+  test("ss8 recall metric: matches hand-computed recall, floors hold per variant") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Similarity.annRecall(emb, q, 64, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // shape: one row per (variant, query)
+    assert(out.length === 4 * 5)
+    assert(out.map(_._1).distinct.sorted.toSeq ===
+      Seq("ss2_lsh", "ss3_ivf", "ss5_pq", "ss7_ivfpq"))
+    out.foreach { case (_, _, r) => assert(r >= 0.0 && r <= 1.0) }
+    // the registry metric must agree with recall computed by hand
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, q, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val handLsh = (0L until 5L).map(qid =>
+      qid -> (truth.filter(_._1 == qid) & lsh.filter(_._1 == qid)).size / 10.0).toMap
+    out.filter(_._1 == "ss2_lsh").foreach { case (_, qid, r) =>
+      assert(r === handLsh(qid), s"ss8 disagrees with hand recall for query $qid")
+    }
+    // per-variant mean floors at default params (same spirit as the
+    // individual collapse guards above — floors, not quality targets)
+    val mean = out.groupBy(_._1).map { case (v, rows) =>
+      v -> rows.map(_._3).sum / rows.length
+    }
+    assert(mean("ss2_lsh") >= 0.3)
+    assert(mean("ss3_ivf") >= 0.2)
+    assert(mean("ss5_pq") >= 0.2)
+    assert(mean("ss7_ivfpq") >= 0.1)
+  }
 }

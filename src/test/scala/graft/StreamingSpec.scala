@@ -232,4 +232,35 @@ class StreamingSpec extends SparkTestBase {
     assert(last(1L) === SessionUpdate(1L, 2L, 3L))
     assert(last(2L) === SessionUpdate(2L, 1L, 1L))
   }
+
+  test("sessionize with watermark evicts idle-user counter state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // gap 30 min, watermark delay 10 min
+    val q = EventStreams.sessionize(source.toDS(), 30, Some("10 minutes"))
+      .writeStream.format("memory").queryName("sessev").outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: two events, one session (timeline starts at 1000min —
+      // epoch 0 would collide with the initial watermark)
+      source.addData(Event(1, ts(1000), 1, "a", 0), Event(2, ts(1010), 1, "a", 0))
+      q.processAllAvailable()
+      val before = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(before === 1L) // user 1's counters are in the store
+      // user 9 far in the future pushes the watermark past user 1's
+      // timeout at 1010+30 = 1040min → user 1's state must evict
+      source.addData(Event(3, ts(1100), 9, "a", 0))
+      q.processAllAvailable()
+      source.addData(Event(4, ts(1101), 9, "a", 0)) // extra batch: timeout fires
+      q.processAllAvailable()
+      source.addData(Event(5, ts(1102), 9, "a", 0))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after === 1L) // ONLY user 9 remains — user 1 was dropped
+      // counters emitted before eviction were still the exact ones
+      val u1 = spark.table("sessev").as[SessionUpdate].collect()
+        .filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(u1 === SessionUpdate(1L, 1L, 2L))
+    } finally q.stop()
+  }
 }
