@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes scaled-up copies of a testdata directory so the 100 TB
+  * linearity claims can be checked empirically (driver testdata stops
+  * at sf0.1 and is read-only; these land under /tmp).
+  *
+  * `runMain graft.ScaleGen <baseDir> <outRoot> <r> [<r> ...]` writes
+  * `<outRoot>/x<r>/<table>.parquet` = the base directory replicated r
+  * times with disjoint key spaces:
+  *
+  *  - Fact keys (doc_id, vec_id, event_id, user_id, c_custkey,
+  *    o_orderkey/o_custkey, l_orderkey) shift by replica*STRIDE, so
+  *    joins stay key-correct and group counts (users, orders, docs)
+  *    grow linearly. Dimension tables (region/nation/part/supplier)
+  *    and dimension FKs (c_nationkey, l_partkey/l_suppkey) are kept,
+  *    so dimensional group-bys keep their cardinality while their
+  *    aggregates scale — which is what a bigger corpus looks like.
+  *  - Document text is passed through a per-replica substitution
+  *    cipher (letters rotated 1..25, digits 0..9 — 250 distinct
+  *    ciphers, all replicas distinct). A character bijection is a
+  *    token bijection, so every replica's shingle-set structure —
+  *    token frequencies, n-gram Jaccard graph, MinHash collision
+  *    behaviour — is isomorphic to the base corpus, while shingles
+  *    from different replicas (almost surely) never collide. Result:
+  *    dedup/near-dup output must scale EXACTLY r×; any super-linear
+  *    growth in candidates or time is an algorithmic red flag, not a
+  *    data artifact. (Naive replication without the cipher would make
+  *    every doc an r-way exact duplicate — r² pair growth by
+  *    construction, useless for a linearity test.)
+  *  - Embedding vectors are kept bit-identical under shifted vec_ids:
+  *    ANN/scan cost is what scales with corpus size, and identical
+  *    vectors leave centroid training inputs unchanged per replica.
+  */
+object ScaleGen {
+
+  /** Larger than any base key at sf≤1; replica key spaces never overlap. */
+  val STRIDE = 1000000000L
+
+  private val Lower  = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper  = Lower.toUpperCase
+  private val Digits = "0123456789"
+  private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+
+  /** Per-replica bijective character remap; replica 0 is the identity
+    * (the base corpus itself). Letter rotation 1..25 never maps a
+    * letter to itself; the digit rotation disambiguates replicas
+    * beyond 25. */
+  def cipher(c: Column, replica: Int): Column =
+    if (replica == 0) c
+    else {
+      val lr = 1 + (replica - 1) % 25
+      val dr = ((replica - 1) / 25) % 10
+      translate(c, Lower + Upper + Digits, rot(Lower, lr) + rot(Upper, lr) + rot(Digits, dr))
+    }
+
+  private def replicate(base: DataFrame, r: Int)(copy: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until r).map(i => copy(base, i)).reduce(_ unionByName _)
+
+  private def shift(c: String, i: Int): Column = (col(c) + lit(i * STRIDE)).as(c)
+
+  /** All tables of one scaled directory, as (name, frame) pairs. */
+  def scaled(spark: SparkSession, baseDir: String, r: Int): Seq[(String, DataFrame)] = {
+    val docs = replicate(Tables.documents(spark, baseDir), r) { (d, i) =>
+      d.select(shift("doc_id", i), cipher(col("text"), i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    val emb = replicate(Tables.embeddings(spark, baseDir), r) { (d, i) =>
+      d.select(shift("vec_id", i), col("embedding"), col("label"))
+    }
+    val ev = replicate(Tables.events(spark, baseDir), r) { (d, i) =>
+      d.select(shift("event_id", i), col("ts"), shift("user_id", i),
+        col("event_type"), col("value"), col("props"))
+    }
+    val cust = replicate(Tables.customer(spark, baseDir), r) { (d, i) =>
+      d.select(shift("c_custkey", i), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }
+    val ord = replicate(Tables.orders(spark, baseDir), r) { (d, i) =>
+      d.select(shift("o_orderkey", i), shift("o_custkey", i), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    }
+    val li = replicate(Tables.lineitem(spark, baseDir), r) { (d, i) =>
+      d.select(shift("l_orderkey", i), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+    }
+    Seq("documents" -> docs, "embeddings" -> emb, "events" -> ev,
+      "customer" -> cust, "orders" -> ord, "lineitem" -> li,
+      "region" -> Tables.region(spark, baseDir),
+      "nation" -> Tables.nation(spark, baseDir),
+      "part" -> Tables.part(spark, baseDir),
+      "supplier" -> Tables.supplier(spark, baseDir))
+  }
+
+  def writeScaled(spark: SparkSession, baseDir: String, outRoot: String, r: Int): String = {
+    val dir = s"$outRoot/x$r"
+    scaled(spark, baseDir, r).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir  = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot  = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
+    val replicas = { val r = args.drop(2).map(_.toInt); if (r.isEmpty) Array(3, 10, 30) else r }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicas.foreach { r =>
+      val dir = writeScaled(spark, baseDir, outRoot, r)
+      println(s"[scalegen] wrote $dir (base=$baseDir, replicas=$r)")
+    }
+    spark.stop()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.sources.CsvIngest
+import graft.sources.{AvroIngest, CsvIngest}
 
 /** SQL-string entry point + CSV-sourced query.
   *
@@ -127,6 +127,82 @@ object SqlQueries {
     s.sql(q43Sql)
   }
 
+  /** q53: per-nation aggregate over the Avro-ingested supplier table.
+    * Oracle reads the parquet original — Avro's binary encoding of
+    * long/double/string round-trips bit-exactly, so the hashes must
+    * match. nationkey is cast to BIGINT on both sides (Spark keeps
+    * INT, DuckDB widens). */
+  def q53(s: SparkSession, d: String): DataFrame =
+    AvroIngest.supplierAvro(s, d)
+      .groupBy(col("s_nationkey").cast("long").as("nation_key"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(18, 6))).cast("double").as("sum_acctbal"),
+        min(col("s_suppkey")).as("min_key"),
+        max(col("s_suppkey")).as("max_key"))
+      .orderBy(col("nation_key"))
+
+  val q53Sql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nation_key, COUNT(*) AS n_suppliers,
+      | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal,
+      | MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key
+      |FROM supplier
+      |GROUP BY 1
+      |ORDER BY nation_key""".stripMargin
+
+  /** q54: higher-moment summary statistics (stddev / skewness /
+    * kurtosis / correlation) per return flag — the profiling query a
+    * data-quality dashboard runs. Built-in stddev/skewness/kurtosis
+    * accumulate doubles in engine-specific order, so they can never
+    * hash-match across engines; instead the power sums Σx..Σx⁴, Σy,
+    * Σy², Σxy accumulate EXACTLY (DECIMAL(38,6) — wide enough for
+    * Σ(qty·price) at any SF without overflow) and the moments come
+    * from one fixed tree of IEEE double ops over those exact sums.
+    * SAME SQL text runs in Spark and DuckDB (q24 pattern), so the
+    * expression trees are structurally identical and sqrt is
+    * correctly-rounded in both — bit-exact hashes. One partial-agg
+    * friendly scan: 9 decimal sums, no second pass, no window.
+    * The sums convert to double THROUGH A STRING (CAST(x AS STRING)
+    * AS DOUBLE): text→double parse is correctly rounded in both
+    * engines, while DuckDB's direct decimal→double double-rounds
+    * (int128→double, then ×10⁻ˢᶜᵃˡᵉ) and drifts one ulp once a sum
+    * exceeds ~16 significant digits — which corr's cancellation then
+    * amplifies into a hash mismatch (observed at sf0.01).
+    * (l_quantity is integer-valued ≤ 50, so x²..x⁴ are exact in
+    * double before the cast; products with price stay well inside
+    * the 53-bit mantissa.) */
+  val q54Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx2,
+      |    CAST(CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx3,
+      |    CAST(CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx4,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sy2,
+      |    CAST(CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT flag, n, sx, sx2, sx3, sx4, sxy,
+      |    sx/n AS mx, sy/n AS my,
+      |    sx2/n - (sx/n)*(sx/n) AS vx,
+      |    sy2/n - (sy/n)*(sy/n) AS vy
+      |  FROM s)
+      |SELECT flag, CAST(n AS BIGINT) AS n_rows,
+      |  mx AS mean_qty,
+      |  sqrt(vx) AS std_qty,
+      |  (sx3/n - 3.0*mx*(sx2/n) + 2.0*mx*mx*mx) / (sqrt(vx)*sqrt(vx)*sqrt(vx)) AS skew_qty,
+      |  (sx4/n - 4.0*mx*(sx3/n) + 6.0*mx*mx*(sx2/n) - 3.0*mx*mx*mx*mx) / (vx*vx) AS kurt_qty,
+      |  (sxy/n - mx*my) / (sqrt(vx)*sqrt(vy)) AS corr_qty_price
+      |FROM m
+      |ORDER BY flag""".stripMargin
+
+  def q54(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q54Sql)
+  }
+
   /** (name, spark-fn, oracle-sql) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q23_csv_ingest", q23 _, q23Sql),
@@ -134,5 +210,7 @@ object SqlQueries {
     ("q25_sql_segment_orders", q25 _, q25Sql),
     ("q26_json_ingest", q26 _, q26Sql),
     ("q43_grouping_sets", q43 _, q43Sql),
+    ("q53_avro_ingest", q53 _, q53Sql),
+    ("q54_summary_stats", q54 _, q54Sql),
   )
 }

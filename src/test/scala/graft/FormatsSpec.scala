@@ -28,6 +28,30 @@ class FormatsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("Avro round-trip is value-exact and null-safe") {
+    import graft.sources.AvroIngest
+    val base = Files.createTempDirectory("graft-avro").toString
+    val sup = Tables.supplier(spark, Sf0001)
+    AvroIngest.writeAvro(sup, s"$base/sup")
+    val back = AvroIngest.avro(spark, s"$base/sup", AvroIngest.supplierSchema)
+    assert(back.count() === sup.count())
+    // bit-exact round-trip of long/int/double/string, compared as sets
+    val a = sup.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(b === a)
+    // nulls survive the union(null, T) encoding
+    import spark.implicits._
+    val withNulls = Seq((1L, Option("x"), Option(2.5)), (2L, None, None))
+      .toDF("id", "s", "v")
+    AvroIngest.writeAvro(withNulls, s"$base/nulls")
+    val nb = AvroIngest.avro(spark, s"$base/nulls",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    assert(nb.collect().map(_.toSeq).toSet === withNulls.collect().map(_.toSeq).toSet)
+  }
+
   test("ORC scans get predicate pushdown and column pruning too") {
     val base = Files.createTempDirectory("graft-orc-pd").toString
     Tables.documents(spark, Sf0001).write.mode("overwrite").orc(s"$base/docs")

@@ -77,4 +77,38 @@ class SqlQueriesSpec extends SparkTestBase {
       assert(r.isNullAt(1) === (r.getLong(3) == 1L))
     }
   }
+
+  test("q53 Avro round-trip: Avro-sourced aggregate equals the parquet answer") {
+    val fromAvro = SqlQueries.q53(spark, Sf0001).collect()
+    val fromParquet = Tables.supplier(spark, Sf0001)
+      .groupBy(col("s_nationkey").cast("long").as("nation_key"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(18, 6))).cast("double").as("sum_acctbal"),
+        min(col("s_suppkey")).as("min_key"), max(col("s_suppkey")).as("max_key"))
+      .orderBy(col("nation_key")).collect()
+    assert(fromAvro.toSeq === fromParquet.toSeq)
+    assert(fromAvro.nonEmpty)
+  }
+
+  test("q54 exact-moment stats agree with Spark's built-in estimators") {
+    val rows = SqlQueries.q54(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ref = Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        stddev_pop(col("l_quantity")).as("sd"),
+        skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"), // Spark reports EXCESS kurtosis
+        corr(col("l_quantity"), col("l_extendedprice")).as("co"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    rows.foreach { r =>
+      val (n, sd, sk, ku, co) = ref(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(3) - sd) < 1e-9, "std")
+      assert(math.abs(r.getDouble(4) - sk) < 1e-9, "skew")
+      assert(math.abs((r.getDouble(5) - 3.0) - ku) < 1e-9, "kurtosis")
+      assert(math.abs(r.getDouble(6) - co) < 1e-9, "corr")
+    }
+  }
 }
