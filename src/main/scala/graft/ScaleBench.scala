@@ -39,12 +39,17 @@ object ScaleBench {
     catch { case _: Throwable => () }
     val rows = for (name <- names; (label, dir) <- points) yield {
       val fn = SparkEntry.queries(name)
-      var outRows = -1L
+      // One untimed count records output-size linearity. The TIMED runs
+      // use the noop sink: count() would let Catalyst prune whole
+      // Window operators and unused expensive projections (a window
+      // query "scales flat" under count() because only the scan runs);
+      // noop materializes every output column without write-side cost.
+      val outRows = fn(spark, dir).count()
       val times = (1 to repeat).map { _ =>
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
-        outRows = fn(spark, dir).count()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[scale] $name%-22s $label%-6s rows=$outRows%-9d min=${times.min}%7.2fs  all=${times.map(t => f"$t%.2f").mkString(",")}")

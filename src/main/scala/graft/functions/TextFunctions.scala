@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.D text-analysis operators over a documents-shaped table.
   *
@@ -547,6 +548,66 @@ object TextFunctions {
       |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(freq) AS BIGINT) AS sum_freq,
       | CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_freq
       |FROM occ JOIN freq USING (token)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** tx17: bigram language-model scoring — tx14's unigram signal
+    * upgraded to CONDITIONAL probability: each document scored by the
+    * mean MLE bigram probability p(w2|w1) = count(w1 w2)/count(w1 ·)
+    * of its adjacent token pairs. Templated/boilerplate text scores
+    * near 1 (every transition is the corpus's favorite), shuffled or
+    * garbled text scores near the unigram floor — a sharper
+    * fluency/quality gate than any per-token statistic, and the exact
+    * quantity an n-gram-LM perplexity filter thresholds on.
+    * Probability, not log-probability, on purpose: each p is one IEEE
+    * division of exact counts and the mean is an exact DECIMAL sum
+    * over them — bit-deterministic in both engines, where libm log
+    * rounding could diverge in the last ulp.
+    *
+    * Scale: the bigram and left-context tables are explode→groupBy
+    * (map-side partial agg; shuffle = distinct bigrams per task, NOT
+    * occurrences); the probability lookup is a shuffle hash join on
+    * (w1, w2) — vocabulary² outgrows any broadcast, same non-broadcast
+    * decision as tx14; hot function-word bigrams skew the key — AQE
+    * skew-split. Per-doc mean partial-combines. Nothing is all-pairs
+    * and no driver state anywhere. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    // adjacent pairs, 0-indexed: (ts[i-1], ts[i]) for i in 1..size-1
+    val bi = docs
+      .select(col("doc_id"), expr(tokensExpr).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val left = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val probs = pair.join(left, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+    bi.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("mean_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      | FROM documents),
+      |bi AS (
+      | SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      | FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+      | WHERE len(ts) >= 2),
+      |lft AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+      |pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+      |probs AS (
+      | SELECT w1, w2, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+      | FROM pair JOIN lft USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_bigram_p
+      |FROM bi JOIN probs USING (w1, w2)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 

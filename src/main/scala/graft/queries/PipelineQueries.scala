@@ -293,6 +293,7 @@ object PipelineQueries {
   def tx14(s: SparkSession, d: String): DataFrame = TextFunctions.rarityScore(Tables.documents(s, d))
   def tx15(s: SparkSession, d: String): DataFrame = TextFunctions.heavyHitters(Tables.documents(s, d))
   def tx16(s: SparkSession, d: String): DataFrame = TextFunctions.curate(Tables.documents(s, d))
+  def tx17(s: SparkSession, d: String): DataFrame = TextFunctions.bigramLm(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -335,6 +336,7 @@ object PipelineQueries {
     ("tx14_rarity", tx14 _, TextFunctions.rarityScoreSql),
     ("tx15_heavy_hitters", tx15 _, null),
     ("tx16_curate", tx16 _, TextFunctions.curateSql(10, 0.05, 512)),
+    ("tx17_bigram_lm", tx17 _, TextFunctions.bigramLmSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
