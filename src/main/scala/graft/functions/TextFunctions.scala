@@ -611,6 +611,67 @@ object TextFunctions {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** tx18: per-domain token caps — the static MIXTURE step of a
+    * training-data pipeline: no source may contribute more than capX×
+    * the smallest source's token total, enforced by deterministic
+    * per-source down-sampling. This is how a web-dump-dominated corpus
+    * gets rebalanced toward books/reference without upsampling
+    * anything.
+    *
+    * Everything is exact integer arithmetic so both engines agree
+    * bit-for-bit: the per-source keep-rate is the integer
+    * ⌊65536·capX·t_min / t_src⌋ (never a float), and a doc is kept iff
+    * its first four md5 hex digits — uniform over [0, 65536) — sort
+    * below that cutoff rendered as zero-padded hex ('zzzz' = keep-all,
+    * sorting above every hex quad; q38's trick at 256× resolution).
+    * Same doc set on every run/engine/retry/partitioning — the
+    * reproducibility a published data recipe needs.
+    *
+    * Scale: one map-side tokenize + partial-agg per source (shuffle =
+    * |sources| rows), a broadcast of the per-source cutoffs back onto
+    * the scan, and the keep decision is a map-side filter — the
+    * second pass never shuffles a document. The audit output here is
+    * the |sources|-row summary; the kept rows themselves stay where
+    * they were scanned. */
+  def domainCap(docs: DataFrame, capX: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(expr(tokensExpr)).cast("long").as("n_toks"))
+    val bySrc = toks.groupBy(col("source")).agg(sum(col("n_toks")).as("tot"))
+    val tmin = bySrc.agg(min(col("tot")).as("t_min"))
+    val cuts = bySrc.crossJoin(broadcast(tmin))
+      .withColumn("cut", expr(s"(65536L * $capX * t_min) div tot"))
+      .select(col("source"), col("tot"),
+        when(col("cut") >= 65536L, lit("zzzz"))
+          .otherwise(format_string("%04x", col("cut"))).as("cut_s"))
+    toks.join(broadcast(cuts), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("cut_s"))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("total_tokens"),
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_toks")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  def domainCapSql(capX: Int): String =
+    s"""WITH toks AS (
+      | SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+      | FROM documents),
+      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tot FROM toks GROUP BY source),
+      |cuts AS (
+      | SELECT source, tot,
+      |  CASE WHEN (65536 * $capX * (SELECT MIN(tot) FROM src)) // tot >= 65536
+      |   THEN 'zzzz'
+      |   ELSE printf('%04x', (65536 * $capX * (SELECT MIN(tot) FROM src)) // tot)
+      |  END AS cut_s
+      | FROM src)
+      |SELECT t.source, MAX(c.tot) AS total_tokens, COUNT(*) AS n_docs_kept,
+      | CAST(SUM(t.n_toks) AS BIGINT) AS tokens_kept
+      |FROM toks t JOIN cuts c USING (source)
+      |WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < c.cut_s
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   /** tx15: heavy hitters — approximate hot tokens via the mergeable
     * Misra–Gries aggregate (graft.functions.MisraGries). tx6 answers
     * the same question EXACTLY but must shuffle one row per distinct

@@ -199,6 +199,58 @@ object Dedup {
     verifyJaccard(cand, sh, threshold, None)
   }
 
+  /** dd9: incremental dedup — near-dup pairs between a new DELTA batch
+    * and the already-deduped INDEX corpus, WITHOUT recomputing the
+    * corpus-wide pair graph. This is the nightly-ingest shape: the
+    * daily crawl is a sliver of the corpus, and rescanning every
+    * historical pair (dd2) to admit it would make ingest cost grow
+    * with history instead of with the delta.
+    *
+    * Same exact-answer machinery as dd2's large-vocab path — global
+    * prefix filtering then full-set verification — but with two
+    * incremental twists:
+    *  - the candidate equi-join is delta-prefixes × index-prefixes
+    *    only: candidate volume is O(|delta| · df), never index²;
+    *  - the document-frequency ordering comes from the INDEX side
+    *    alone. Prefix filtering is correct under ANY global total
+    *    order of shingles, so using index-side df (stable statistics a
+    *    real pipeline materializes once per corpus version, here a
+    *    left join with unseen-shingle df = 0) keeps the guarantee
+    *    while the delta batch contributes nothing to the stats pass.
+    * Delta-only shingles get df 0 — rarest — which is also the right
+    * heuristic: genuinely novel text lands in the prefix and collides
+    * with nothing.
+    *
+    * Output = exactly the dd2 pairs with one endpoint in each split
+    * (oracle-verified): (doc_new, doc_old, jaccard). */
+  def incrementalDedup(docs: DataFrame, n: Int, threshold: Double,
+      isDelta: Column): DataFrame = {
+    val sh = withShingles(docs, n)
+      .join(docs.select(col("doc_id"), isDelta.as("is_delta")), "doc_id")
+      .cache()
+    val inv = sh.select(col("doc_id"), col("is_delta"),
+      size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
+    val dfreq = inv.filter(!col("is_delta")).groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = inv.join(dfreq, Seq("sh"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+      .select(col("doc_id"), col("is_delta"), col("sh"))
+    val a = prefix.filter(col("is_delta")).select(col("doc_id").as("doc_new"), col("sh"))
+    val b = prefix.filter(!col("is_delta")).select(col("doc_id").as("doc_old"), col("sh"))
+    val cand = a.join(b, "sh").select(col("doc_new"), col("doc_old")).distinct()
+    val sa = sh.select(col("doc_id").as("doc_new"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_old"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_new").join(sb, "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   private val MinhashK = 64
   private val Bands = 16 // x 4 rows: P(candidate | s=0.9) ≈ 1 - 3.6e-8
 

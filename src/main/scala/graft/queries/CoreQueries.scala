@@ -1296,6 +1296,47 @@ object CoreQueries {
       |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
       |ORDER BY s_nationkey, s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Event-sequence pattern matching (the MATCH_RECOGNIZE shape):
+    * each user's events become one ordered type-string, and a regex
+    * counts non-overlapping `click (view)* purchase` runs — i.e.
+    * conversions that may route through browsing but through nothing
+    * else. q27's funnel asks "did B happen within Δt of A"; this asks
+    * "did the PATH match", which no per-pair join can express.
+    *
+    * Determinism: the sort key (ts, event_id) is unique per user, and
+    * both engines' regex families (java.util.regex here, RE2 in the
+    * oracle) agree on leftmost non-overlapping greedy matching for a
+    * pattern with no backtracking ambiguity.
+    *
+    * Scale: one shuffle keyed on user_id (the same width as any
+    * sessionization — each event travels once); per-user state is that
+    * user's event count, bounded by activity not corpus size, and the
+    * path string is built AFTER the aggregate, map-side. A skewed
+    * mega-user is AQE's skew problem, same as q21. */
+  def q55SequenceMatch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " ").as("path"))
+      .select(col("user_id"), col("n_events"),
+        size(regexp_extract_all(col("path"), lit("click( view)* purchase"), lit(0)))
+          .cast("long").as("n_conversions"))
+      .orderBy(col("user_id"))
+  }
+
+  val q55Sql: String =
+    """WITH p AS (
+      | SELECT user_id, COUNT(*) AS n_events,
+      |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS path
+      | FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      | CAST(len(regexp_extract_all(path, 'click( view)* purchase')) AS BIGINT)
+      |  AS n_conversions
+      |FROM p ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1344,5 +1385,6 @@ object CoreQueries {
     ("q50_cohort_retention", q50CohortRetention _, q50Sql),
     ("q51_multiset_ops", q51MultisetOps _, q51Sql),
     ("q52_rank_stats", q52RankStats _, q52Sql),
+    ("q55_sequence_match", q55SequenceMatch _, q55Sql),
   )
 }

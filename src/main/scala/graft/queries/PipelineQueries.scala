@@ -166,6 +166,28 @@ object PipelineQueries {
       |GROUP BY group_id
       |ORDER BY group_id""".stripMargin
 
+  /** dd9: the nightly-ingest split — a deterministic ~1/16 of doc_ids
+    * (md5 first hex digit '0') plays the incoming delta batch, the
+    * rest the standing corpus. Same reproducibility trick as q32. */
+  def dd9(s: SparkSession, d: String): DataFrame =
+    Dedup.incrementalDedup(Tables.documents(s, d), 1, JaccardThreshold,
+      substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+
+  /** Naive cross-split all-pairs in DuckDB (quadratic fine at oracle SF). */
+  val dd9Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws,
+      |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_delta
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+      | CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |  (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+      |FROM docs a, docs b
+      |WHERE a.is_delta AND NOT b.is_delta AND len(a.ws) > 0 AND len(b.ws) > 0
+      | AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |  (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardThreshold
+      |ORDER BY doc_new, doc_old""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -294,6 +316,7 @@ object PipelineQueries {
   def tx15(s: SparkSession, d: String): DataFrame = TextFunctions.heavyHitters(Tables.documents(s, d))
   def tx16(s: SparkSession, d: String): DataFrame = TextFunctions.curate(Tables.documents(s, d))
   def tx17(s: SparkSession, d: String): DataFrame = TextFunctions.bigramLm(Tables.documents(s, d))
+  def tx18(s: SparkSession, d: String): DataFrame = TextFunctions.domainCap(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -312,6 +335,7 @@ object PipelineQueries {
     ("dd7_canonical_docs", dd7 _, dd7Sql),
     ("dd5_embed_dup", dd5 _, null),
     ("dd8_dup_spans", dd8 _, Dedup.dupSpansSql(10)),
+    ("dd9_incremental", dd9 _, dd9Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
@@ -337,6 +361,7 @@ object PipelineQueries {
     ("tx15_heavy_hitters", tx15 _, null),
     ("tx16_curate", tx16 _, TextFunctions.curateSql(10, 0.05, 512)),
     ("tx17_bigram_lm", tx17 _, TextFunctions.bigramLmSql),
+    ("tx18_domain_cap", tx18 _, TextFunctions.domainCapSql(2)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

@@ -166,4 +166,22 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(df.map(_.toSeq).toSeq === sql.map(_.toSeq).toSeq)
     assert(df.nonEmpty)
   }
+
+  test("q55 conversion counts equal a JVM-regex reference for every user") {
+    val out = CoreQueries.q55SequenceMatch(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, Sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pat = "click( view)* purchase".r
+    val ref = ev.groupBy(_._1).map { case (u, rs) =>
+      val path = rs.map(e => (e._2, e._3, e._4)).sortBy(e => (e._1, e._2))
+        .map(_._3).mkString(" ")
+      u -> ((rs.length.toLong, pat.findAllIn(path).length.toLong))
+    }
+    assert(out.keySet === ref.keySet)
+    ref.foreach { case (u, expected) => assert(out(u) === expected, s"user $u") }
+    // the pattern actually fires somewhere in the corpus
+    assert(out.values.map(_._2).sum > 0L)
+  }
 }

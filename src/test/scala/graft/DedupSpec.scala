@@ -235,4 +235,26 @@ class DedupSpec extends SparkTestBase {
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0)
   }
+
+  test("dd9 incremental ≡ cross-side restriction of the full dd2 answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dd2's prefix-path fixture, split: originals = index, 1000+ = delta.
+    def toks(i: Int): Seq[String] = (0 until 20).map(j => s"t${(7 * i + j) % 300}")
+    val rows = (0 until 60).map(i => (i.toLong, toks(i).mkString(" "))) ++
+      (0 until 60).map(i => ((1000 + i).toLong,
+        (toks(i).drop(1) :+ s"t${(7 * i) % 300}x").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val t = 0.7
+    val inc = Dedup.incrementalDedup(docs, 1, t, col("doc_id") >= 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (old, new)
+    // reference: the FULL pair graph, restricted to one endpoint per side
+    val full = Dedup.ngramJaccard(docs, 1, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a < 1000L && b >= 1000L }
+    assert(inc === expected)
+    assert(inc.nonEmpty)
+    // nothing intra-delta or intra-index leaks into the incremental answer
+    assert(inc.forall { case (old, nw) => old < 1000L && nw >= 1000L })
+  }
 }
