@@ -43,38 +43,84 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Dictionary-encoded bitmap representation of the shingle sets when
-    * the vocabulary fits in 64 bits: (doc_id, mask) where bit i = the
-    * i-th vocabulary shingle is present. Set intersection/union then
-    * collapse to `bit_count(a & b)` / `bit_count(a | b)` — a handful
-    * of codegen'd integer ops per pair instead of shuffling and
-    * intersecting string arrays. One metadata aggregation discovers
-    * the vocabulary; at 100 TB with a real vocabulary this path simply
-    * doesn't trigger and the prefix-filter path runs instead. */
+  private val MaxCompVocab = 4096
+
+  /** Dictionary-encoded bitmap representation of the shingle sets,
+    * generalized to a PARTITIONED vocabulary: shingles are grouped
+    * into co-occurrence components (two shingles connect iff some
+    * document contains both), and each component with ≤ 64 members
+    * gets its own 64-bit dictionary. A document's shingles always lie
+    * in exactly ONE component — the doc itself is a clique through
+    * them — so each doc encodes to one (comp, mask) row, and near-dup
+    * pairs, which must share a shingle, are always same-component:
+    * the pair search never crosses components by construction. That
+    * is what makes this path survive corpus REPLICATION: r disjoint
+    * sub-corpora (crawl snapshots, languages, template families) are
+    * r independent components, each with its own dense 64-bit code
+    * space, where the flat ≤64-token path would bail at r=2 and the
+    * prefix path degenerates (a tiny per-replica vocabulary makes
+    * every "rare" shingle common — prefixes stop pruning and the
+    * candidate join goes quadratic; measured 134M candidates on a 3×
+    * replica of the sf0.1 corpus). Set ops still collapse to
+    * bit_count(a&b)/bit_count(a|b) — codegen'd integer ops per pair,
+    * no string arrays on the wire.
+    *
+    * Probing stays strictly bounded. The 32-row sample bails the
+    * moment any single document holds > 64 distinct shingles (its
+    * component can never fit) — the real-corpus exit, one narrow
+    * scan. Otherwise the vocabulary (≤ MaxCompVocab+1 rows) and the
+    * star edge set (per-doc array_min anchor → shingle, distinct,
+    * hard-capped) are the only driver collects, and union-find over
+    * ≤ MaxCompVocab tokens is driver-side trivia. Any component over
+    * 64 tokens ⇒ None ⇒ the PPJoin prefix path. */
   private def smallVocabMasks(sh: DataFrame): Option[DataFrame] = {
     val spark = sh.sparkSession
     import spark.implicits._
-    // Sampled pre-check first: if 32 documents already use > 64
-    // distinct shingles the vocabulary cannot fit a mask, and the
-    // full explode+distinct probe job is skipped entirely — at corpus
-    // scale (always large-vocab) the bitmap question costs one
-    // 32-row narrow scan, not a distinct over every token.
     val sampled = sh.select(col("shingles")).limit(32).collect()
     val sampleVocab = scala.collection.mutable.HashSet.empty[String]
-    sampled.foreach(r => sampleVocab ++= r.getSeq[String](0))
-    if (sampleVocab.size > 64) return None
-    // limit(65) bounds the driver-side collect: either the vocabulary
-    // fits a mask or we learn so after 65 rows, never a full scan out.
-    val toks = sh.select(explode(col("shingles")).as("sh")).distinct()
-      .as[String].limit(65).collect()
-    if (toks.length > 64) None
-    else {
-      val ids = toks.sorted.zipWithIndex.toSeq.toDF("sh", "bit")
-      Some(sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-        .join(broadcast(ids), "sh")
-        .groupBy("doc_id")
-        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask")))
+    var maxDocDistinct = 0
+    sampled.foreach { r =>
+      val s = r.getSeq[String](0)
+      maxDocDistinct = math.max(maxDocDistinct, s.size)
+      sampleVocab ++= s
     }
+    if (maxDocDistinct > 64 || sampleVocab.size > MaxCompVocab) return None
+    val toks = sh.select(explode(col("shingles")).as("sh")).distinct()
+      .as[String].limit(MaxCompVocab + 1).collect()
+    if (toks.length > MaxCompVocab) return None
+    val dict: Seq[(String, Int, Int)] =
+      if (toks.length <= 64) {
+        toks.sorted.zipWithIndex.map { case (t, i) => (t, 0, i) }.toSeq
+      } else {
+        // Star edges give full connectivity at O(shingles-per-doc)
+        // rows (never the per-doc clique): every shingle links to its
+        // document's array_min anchor.
+        val edgeCap = 1 << 20
+        val edges = sh.select(array_min(col("shingles")).as("a"),
+            explode(col("shingles")).as("b"))
+          .distinct().as[(String, String)].limit(edgeCap + 1).collect()
+        if (edges.length > edgeCap) return None
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val comps = toks.groupBy(find).toSeq.sortBy(_._1)
+        if (comps.exists(_._2.length > 64)) return None
+        comps.zipWithIndex.flatMap { case ((_, ts), ci) =>
+          ts.sorted.zipWithIndex.map { case (t, bit) => (t, ci, bit) }
+        }
+      }
+    val ids = dict.toDF("sh", "comp", "bit")
+    Some(sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(broadcast(ids), "sh")
+      .groupBy("doc_id")
+      .agg(min(col("comp")).as("comp"),
+        bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask")))
   }
 
   private def maskJaccard(a: Column, b: Column): Column =
@@ -91,11 +137,17 @@ object Dedup {
       masksOpt: Option[DataFrame]): DataFrame = {
     val scored = masksOpt match {
       case Some(masks) =>
-        val ma = masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
-        val mb = masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))
+        val ma = masks.select(col("doc_id").as("doc_a"),
+          col("comp").as("comp_a"), col("mask").as("mask_a"))
+        val mb = masks.select(col("doc_id").as("doc_b"),
+          col("comp").as("comp_b"), col("mask").as("mask_b"))
         cand.join(broadcast(ma), "doc_a").join(broadcast(mb), "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            maskJaccard(col("mask_a"), col("mask_b")).as("jaccard"))
+            // cross-component docs share no shingles: jaccard 0 by
+            // construction, and their bit patterns are incomparable
+            when(col("comp_a") === col("comp_b"),
+              maskJaccard(col("mask_a"), col("mask_b")))
+              .otherwise(lit(0.0)).as("jaccard"))
       case None =>
         val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
         val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
@@ -131,20 +183,25 @@ object Dedup {
   }
 
   /** Small-vocab exact all-pairs: docs collapse to their distinct
-    * bitmasks first (identical sets are interchangeable; identical-mask
-    * pairs are jaccard exactly 1.0 with no comparison at all), and the
-    * distinct masks are pair-generated by a Hamming band equi-join, NOT
-    * an m×m nested loop: jaccard(A,B) ≥ t bounds the symmetric
-    * difference |A Δ B| = |A∪B|·(1−J) ≤ 64·(1−t) bits, so splitting
-    * the 64-bit mask into ⌊64(1−t)⌋+1 bit-ranges guarantees (pigeonhole)
-    * every qualifying pair agrees EXACTLY on at least one full band.
+    * (component, bitmask) first (identical sets are interchangeable;
+    * identical-mask pairs are jaccard exactly 1.0 with no comparison
+    * at all), and the distinct masks are pair-generated by a Hamming
+    * band equi-join, NOT an m×m nested loop: jaccard(A,B) ≥ t bounds
+    * the symmetric difference |A Δ B| = |A∪B|·(1−J) ≤ 64·(1−t) bits,
+    * so splitting the 64-bit mask into ⌊64(1−t)⌋+1 bit-ranges
+    * guarantees (pigeonhole) every qualifying pair agrees EXACTLY on
+    * at least one full band. The component id is part of every join
+    * key, so disjoint sub-vocabularies never collide — without it,
+    * all-zero band slices would pair every doc against every doc of
+    * every OTHER component (r² in the replica count).
     * Candidates are popcount-verified, so output = the exact answer
-    * while the join stays an equi-join on (band, band-bits) — the same
-    * sub-quadratic shape as the LSH paths, but with zero misses.
-    * Work is per-bucket; m = |distinct masks| never squares. */
+    * while the join stays an equi-join on (comp, band, band-bits) —
+    * the same sub-quadratic shape as the LSH paths, but with zero
+    * misses. Work is per-bucket; m = |distinct masks| never squares. */
   private def jaccardByMask(masksIn: DataFrame, threshold: Double): DataFrame = {
     val masks = masksIn.cache()
-    val groups = masks.groupBy("mask").agg(collect_list(col("doc_id")).as("ids")).cache()
+    val groups = masks.groupBy("comp", "mask")
+      .agg(collect_list(col("doc_id")).as("ids")).cache()
     // identical sets: jaccard exactly 1.0, all intra-group pairs
     val intra = groups.select(explode(col("ids")).as("da"), col("ids"))
       .select(col("da"), explode(col("ids")).as("db"))
@@ -159,21 +216,23 @@ object Dedup {
       val bits = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(k).as("band"), expr(s"(mask >> $lo) & $bits").as("bv"))
     }
-    val bands = groups.select(col("mask"), explode(array(bandCols: _*)).as("b"))
-      .select(col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val bands = groups.select(col("comp"), col("mask"), explode(array(bandCols: _*)).as("b"))
+      .select(col("comp"), col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
     val x = bands.as("x"); val y = bands.as("y")
     val maskPairs = x.join(y,
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.comp") === col("y.comp") &&
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.mask") < col("y.mask"))
-      .select(col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
+      .select(col("x.comp").as("comp"),
+        col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
         maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
       // filter BEFORE distinct so the dedup shuffle carries only
       // qualifying mask pairs, not the full band-join output
       .filter(col("jaccard") >= threshold)
       .distinct()
-    val ga = groups.select(col("mask").as("mask_a"), col("ids").as("ids_a"))
-    val gb = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
-    val cross = maskPairs.join(ga, "mask_a").join(gb, "mask_b")
+    val ga = groups.select(col("comp"), col("mask").as("mask_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("comp"), col("mask").as("mask_b"), col("ids").as("ids_b"))
+    val cross = maskPairs.join(ga, Seq("comp", "mask_a")).join(gb, Seq("comp", "mask_b"))
       .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
       .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
       .select(least(col("da"), col("db")).as("doc_a"),

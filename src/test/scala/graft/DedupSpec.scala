@@ -236,6 +236,40 @@ class DedupSpec extends SparkTestBase {
     assert(wrote > 0)
   }
 
+  test("dd2 component-mask path: disjoint sub-vocabularies match brute force") {
+    import spark.implicits._
+    // three sub-corpora with DISJOINT 30-token vocabularies: total
+    // vocab 90 > 64 (flat mask path impossible), every co-occurrence
+    // component 30 tokens (component path engages). This is ScaleGen's
+    // replica shape — the case where prefix filtering degenerates.
+    def toks(rep: Int, i: Int): Seq[String] =
+      (0 until 12).map(j => s"r${rep}t${(3 * i + j) % 30}")
+    val originals = for { rep <- 0 until 3; i <- 0 until 40 }
+      yield ((rep * 1000 + i).toLong, toks(rep, i).mkString(" "))
+    // near-dup: swap one token for an in-vocab absent one (j=11/13 ≈ .846)
+    val nears = for { rep <- 0 until 3; i <- 0 until 10 }
+      yield ((rep * 1000 + 100 + i).toLong,
+        (toks(rep, i).drop(1) :+ s"r${rep}t${(3 * i + 15) % 30}").mkString(" "))
+    // exact dup of doc i per replica
+    val exacts = for { rep <- 0 until 3; i <- 0 until 5 }
+      yield ((rep * 1000 + 200 + i).toLong, toks(rep, i).mkString(" "))
+    val rows = originals ++ nears ++ exacts
+    val docs = rows.toDF("doc_id", "text")
+    val t = 0.8
+    def set(s: String): Set[String] = s.split(" ").toSet
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = set(ta); sb = set(tb)
+      if (sa & sb).size.toDouble / (sa | sb).size >= t
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccard(docs, 1, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+    // the vocabularies are disjoint ⇒ no cross-replica pair may appear
+    assert(got.forall { case (a, b) => a / 1000 == b / 1000 })
+  }
+
   test("dd9 incremental ≡ cross-side restriction of the full dd2 answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
