@@ -39,6 +39,25 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ss9: exact cosine RANGE search — every corpus vector within a
+    * similarity radius of each query, the "find everything close
+    * enough" complement to top-k (duplicate sweeps and recall-oriented
+    * retrieval want a radius, not a count). Same plan skeleton as ss1
+    * minus even the top-k aggregate state: queries broadcast, corpus
+    * streams through one codegen'd scan, the radius test is a map-side
+    * filter — the corpus is never shuffled and nothing is buffered.
+    * Output size is data-dependent (that's the semantics); the
+    * presentation sort is the only exchange. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, minCosine: Double): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
   /** (query_id, vec_id, cosine) → best-k rows per query with ranks. */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))

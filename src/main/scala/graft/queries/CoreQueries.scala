@@ -1337,6 +1337,60 @@ object CoreQueries {
       |  AS n_conversions
       |FROM p ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Robust outlier detection via MAD (median absolute deviation) —
+    * the heavy-tail-safe complement to q54's moment statistics: a
+    * single fat order shifts stddev arbitrarily but moves the median
+    * and MAD not at all, so "dev > 3·MAD" flags genuine anomalies
+    * instead of inflating its own yardstick. Three stages: per-group
+    * median, deviations via a broadcast join back, per-group MAD, then
+    * one counting pass — group medians are |groups| rows, so both
+    * rejoins broadcast and the fact table is scanned, never shuffled,
+    * in every stage (the groupBy aggregates partial-combine).
+    *
+    * Determinism: medians are interpolated doubles rounded to 4
+    * decimals in BOTH engines (q14's convention) BEFORE re-entering
+    * arithmetic, so the dev and the 3·MAD comparison see bit-identical
+    * inputs — the strict > can't flip between engines. Exact
+    * percentile buffers each group's values (fine for bounded groups);
+    * at unbounded scale swap in q37's mergeable sketch. */
+  def q56MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      col("o_totalprice").cast("double").as("v"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(v, 0.5)"), 4).as("med"))
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * lit(3.0), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q56Sql: String =
+    """WITH o AS (
+      | SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+      |med AS (
+      | SELECT o_orderpriority, ROUND(quantile_cont(v, 0.5), 4) AS med
+      | FROM o GROUP BY o_orderpriority),
+      |dev AS (
+      | SELECT o.o_orderpriority, abs(v - med) AS dev, med
+      | FROM o JOIN med USING (o_orderpriority)),
+      |mad AS (
+      | SELECT o_orderpriority, ROUND(quantile_cont(dev, 0.5), 4) AS mad
+      | FROM dev GROUP BY o_orderpriority)
+      |SELECT d.o_orderpriority, MIN(d.med) AS med, MIN(m.mad) AS mad,
+      | COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN d.dev > m.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_outliers
+      |FROM dev d JOIN mad m USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority
+      |ORDER BY d.o_orderpriority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1386,5 +1440,6 @@ object CoreQueries {
     ("q51_multiset_ops", q51MultisetOps _, q51Sql),
     ("q52_rank_stats", q52RankStats _, q52Sql),
     ("q55_sequence_match", q55SequenceMatch _, q55Sql),
+    ("q56_mad_outliers", q56MadOutliers _, q56Sql),
   )
 }

@@ -286,6 +286,25 @@ object PipelineQueries {
     Similarity.annRecall(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
   }
 
+  private val RangeMinCosine = 0.25
+
+  def ss9(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.rangeSearch(emb, emb.filter(col("vec_id") < NQueries), RangeMinCosine)
+  }
+
+  /** ss9 is exact; same bit-exact DOUBLE[] cosine as ss1's oracle. */
+  val ss9Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings WHERE vec_id < $NQueries)
+      |SELECT q.query_id, e.vec_id,
+      | list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS cosine
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> q.query_id
+      | AND list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) >= $RangeMinCosine
+      |ORDER BY query_id, vec_id""".stripMargin
+
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
     * DECIMAL accumulation mirrors the Spark plan exactly. */
@@ -344,6 +363,7 @@ object PipelineQueries {
     ("ss6_knn_classify", ss6 _, ss6Sql),
     ("ss7_ivfpq_ann", ss7 _, null),
     ("ss8_ann_recall", ss8 _, null),
+    ("ss9_range_search", ss9 _, ss9Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

@@ -184,4 +184,33 @@ class CoreQueriesSpec extends SparkTestBase {
     // the pattern actually fires somewhere in the corpus
     assert(out.values.map(_._2).sum > 0L)
   }
+
+  test("q56 MAD outliers equal a JVM median/MAD reference per group") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Spark percentile(0.5): linear interpolation at index (n-1)/2
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val pos = (s.length - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val raw = Tables.orders(spark, Sf0001)
+      .selectExpr("o_orderpriority", "CAST(o_totalprice AS DOUBLE) AS v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val ref = raw.groupBy(_._1).map { case (p, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = round4(median(vs))
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = round4(median(devs))
+      p -> ((med, mad, vs.length.toLong, devs.count(_ > mad * 3.0).toLong))
+    }
+    val out = CoreQueries.q56MadOutliers(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === ref.keySet)
+    ref.foreach { case (p, e) => assert(out(p) === e, s"group $p") }
+    // uniform-ish prices legitimately yield zero 3·MAD outliers at
+    // this SF — assert the scale statistics are live, not the count
+    assert(out.values.forall(v => v._2 > 0.0 && v._3 > 0L))
+  }
 }

@@ -191,4 +191,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean("ss5_pq") >= 0.2)
     assert(mean("ss7_ivfpq") >= 0.1)
   }
+
+  test("ss9 range search: radius semantics, consistent with ss1's exact top-k") {
+    // planted: the exact copy (cosine 1.0) is inside any radius; the
+    // result set is exactly the brute-force rows at-or-above it
+    val out = Similarity.rangeSearch(corpus, queries, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(r => r._2 == 101L && math.abs(r._3 - 1.0) < 1e-9))
+    out.foreach { case (_, _, c) => assert(c >= 0.5) }
+    // cross-check against ss1 on the driver corpus: every exact top-k
+    // row with cosine ≥ τ must appear in the range result, and every
+    // range row must score ≥ τ (no false admits)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 3)
+    val tau = 0.25
+    val rng = Similarity.rangeSearch(emb, q, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val topk = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val rngKeys = rng.map(r => (r._1, r._2)).toSet
+    topk.filter(_._3 >= tau).foreach { case (qid, vid, _) =>
+      assert(rngKeys.contains((qid, vid)), s"missing ($qid, $vid)")
+    }
+    rng.foreach { case (_, _, c) => assert(c >= tau) }
+    assert(rng.nonEmpty)
+  }
 }
