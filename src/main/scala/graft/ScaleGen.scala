@@ -42,18 +42,43 @@ object ScaleGen {
   private val Lower  = "abcdefghijklmnopqrstuvwxyz"
   private val Upper  = Lower.toUpperCase
   private val Digits = "0123456789"
-  private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+
+  private def splitmix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic Fisher–Yates permutation of an alphabet. */
+  private def permute(alpha: String, seed: Long): String = {
+    val a = alpha.toCharArray
+    var s = seed
+    for (i <- a.length - 1 to 1 by -1) {
+      s = splitmix(s)
+      val j = java.lang.Math.floorMod(s, (i + 1).toLong).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+    }
+    new String(a)
+  }
 
   /** Per-replica bijective character remap; replica 0 is the identity
-    * (the base corpus itself). Letter rotation 1..25 never maps a
-    * letter to itself; the digit rotation disambiguates replicas
-    * beyond 25. */
+    * (the base corpus itself). Each other replica applies an
+    * independent seeded PERMUTATION of the letter and digit alphabets
+    * — not a rotation: rotations admit only 25 distinct letter maps,
+    * so replicas 1 and 26 would share every letter-only token and
+    * near-dup at any threshold their digit content allows (observed:
+    * +27% spurious cross-replica pairs at r=30). Independent
+    * permutations agree on ~1 letter in expectation, so a token
+    * survives two replicas identically only with vanishing
+    * probability — the "replicas (almost surely) never collide"
+    * contract holds for any practical r. */
   def cipher(c: Column, replica: Int): Column =
     if (replica == 0) c
     else {
-      val lr = 1 + (replica - 1) % 25
-      val dr = ((replica - 1) / 25) % 10
-      translate(c, Lower + Upper + Digits, rot(Lower, lr) + rot(Upper, lr) + rot(Digits, dr))
+      val lp = permute(Lower, 2L * replica)
+      val dp = permute(Digits, 2L * replica + 1L)
+      translate(c, Lower + Upper + Digits, lp + lp.toUpperCase + dp)
     }
 
   private def replicate(base: DataFrame, r: Int)(copy: (DataFrame, Int) => DataFrame): DataFrame =

@@ -39,6 +39,16 @@ class ScaleGenSpec extends SparkTestBase {
       3 * base.agg(sum("n_chars")).head.getLong(0))
   }
 
+  test("ciphers stay pairwise-distinct on letters beyond 25 replicas") {
+    import spark.implicits._
+    // rotations would repeat at replica 26 — permutations must not
+    val probe = Seq("abcdefghijklmnopqrstuvwxyz").toDF("text")
+    val imgs = (0 until 40).map { r =>
+      probe.select(ScaleGen.cipher(col("text"), r)).head.getString(0)
+    }
+    assert(imgs.distinct.size === 40)
+  }
+
   test("near-dup pair count scales exactly linearly on the x3 corpus") {
     val basePairs = Dedup.ngramJaccard(
       Tables.documents(spark, Sf0001).select("doc_id", "text"), 3, 0.8).count()
