@@ -237,4 +237,28 @@ object EventStreams {
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(update)
   }
+
+  /** Session aggregation via Spark's NATIVE session_window — the
+    * declarative twin of [[closedSessions]]: Catalyst merges
+    * gap-extended intervals per (user, session) in the streaming
+    * aggregation state store, the watermark closes sessions and emits
+    * one aggregate row each (Append mode). State is one row per OPEN
+    * session — same O(active users) bound as the custom state
+    * machine, with none of its code: partial merges, late-data
+    * handling and eviction all come from the engine. Prefer this form
+    * whenever the per-session result is expressible as an aggregate;
+    * flatMapGroupsWithState stays for custom state machines
+    * (mid-session emission, running per-user counters). Session end =
+    * last event + gap (the window's closure), where [[closedSessions]]
+    * reports the last EVENT time — offset by exactly the gap. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"), col("total_value"))
 }

@@ -119,6 +119,33 @@ class StreamingSpec extends SparkTestBase {
       ClosedSession(2L, ts(40).getTime, ts(40).getTime, 1L)))
   }
 
+  test("native session_window emits gap-closed sessions consistent with the state machine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(source.toDS().toDF(), gapMinutes = 30,
+        delay = "1 hour")
+      .writeStream.format("memory").queryName("swin").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: one session of two events (0, 10); user 2: singleton at 5
+      source.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+        Event(3, ts(5), 2, "b", 4.0))
+      q.processAllAvailable()
+      // heartbeat advances the watermark past every session's close
+      source.addData(Event(99, ts(300), 99, "hb", 0.0))
+      q.processAllAvailable()
+      source.addData(Event(100, ts(301), 99, "hb", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("swin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4))).toSet
+    // session end = last event + gap (window closure semantics)
+    assert(got === Set(
+      (1L, ts(0).getTime, ts(10).getTime + 30 * 60000L, 2L, 3.0),
+      (2L, ts(5).getTime, ts(5).getTime + 30 * 60000L, 1L, 4.0)))
+  }
+
   test("streaming dedup drops redelivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
