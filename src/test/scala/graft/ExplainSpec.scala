@@ -217,4 +217,51 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
   }
+
+  test("ss9 range search: queries broadcast, corpus scanned once, no agg state") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val f = formatted(Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 3), 0.25))
+    val body = f.split("== Physical Plan ==")(1)
+    assert(body.contains("Broadcast"), f)
+    assert(!body.contains("CartesianProduct"), f)
+    // map-side radius filter: no hash repartitioning anywhere — the
+    // only exchange is the presentation sort's range partitioning
+    assert(!body.contains("Exchange hashpartitioning"), f)
+    assert(!body.contains("HashAggregate"), f)
+  }
+
+  test("q55 sequence match runs ONE user-keyed aggregate, regex after it") {
+    val p = plan(CoreQueries.q55SequenceMatch(spark, Sf0001))
+    assert(p.contains("partial"), s"no map-side partial collect phase:\n$p")
+    assert(!p.contains("Window"), s"a window sort would shuffle raw events twice:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("q56 MAD: both rejoins broadcast; the fact table is never shuffled") {
+    val df = CoreQueries.q56MadOutliers(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"group-stats join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd9 incremental: candidate generation is an equi-join, never nested") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val p = plan(Dedup.incrementalDedup(docs, 1, 0.9,
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("doc_id").cast("string")), 1, 1) === "0"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tx18 domain caps: cutoffs broadcast back; keep-filter precedes the agg") {
+    val df = graft.functions.TextFunctions.domainCap(Tables.documents(spark, Sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial"), s"audit aggregate must partial-combine:\n$p")
+  }
 }
