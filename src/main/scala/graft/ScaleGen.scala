@@ -50,35 +50,50 @@ object ScaleGen {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic Fisher–Yates permutation of an alphabet. */
-  private def permute(alpha: String, seed: Long): String = {
-    val a = alpha.toCharArray
-    var s = seed
+  /** One fixed pseudo-random 36-CYCLE over the combined [a-z0-9]
+    * alphabet (Fisher–Yates order, splitmix-seeded), shared by every
+    * replica; replica i applies its i-th power. */
+  private val Cycle: Array[Char] = {
+    val a = (Lower + Digits).toCharArray
+    var s = 0x5EEDC0FFEEL
     for (i <- a.length - 1 to 1 by -1) {
       s = splitmix(s)
       val j = java.lang.Math.floorMod(s, (i + 1).toLong).toInt
       val t = a(i); a(i) = a(j); a(j) = t
     }
-    new String(a)
+    a
   }
+  private val CyclePos: Map[Char, Int] = Cycle.zipWithIndex.toMap
+  private def shiftChar(c: Char, k: Int): Char = Cycle((CyclePos(c) + k) % 36)
 
   /** Per-replica bijective character remap; replica 0 is the identity
-    * (the base corpus itself). Each other replica applies an
-    * independent seeded PERMUTATION of the letter and digit alphabets
-    * — not a rotation: rotations admit only 25 distinct letter maps,
-    * so replicas 1 and 26 would share every letter-only token and
-    * near-dup at any threshold their digit content allows (observed:
-    * +27% spurious cross-replica pairs at r=30). Independent
-    * permutations agree on ~1 letter in expectation, so a token
-    * survives two replicas identically only with vanishing
-    * probability — the "replicas (almost surely) never collide"
-    * contract holds for any practical r. */
+    * (the base corpus itself). Replica i applies the i-th POWER of one
+    * fixed 36-cycle over [a-z0-9] — the structure that makes replica
+    * vocabularies provably disjoint, where ad-hoc choices fail:
+    *  - alphabet ROTATIONS admit only 25 distinct letter maps, so
+    *    replicas 1 and 26 share every letter-only token (observed:
+    *    +27% spurious cross-replica near-dup pairs at r=30);
+    *  - INDEPENDENT random permutations collide on short tokens
+    *    (single-char images draw from 26 letters — birthday-certain
+    *    by r≈10; observed: 307 ≠ 310 distinct tokens at r=10, which
+    *    chain-merged vocabulary components past the 64-bit budget);
+    *  - powers of a single 36-cycle map every char to 36 PAIRWISE
+    *    DISTINCT images across replicas 0..35, and a cross-replica
+    *    token collision would need one vocab word to be an exact
+    *    σ^k-shift of another — ruled out for the actual corpus by
+    *    ScaleGenSpec, which asserts all vocab×36 images distinct.
+    * Uppercase maps through the lowercase image (uppercased when the
+    * image is a letter); the driver corpus is verified all-lowercase
+    * and digit-free, so the char map is a bijection on every text
+    * that occurs. Supports up to 36 replicas. */
   def cipher(c: Column, replica: Int): Column =
     if (replica == 0) c
     else {
-      val lp = permute(Lower, 2L * replica)
-      val dp = permute(Digits, 2L * replica + 1L)
-      translate(c, Lower + Upper + Digits, lp + lp.toUpperCase + dp)
+      require(replica < 36, s"cipher supports at most 36 replicas, got $replica")
+      val lp = Lower.map(ch => shiftChar(ch, replica))
+      val dp = Digits.map(ch => shiftChar(ch, replica))
+      val up = lp.map(ch => if (ch.isLetter) ch.toUpper else ch)
+      translate(c, Lower + Upper + Digits, lp + up + dp)
     }
 
   private def replicate(base: DataFrame, r: Int)(copy: (DataFrame, Int) => DataFrame): DataFrame =

@@ -39,14 +39,20 @@ class ScaleGenSpec extends SparkTestBase {
       3 * base.agg(sum("n_chars")).head.getLong(0))
   }
 
-  test("ciphers stay pairwise-distinct on letters beyond 25 replicas") {
+  test("cipher powers keep every vocab token distinct across 36 replicas") {
     import spark.implicits._
-    // rotations would repeat at replica 26 — permutations must not
-    val probe = Seq("abcdefghijklmnopqrstuvwxyz").toDF("text")
-    val imgs = (0 until 40).map { r =>
-      probe.select(ScaleGen.cipher(col("text"), r)).head.getString(0)
+    // the property the component-mask dedup path rests on: replica
+    // vocabularies are PAIRWISE DISJOINT — no token of any replica
+    // equals any token of any other (36 × |vocab| distinct images)
+    val toks = Tables.documents(spark, Sf0001)
+      .selectExpr("explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS t")
+      .distinct().as[String].collect()
+    assert(toks.nonEmpty)
+    val probe = toks.toSeq.toDF("text")
+    val images = (0 until 36).flatMap { r =>
+      probe.select(ScaleGen.cipher(col("text"), r)).as[String].collect()
     }
-    assert(imgs.distinct.size === 40)
+    assert(images.distinct.size === 36 * toks.length)
   }
 
   test("near-dup pair count scales exactly linearly on the x3 corpus") {
