@@ -126,6 +126,21 @@ object Dedup {
   private def maskJaccard(a: Column, b: Column): Column =
     bit_count(a.bitwiseAND(b)).cast("double") / bit_count(a.bitwiseOR(b)).cast("double")
 
+  /** Hamming pigeonhole band slices of a 64-bit `mask` column:
+    * jaccard(A,B) ≥ t bounds |A Δ B| ≤ 64·(1−t) bits, so ⌊64(1−t)⌋+1
+    * bit-ranges guarantee every qualifying pair agrees exactly on at
+    * least one full band (t=0.9 → 7 bands of 9–10 bits). */
+  private def hammingBandCols(threshold: Double): Seq[Column] = {
+    val maxHam = math.max(0, (64.0 * (1.0 - threshold)).toInt)
+    val nBands = maxHam + 1
+    val bounds = (0 to nBands).map(k => k * 64 / nBands)
+    (0 until nBands).map { k =>
+      val lo = bounds(k); val width = bounds(k + 1) - lo
+      val bits = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(k).as("band"), expr(s"(mask >> $lo) & $bits").as("bv"))
+    }
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets; output = (doc_a, doc_b, jaccard ≥ threshold). The
     * division is set-size ints → one IEEE op → oracle-exact. Uses the
@@ -208,14 +223,7 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
     // distinct-mask pairs via Hamming pigeonhole banding
-    val maxHam = math.max(0, (64.0 * (1.0 - threshold)).toInt)
-    val nBands = maxHam + 1 // t=0.9 → 7 bands of 9–10 bits
-    val bounds = (0 to nBands).map(k => k * 64 / nBands)
-    val bandCols = (0 until nBands).map { k =>
-      val lo = bounds(k); val width = bounds(k + 1) - lo
-      val bits = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(k).as("band"), expr(s"(mask >> $lo) & $bits").as("bv"))
-    }
+    val bandCols = hammingBandCols(threshold)
     val bands = groups.select(col("comp"), col("mask"), explode(array(bandCols: _*)).as("b"))
       .select(col("comp"), col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
     val x = bands.as("x"); val y = bands.as("y")
@@ -265,9 +273,10 @@ object Dedup {
     * historical pair (dd2) to admit it would make ingest cost grow
     * with history instead of with the delta.
     *
-    * Same exact-answer machinery as dd2's large-vocab path — global
-    * prefix filtering then full-set verification — but with two
-    * incremental twists:
+    * Same adaptive exact-answer machinery as dd2 — component-local
+    * bitmap banding at small vocabularies, PPJoin prefix filtering at
+    * real ones, both restricted CROSS-SIDE — with two incremental
+    * twists on the prefix path:
     *  - the candidate equi-join is delta-prefixes × index-prefixes
     *    only: candidate volume is O(|delta| · df), never index²;
     *  - the document-frequency ordering comes from the INDEX side
@@ -287,6 +296,53 @@ object Dedup {
     val sh = withShingles(docs, n)
       .join(docs.select(col("doc_id"), isDelta.as("is_delta")), "doc_id")
       .cache()
+    val pairs = smallVocabMasks(sh) match {
+      // same adaptive split as dd2/dd3: component-local bitmaps when
+      // vocabularies are small (where prefix selectivity dies), the
+      // PPJoin cross-side prefix path for real corpora
+      case Some(masks) =>
+        incrementalByMask(masks.join(
+          sh.select(col("doc_id"), col("is_delta")), "doc_id"), threshold)
+      case None => incrementalPrefix(sh, threshold)
+    }
+    pairs.orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  /** Cross-side variant of [[jaccardByMask]]: the Hamming band
+    * equi-join runs DELTA masks against INDEX masks only — identical
+    * sets collapse on each side first, no intra-side pair is ever
+    * generated, and there is no mask-ordering restriction because the
+    * sides are disjoint by construction. */
+  private def incrementalByMask(masksIn: DataFrame, threshold: Double): DataFrame = {
+    val m = masksIn.cache()
+    val dm = m.filter(col("is_delta")).groupBy("comp", "mask")
+      .agg(collect_list(col("doc_id")).as("ids_new"))
+    val im = m.filter(!col("is_delta")).groupBy("comp", "mask")
+      .agg(collect_list(col("doc_id")).as("ids_old"))
+    val bandCols = hammingBandCols(threshold)
+    def bands(g: DataFrame): DataFrame =
+      g.select(col("comp"), col("mask"), explode(array(bandCols: _*)).as("b"))
+        .select(col("comp"), col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val x = bands(dm).as("x"); val y = bands(im).as("y")
+    val maskPairs = x.join(y,
+        col("x.comp") === col("y.comp") && col("x.band") === col("y.band") &&
+          col("x.bv") === col("y.bv"))
+      .select(col("x.comp").as("comp"),
+        col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
+        maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+    maskPairs
+      .join(dm.select(col("comp"), col("mask").as("mask_a"), col("ids_new")),
+        Seq("comp", "mask_a"))
+      .join(im.select(col("comp"), col("mask").as("mask_b"), col("ids_old")),
+        Seq("comp", "mask_b"))
+      .select(explode(col("ids_new")).as("doc_new"), col("ids_old"), col("jaccard"))
+      .select(col("doc_new"), explode(col("ids_old")).as("doc_old"), col("jaccard"))
+  }
+
+  /** Cross-side PPJoin prefix filtering (see [[incrementalDedup]]). */
+  private def incrementalPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val inv = sh.select(col("doc_id"), col("is_delta"),
       size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
     val dfreq = inv.filter(!col("is_delta")).groupBy("sh").agg(count(lit(1)).as("df"))
@@ -307,7 +363,6 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_new"), col("doc_old"))
   }
 
   private val MinhashK = 64

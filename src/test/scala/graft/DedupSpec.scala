@@ -270,6 +270,32 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall { case (a, b) => a / 1000 == b / 1000 })
   }
 
+  test("dd9 component-mask path ≡ cross-side dd2 on disjoint sub-vocabularies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dd2's component fixture shape: vocab 90 > 64, components of 30
+    def toks(rep: Int, i: Int): Seq[String] =
+      (0 until 12).map(j => s"r${rep}t${(3 * i + j) % 30}")
+    val rows = (for { rep <- 0 until 3; i <- 0 until 40 }
+      yield ((rep * 1000 + i).toLong, toks(rep, i).mkString(" "))) ++
+      (for { rep <- 0 until 3; i <- 0 until 10 }
+        yield ((rep * 1000 + 500 + i).toLong,
+          (toks(rep, i).drop(1) :+ s"r${rep}t${(3 * i + 15) % 30}").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val t = 0.8
+    val isDelta = col("doc_id") % 1000 >= 500
+    val inc = Dedup.incrementalDedup(docs, 1, t, isDelta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // (new, old)
+    val full = Dedup.ngramJaccard(docs, 1, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 1000 < 500 && b % 1000 >= 500 => (b, a)
+      case (a, b) if a % 1000 >= 500 && b % 1000 < 500 => (a, b)
+    }
+    assert(inc === expected)
+    assert(inc.nonEmpty)
+  }
+
   test("dd9 incremental ≡ cross-side restriction of the full dd2 answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
