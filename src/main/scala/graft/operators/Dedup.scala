@@ -292,11 +292,18 @@ object Dedup {
     * Output = exactly the dd2 pairs with one endpoint in each split
     * (oracle-verified): (doc_new, doc_old, jaccard). */
   def incrementalDedup(docs: DataFrame, n: Int, threshold: Double,
+      isDelta: Column): DataFrame =
+    incrementalPairs(docs, n, threshold, isDelta)
+      .orderBy(col("doc_new"), col("doc_old"))
+
+  /** [[incrementalDedup]] without the output-presentation sort — the
+    * composition entry point (dd10 consumes the pairs as edges). */
+  private[graft] def incrementalPairs(docs: DataFrame, n: Int, threshold: Double,
       isDelta: Column): DataFrame = {
     val sh = withShingles(docs, n)
       .join(docs.select(col("doc_id"), isDelta.as("is_delta")), "doc_id")
       .cache()
-    val pairs = smallVocabMasks(sh) match {
+    smallVocabMasks(sh) match {
       // same adaptive split as dd2/dd3: component-local bitmaps when
       // vocabularies are small (where prefix selectivity dies), the
       // PPJoin cross-side prefix path for real corpora
@@ -305,7 +312,50 @@ object Dedup {
           sh.select(col("doc_id"), col("is_delta")), "doc_id"), threshold)
       case None => incrementalPrefix(sh, threshold)
     }
-    pairs.orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  /** dd10: incremental duplicate-GROUP maintenance — fold a delta
+    * batch into an existing (doc_id, group_id) labeling without
+    * recomputing history. dd9 answers "which delta docs duplicate the
+    * corpus"; this maintains dd6's transitive-group view under those
+    * arrivals, including the hard part: one delta doc can MERGE
+    * several standing groups, and a delta doc with a smaller id must
+    * relabel every member of the groups it touches.
+    *
+    * The trick is contraction: the standing corpus participates as
+    * one node PER GROUP (its label), not per document. Edges =
+    * delta×index near-dup pairs (mapped old-doc → its group label,
+    * via the same adaptive machinery as dd9) plus delta-internal
+    * pairs (dd2 on the delta alone). Min-label propagation then runs
+    * on this contracted graph — |delta| + |touched groups| nodes, a
+    * sliver of the corpus — and index documents re-label through one
+    * final join on their old label. Labels are min doc_ids and every
+    * group node already IS its group's min, so min over a merged
+    * component equals the global min: the output is IDENTICAL to a
+    * full dd6 recompute (oracle: the same recursive-closure SQL).
+    *
+    * The registry entry computes `indexLabels` inline for
+    * self-containment; a real nightly pipeline passes
+    * [[dupGroupsReadIndex]] output, so per-ingest cost is delta-sized
+    * candidate work + the contracted propagation + one label-rewrite
+    * join over the index — history is never re-paired. */
+  def incrementalDupGroups(docs: DataFrame, n: Int, threshold: Double,
+      isDelta: Column, indexLabels: DataFrame): DataFrame = {
+    val delta = docs.filter(isDelta)
+    val cross = incrementalPairs(docs, n, threshold, isDelta)
+    val intra = ngramJaccardPairs(delta, n, threshold)
+    val lab = indexLabels.select(col("doc_id").as("doc_old"), col("group_id"))
+    val edges = cross.join(lab, "doc_old")
+      .select(col("doc_new").as("doc_a"), col("group_id").as("doc_b"))
+      .union(intra.select(col("doc_a"), col("doc_b")))
+    val nodes = delta.select(col("doc_id"))
+      .union(indexLabels.select(col("group_id").as("doc_id"))).distinct()
+    val contracted = dupGroupLabels(nodes, edges, 50, None)
+    val deltaOut = delta.select(col("doc_id")).join(contracted, "doc_id")
+    val indexOut = indexLabels.select(col("doc_id"), col("group_id").as("g_old"))
+      .join(contracted.select(col("doc_id").as("g_old"), col("group_id")), "g_old")
+      .select(col("doc_id"), col("group_id"))
+    deltaOut.union(indexOut).orderBy(col("doc_id"))
   }
 
   /** Cross-side variant of [[jaccardByMask]]: the Hamming band

@@ -188,6 +188,19 @@ object PipelineQueries {
       |  (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardThreshold
       |ORDER BY doc_new, doc_old""".stripMargin
 
+  /** dd10: incremental group maintenance over the same md5 split as
+    * dd9. Index labeling computed inline here (self-contained registry
+    * query; a pipeline passes dupGroupsReadIndex output) — output must
+    * equal a full dd6 recompute, so it shares dd6's oracle SQL. */
+  def dd10(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isDelta = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val index = docs.filter(!isDelta)
+    val indexLabels = Dedup.dupGroupLabels(index,
+      Dedup.ngramJaccardPairs(index, 1, JaccardThreshold), 50, None)
+    Dedup.incrementalDupGroups(docs, 1, JaccardThreshold, isDelta, indexLabels)
+  }
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -355,6 +368,7 @@ object PipelineQueries {
     ("dd5_embed_dup", dd5 _, null),
     ("dd8_dup_spans", dd8 _, Dedup.dupSpansSql(10)),
     ("dd9_incremental", dd9 _, dd9Sql),
+    ("dd10_incr_groups", dd10 _, dd6Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),

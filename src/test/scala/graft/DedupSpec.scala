@@ -270,6 +270,51 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall { case (a, b) => a / 1000 == b / 1000 })
   }
 
+  test("dd10: delta doc merges standing groups; small-id delta relabels history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val w = (1 to 18).map(i => s"w$i")
+    val u = (1 to 20).map(i => s"u$i")
+    val corpus = Seq(
+      // index: 5 and 6 are 0.818-similar (SEPARATE groups) until the
+      // delta bridge arrives; {60,61} exact dups labeled 60
+      (5L, (w ++ Seq("x1", "x2")).mkString(" ")),
+      (6L, (w ++ Seq("y1", "y2")).mkString(" ")),
+      (60L, u.mkString(" ")), (61L, u.mkString(" ")),
+      (20L, "zz1 zz2 zz3 zz4 zz5"),
+      // delta: 100 is 0.905-similar to BOTH 5 and 6 → merges them;
+      // 50 duplicates {60,61} and, having the smaller id, must
+      // relabel the standing members
+      (100L, (w ++ Seq("x1", "y1")).mkString(" ")),
+      (50L, u.mkString(" ")),
+    ).toDF("doc_id", "text")
+    val isDelta = col("doc_id") === 100L || col("doc_id") === 50L
+    val index = corpus.filter(!isDelta)
+    val idxLabels = Dedup.dupGroups(index, Dedup.ngramJaccardPairs(index, 1, 0.9))
+    val out = Dedup.incrementalDupGroups(corpus, 1, 0.9, isDelta, idxLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(5L -> 5L, 6L -> 5L, 100L -> 5L,
+      50L -> 50L, 60L -> 50L, 61L -> 50L, 20L -> 20L))
+    // and the general contract: identical to a full recompute
+    val full = Dedup.dupGroups(corpus, Dedup.ngramJaccardPairs(corpus, 1, 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === full)
+  }
+
+  test("dd10 ≡ full dd6 recompute on the driver corpus (sf0.001)") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val isDelta = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val index = docs.filter(!isDelta)
+    val idxLabels = Dedup.dupGroups(index, Dedup.ngramJaccardPairs(index, 1, 0.9))
+    val inc = Dedup.incrementalDupGroups(docs, 1, 0.9, isDelta, idxLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dupGroups(docs, Dedup.ngramJaccardPairs(docs, 1, 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("dd9 component-mask path ≡ cross-side dd2 on disjoint sub-vocabularies") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
