@@ -1391,6 +1391,92 @@ object CoreQueries {
       |GROUP BY d.o_orderpriority
       |ORDER BY d.o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  private val SixHoursNs = 21600000000000L
+  private val ThreeHoursNs = 10800000000000L
+
+  /** Interval-OVERLAP join — the range-join family member q22 (as-of:
+    * latest before) and q30 (band: within ±ε) don't cover: which user
+    * activity spans [first_ts, last_ts] intersect each 6-hour
+    * maintenance window (offset 3 h so windows never align with the
+    * bucket grid — the overlap test is real, not bucket equality).
+    * Planned as the bucketized equi-join: intervals explode to the
+    * 6-hour buckets they touch, windows to the (two) buckets they
+    * straddle, candidates join on the bucket, and the exact overlap
+    * predicate verifies — never a nested loop. Bucket fan-out is
+    * bounded by interval length / 6 h, the standard range-join
+    * tradeoff (pick bucket ≈ median interval length at scale).
+    * All-integer ns arithmetic ⇒ bit-exact oracle. */
+  def q57OverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val bounds = iv.agg(min(col("s")).as("lo"), max(col("e")).as("hi"))
+    val wins = bounds.select(explode(
+        expr(s"sequence(lo div ${SixHoursNs}L, hi div ${SixHoursNs}L)")).as("win_id"))
+      .select(col("win_id"),
+        (col("win_id") * SixHoursNs + ThreeHoursNs).as("ws"),
+        ((col("win_id") + lit(1L)) * SixHoursNs + ThreeHoursNs).as("we"))
+    val winB = wins.select(col("win_id"), col("ws"), col("we"),
+      explode(array(col("win_id"), col("win_id") + lit(1L))).as("b"))
+    val ivB = iv.select(col("user_id"), col("s"), col("e"),
+      explode(expr(s"sequence(s div ${SixHoursNs}L, e div ${SixHoursNs}L)")).as("b"))
+    ivB.join(winB, "b")
+      .filter(col("s") < col("we") && col("e") >= col("ws"))
+      .select(col("win_id"), col("ws"), col("we"), col("user_id")).distinct()
+      .groupBy(col("win_id"), col("ws"), col("we"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("win_id"))
+  }
+
+  val q57Sql: String =
+    s"""WITH iv AS (
+      | SELECT user_id, epoch_ns(MIN(ts)) AS s, epoch_ns(MAX(ts)) AS e
+      | FROM events GROUP BY user_id),
+      |b AS (SELECT MIN(s) AS lo, MAX(e) AS hi FROM iv),
+      |wins AS (
+      | SELECT t.k AS win_id, t.k * $SixHoursNs + $ThreeHoursNs AS ws,
+      |  (t.k + 1) * $SixHoursNs + $ThreeHoursNs AS we
+      | FROM b, UNNEST(generate_series(lo // $SixHoursNs, hi // $SixHoursNs)) AS t(k))
+      |SELECT w.win_id, w.ws, w.we, COUNT(*) AS n_users
+      |FROM wins w JOIN iv ON iv.s < w.we AND iv.e >= w.ws
+      |GROUP BY 1, 2, 3
+      |ORDER BY win_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** SCD type-2 history construction from a change stream — the
+    * warehouse-dimension shape none of q36 (latest only) or q39
+    * (window family) produce: every event becomes a validity row
+    * [valid_from, valid_to) with the successor's timestamp as its
+    * expiry and NULL marking the current row. One lead() over one
+    * partitioned sort; unique (ts, event_id) ordering ⇒ deterministic;
+    * values are copies of input columns ⇒ bit-exact oracle. At scale
+    * this is the standard one-shuffle window — history length per key
+    * bounds nothing global. */
+  def q58Scd2(s: SparkSession, d: String): DataFrame = {
+    // µs-truncated validity bounds: the oracle engine reads parquet
+    // ns-timestamps at µs precision, so BOTH sides sort and emit on
+    // `ts div 1000` (q36's convention) — identical order, identical values
+    Tables.events(s, d)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("valid_from"),
+        col("event_id"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("valid_from"), col("valid_to"),
+        col("event_id"), col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val q58Sql: String =
+    """SELECT user_id, ts AS valid_from,
+      | lead(ts) OVER w AS valid_to,
+      | event_id, value,
+      | lead(ts) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1441,5 +1527,7 @@ object CoreQueries {
     ("q52_rank_stats", q52RankStats _, q52Sql),
     ("q55_sequence_match", q55SequenceMatch _, q55Sql),
     ("q56_mad_outliers", q56MadOutliers _, q56Sql),
+    ("q57_overlap_join", q57OverlapJoin _, q57Sql),
+    ("q58_scd2", q58Scd2 _, q58Sql),
   )
 }

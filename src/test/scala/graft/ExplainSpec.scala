@@ -264,4 +264,21 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial"), s"audit aggregate must partial-combine:\n$p")
   }
+
+  test("q57 overlap join: bucketized to an equi-join, never a nested loop") {
+    val df = CoreQueries.q57OverlapJoin(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the interval×window overlap predicate rides on the bucket
+    // equi-join; a theta-join fallback would be all-pairs at scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q58 SCD2 builds the whole history in one Window over one sort") {
+    val p = plan(CoreQueries.q58Scd2(spark, Sf0001))
+    assert("Window".r.findAllIn(p).size === 1, s"history split across windows:\n$p")
+    // one hash exchange into the window + the output-contract range sort
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
+  }
 }
