@@ -672,6 +672,62 @@ object TextFunctions {
       |GROUP BY t.source
       |ORDER BY t.source""".stripMargin
 
+  /** tx19: temperature-flattened mixture sampling — the OTHER standard
+    * corpus-mixing policy next to tx18's hard caps: keep each document
+    * of source s with probability (t_min/t_s)^0.5, so the post-sample
+    * token share of source s is ∝ √t_s (the α=0.5 exponent common for
+    * multilingual pretraining mixes — hard caps flatten to uniform,
+    * temperature keeps a graded size signal). Determinism: the keep
+    * decision is `md5(doc_id)[0,4) < cut_s` where cut = ⌊65536·√(t_min
+    * /t_s)⌋ — one IEEE divide and one sqrt, both correctly rounded in
+    * any engine, then an exact power-of-two scale and floor, so the
+    * cut (and hence the kept set) is bit-identical everywhere; retries
+    * and re-partitionings cannot change it. Scale: two token-count
+    * aggregates (partial-combined) + one broadcast of |sources| cut
+    * rows back onto the doc scan — the corpus itself is never
+    * shuffled. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(expr(tokensExpr)).cast("long").as("n_toks"))
+    val bySrc = toks.groupBy(col("source")).agg(sum(col("n_toks")).as("tot"))
+    val tmin = bySrc.agg(min(col("tot")).as("t_min"))
+    val cuts = bySrc.crossJoin(broadcast(tmin))
+      .withColumn("cut",
+        floor(lit(65536d) * sqrt(col("t_min").cast("double") / col("tot").cast("double"))))
+      .select(col("source"), col("tot"),
+        when(col("cut") >= 65536L, lit("zzzz"))
+          .otherwise(format_string("%04x", col("cut"))).as("cut_s"))
+    toks.join(broadcast(cuts), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("cut_s"))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("total_tokens"),
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_toks")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureSampleSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+      | FROM documents),
+      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tot FROM toks GROUP BY source),
+      |cuts AS (
+      | SELECT source, tot,
+      |  CAST(floor(65536 * sqrt(CAST((SELECT MIN(tot) FROM src) AS DOUBLE)
+      |                          / CAST(tot AS DOUBLE))) AS BIGINT) AS cut
+      | FROM src),
+      |cutss AS (
+      | SELECT source, tot,
+      |  CASE WHEN cut >= 65536 THEN 'zzzz' ELSE printf('%04x', cut) END AS cut_s
+      | FROM cuts)
+      |SELECT t.source, MAX(c.tot) AS total_tokens, COUNT(*) AS n_docs_kept,
+      | CAST(SUM(t.n_toks) AS BIGINT) AS tokens_kept
+      |FROM toks t JOIN cutss c USING (source)
+      |WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < c.cut_s
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   /** tx15: heavy hitters — approximate hot tokens via the mergeable
     * Misra–Gries aggregate (graft.functions.MisraGries). tx6 answers
     * the same question EXACTLY but must shuffle one row per distinct

@@ -141,6 +141,12 @@ object VectorFunctions {
             exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
         reg.createOrReplaceTempFunction("graft_heavyhitters",
           exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_bitmap",
+          exprs => BitmapBuild(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_bitmap_or",
+          exprs => BitmapOr(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_bitmap_card",
+          exprs => BitmapCardinality(exprs(0)), "scala_udf")
         registered += key
       }
     }

@@ -1477,6 +1477,139 @@ object CoreQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** MERGE INTO (CDC-apply / upsert) semantics as one full-outer join —
+    * the warehouse maintenance shape: a base dimension (customers of
+    * nations 0–14) absorbs a change batch (per-customer 1997+ revenue).
+    * WHEN MATCHED → balance += delta; WHEN NOT MATCHED BY TARGET →
+    * insert a placeholder row; WHEN NOT MATCHED BY SOURCE → keep.
+    * The three MERGE arms become coalesce/CASE over the join, so the
+    * whole statement is one shuffle join plus one partial-agg shuffle —
+    * no per-row lookups, no driver loop; at 100 TB both sides hash-
+    * partition on the key and AQE handles any delta skew. Balance math
+    * stays in exact DECIMAL(18,6) until the final double cast. */
+  def q59MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).filter(col("c_nationkey") < 15)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val delta = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("delta_rev"),
+        count(lit(1)).as("n_orders"))
+    base.join(delta, base("c_custkey") === delta("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("(new)")).as("name"),
+        (coalesce(col("c_acctbal").cast(DecimalType(18, 6)), lit(0).cast(DecimalType(18, 6)))
+          + coalesce(col("delta_rev").cast(DecimalType(18, 6)), lit(0).cast(DecimalType(18, 6))))
+          .cast(DecimalType(18, 6)).cast("double").as("balance"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("o_custkey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy(col("custkey"))
+  }
+
+  val q59Sql: String =
+    """WITH base AS (
+      | SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_nationkey < 15),
+      |delta AS (
+      | SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS delta_rev,
+      |  COUNT(*) AS n_orders
+      | FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey)
+      |SELECT COALESCE(b.c_custkey, d.o_custkey) AS custkey,
+      | COALESCE(b.c_name, '(new)') AS name,
+      | CAST(CAST(COALESCE(CAST(b.c_acctbal AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+      |  + COALESCE(CAST(d.delta_rev AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+      |  AS DECIMAL(18,6)) AS DOUBLE) AS balance,
+      | COALESCE(d.n_orders, 0) AS n_orders,
+      | CASE WHEN b.c_custkey IS NULL THEN 'insert'
+      |      WHEN d.o_custkey IS NULL THEN 'keep'
+      |      ELSE 'update' END AS action
+      |FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Time-weighted average — the IoT/finance aggregate a plain AVG gets
+    * wrong: each reading holds until the next one, so it contributes
+    * value × holding-duration. One lead() window (same single shuffle
+    * as q58) derives the µs holding interval, then one partial-agg
+    * groupBy forms Σ(value·dt) / Σ(dt). Both sums accumulate in exact
+    * DECIMAL — order-independent across any partitioning — and the
+    * DECIMAL→DOUBLE hop goes through a string render (correctly
+    * rounded in both engines; a direct 128-bit→double cast is not at
+    * >16 significant digits). Timestamps are compared at µs precision
+    * on both sides (q58's convention). */
+  def q61TimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+      .withColumn("dt", lead(col("tus"), 1).over(w) - col("tus"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        // width 19 forces the oracle engine onto its int128 multiply
+        // path (width ≤ 18 decimals multiply in int64 and overflow)
+        sum(col("value").cast(DecimalType(19, 6)) * col("dt").cast(DecimalType(19, 0)))
+          .cast("string").cast("double").as("sum_vdt"),
+        sum(col("dt")).as("sum_dt"))
+      .select(col("user_id"),
+        (col("sum_vdt") / col("sum_dt").cast("double")).as("twa"), col("sum_dt"))
+      .orderBy(col("user_id"))
+  }
+
+  val q61Sql: String =
+    """WITH iv AS (
+      | SELECT user_id, epoch_us(ts) AS tus, value,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |   - epoch_us(ts) AS dt
+      | FROM events)
+      |SELECT user_id,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(dt AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+      |  / CAST(SUM(dt) AS DOUBLE) AS twa,
+      | CAST(SUM(dt) AS BIGINT) AS sum_dt
+      |FROM iv WHERE dt IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Exact distinct users per (event_type, day) AND per event_type —
+    * where the rollup level is computed by RE-AGGREGATING the day
+    * bitmaps (graft_bitmap_or), not by re-scanning events. This is the
+    * OLAP bitmap-distinct pattern: COUNT(DISTINCT) can't roll up, a
+    * bitmap of ids can — so the 100 TB fact scan happens exactly once,
+    * and every coarser grain (week, month, all-time, ad-hoc ranges)
+    * merges KB-sized summaries. The day-grain aggregate is cached
+    * because both output levels read it; in production it would be a
+    * materialized table. Oracle: GROUPING SETS of COUNT(DISTINCT) —
+    * exact equality, not approximation. */
+  def q62BitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val day = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("graft_bitmap(user_id)").as("bm"))
+      .cache()
+    val days = day.select(col("event_type"), col("day").cast("string").as("day"),
+      expr("graft_bitmap_card(bm)").as("n_users"))
+    val totals = day.groupBy(col("event_type"))
+      .agg(expr("graft_bitmap_card(graft_bitmap_or(bm))").as("n_users"))
+      .select(col("event_type"), lit("ALL").as("day"), col("n_users"))
+    days.unionByName(totals).orderBy(col("event_type"), col("day"))
+  }
+
+  val q62Sql: String =
+    """WITH e AS (
+      | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      | FROM events)
+      |SELECT event_type, COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM e
+      |GROUP BY GROUPING SETS ((event_type, day), (event_type))
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1529,5 +1662,8 @@ object CoreQueries {
     ("q56_mad_outliers", q56MadOutliers _, q56Sql),
     ("q57_overlap_join", q57OverlapJoin _, q57Sql),
     ("q58_scd2", q58Scd2 _, q58Sql),
+    ("q59_merge_upsert", q59MergeUpsert _, q59Sql),
+    ("q61_time_weighted_avg", q61TimeWeightedAvg _, q61Sql),
+    ("q62_bitmap_distinct", q62BitmapDistinct _, q62Sql),
   )
 }

@@ -349,6 +349,7 @@ object PipelineQueries {
   def tx16(s: SparkSession, d: String): DataFrame = TextFunctions.curate(Tables.documents(s, d))
   def tx17(s: SparkSession, d: String): DataFrame = TextFunctions.bigramLm(Tables.documents(s, d))
   def tx18(s: SparkSession, d: String): DataFrame = TextFunctions.domainCap(Tables.documents(s, d))
+  def tx19(s: SparkSession, d: String): DataFrame = TextFunctions.mixtureSample(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -396,6 +397,7 @@ object PipelineQueries {
     ("tx16_curate", tx16 _, TextFunctions.curateSql(10, 0.05, 512)),
     ("tx17_bigram_lm", tx17 _, TextFunctions.bigramLmSql),
     ("tx18_domain_cap", tx18 _, TextFunctions.domainCapSql(2)),
+    ("tx19_mixture_sample", tx19 _, TextFunctions.mixtureSampleSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

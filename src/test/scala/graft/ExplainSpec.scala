@@ -281,4 +281,32 @@ class ExplainSpec extends SparkTestBase {
     // one hash exchange into the window + the output-contract range sort
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
   }
+
+  test("q59 MERGE arms ride one shuffle join; delta partial-aggregates") {
+    val df = CoreQueries.q59MergeUpsert(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), s"MERGE must be a single full-outer join:\n$p")
+    assert(p.contains("partial"), s"delta aggregate must map-side combine:\n$p")
+  }
+
+  test("q61 TWA reuses the window's user_id partitioning for the groupBy") {
+    val p = plan(CoreQueries.q61TimeWeightedAvg(spark, Sf0001))
+    assert("Window".r.findAllIn(p).size === 1, s"interval derivation split:\n$p")
+    // window hash exchange is reused by the groupBy (same key); only
+    // the presentation sort may add a range exchange on top
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"groupBy re-shuffled what the window already partitioned:\n$p")
+  }
+
+  test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
+    val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial"), s"token-count aggregate must map-side combine:\n$p")
+  }
 }
