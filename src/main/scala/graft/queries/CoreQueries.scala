@@ -1572,6 +1572,77 @@ object CoreQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Column profiling — the data-quality summary every ingestion run
+    * wants: per-column null count, exact distinct count, min and max,
+    * in ONE pass over the fact table (multi-count-distinct plans via
+    * Catalyst's Expand, so the scan still happens once; at 100 TB the
+    * Expand factor is the documented cost of exactness — swap in
+    * approx_count_distinct per q29 when ±2% is acceptable). Min/max
+    * render through engine-agreed formats: fixed-scale DECIMAL strings
+    * for numerics, ISO dates — double→string shortest-round-trip
+    * formatting differs between engines, fixed-scale does not. */
+  def q60Profile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def dec(c: String) = col(c).cast(DecimalType(18, 6))
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("q_nulls"),
+        countDistinct(col("l_quantity")).as("q_dist"),
+        min(dec("l_quantity")).cast("string").as("q_min"),
+        max(dec("l_quantity")).cast("string").as("q_max"),
+        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("e_nulls"),
+        countDistinct(col("l_extendedprice")).as("e_dist"),
+        min(dec("l_extendedprice")).cast("string").as("e_min"),
+        max(dec("l_extendedprice")).cast("string").as("e_max"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("d_nulls"),
+        countDistinct(col("l_shipdate")).as("d_dist"),
+        min(col("l_shipdate").cast("date")).cast("string").as("d_min"),
+        max(col("l_shipdate").cast("date")).cast("string").as("d_max"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("f_nulls"),
+        countDistinct(col("l_returnflag")).as("f_dist"),
+        min(col("l_returnflag")).as("f_min"),
+        max(col("l_returnflag")).as("f_max"))
+      .selectExpr("n_rows",
+        """stack(4,
+          | 'l_quantity', q_nulls, q_dist, q_min, q_max,
+          | 'l_extendedprice', e_nulls, e_dist, e_min, e_max,
+          | 'l_shipdate', d_nulls, d_dist, d_min, d_max,
+          | 'l_returnflag', f_nulls, f_dist, f_min, f_max
+          |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  val q60Sql: String =
+    """WITH a AS (
+      | SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+      |  COUNT(DISTINCT l_quantity) AS q_dist,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS q_min,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS q_max,
+      |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_nulls,
+      |  COUNT(DISTINCT l_extendedprice) AS e_dist,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS e_min,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS e_max,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+      |  COUNT(DISTINCT l_shipdate) AS d_dist,
+      |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS d_min,
+      |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS d_max,
+      |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_nulls,
+      |  COUNT(DISTINCT l_returnflag) AS f_dist,
+      |  MIN(l_returnflag) AS f_min, MAX(l_returnflag) AS f_max
+      | FROM lineitem)
+      |SELECT t.col_name, a.n_rows, t.n_nulls, t.n_distinct, t.min_s, t.max_s
+      |FROM a, (
+      | SELECT 'l_quantity' AS col_name, q_nulls AS n_nulls, q_dist AS n_distinct,
+      |  q_min AS min_s, q_max AS max_s FROM a
+      | UNION ALL SELECT 'l_extendedprice', e_nulls, e_dist, e_min, e_max FROM a
+      | UNION ALL SELECT 'l_shipdate', d_nulls, d_dist, d_min, d_max FROM a
+      | UNION ALL SELECT 'l_returnflag', f_nulls, f_dist, f_min, f_max FROM a) t
+      |ORDER BY t.col_name""".stripMargin
+
   // ---------------------------------------------------------------- q62
   /** Exact distinct users per (event_type, day) AND per event_type —
     * where the rollup level is computed by RE-AGGREGATING the day
@@ -1663,6 +1734,7 @@ object CoreQueries {
     ("q57_overlap_join", q57OverlapJoin _, q57Sql),
     ("q58_scd2", q58Scd2 _, q58Sql),
     ("q59_merge_upsert", q59MergeUpsert _, q59Sql),
+    ("q60_profile", q60Profile _, q60Sql),
     ("q61_time_weighted_avg", q61TimeWeightedAvg _, q61Sql),
     ("q62_bitmap_distinct", q62BitmapDistinct _, q62Sql),
   )

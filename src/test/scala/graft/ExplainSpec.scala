@@ -301,6 +301,14 @@ class ExplainSpec extends SparkTestBase {
       s"groupBy re-shuffled what the window already partitioned:\n$p")
   }
 
+  test("q60 profile reads the fact table once: one scan feeds all metrics") {
+    val p = plan(CoreQueries.q60Profile(spark, Sf0001))
+    // multi-count-distinct plans via ONE Expand over ONE parquet scan;
+    // a per-column subquery shape would scan the table four times
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"profile re-scans the table:\n$p")
+    assert(p.contains("Expand"), s"count-distinct family should plan via Expand:\n$p")
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()
