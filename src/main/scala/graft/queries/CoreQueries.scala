@@ -1643,6 +1643,64 @@ object CoreQueries {
       | UNION ALL SELECT 'l_returnflag', f_nulls, f_dist, f_min, f_max FROM a) t
       |ORDER BY t.col_name""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  private val SixHoursUs = 21600000000L
+
+  /** Resample to a fixed 6-hour grid with LOCF (last observation
+    * carried forward) — the sensor/market-data downsampling q41's
+    * zero-fill gap-fill doesn't cover: each grid point reports the
+    * most recent reading at-or-before it, not zero. Planned as one
+    * union (observations ⊕ per-user grid points off the min/max
+    * aggregate) + ONE running `last(ignoreNulls)` window — grid rows
+    * carry null values, so the window fills them from the preceding
+    * observation; a range/as-of join per grid point would shuffle the
+    * observations once per grid resolution instead. Grid rows per user
+    * are bounded by span/6 h; the window state is one value. Ordering
+    * at a tied timestamp puts observations BEFORE the grid point
+    * (is_obs DESC) so an exactly-on-grid reading is visible to it;
+    * event_id (null for grid rows) is coalesced to MaxLong on both
+    * engines so null-ordering conventions can't diverge. Values are
+    * untouched doubles ⇒ bit-exact oracle. */
+  def q63LocfResample(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+      .select(col("user_id"), explode(
+        expr(s"sequence(lo div ${SixHoursUs}L + 1, hi div ${SixHoursUs}L)")).as("cell"))
+      .select(col("user_id"), (col("cell") * SixHoursUs).as("tus"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        lit(0).as("is_obs"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("is_obs").desc,
+        coalesce(col("event_id"), lit(Long.MaxValue)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.withColumn("is_obs", lit(1)).unionByName(grid)
+      .withColumn("locf_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_obs") === 0)
+      .select(col("user_id"), col("tus").as("grid_us"), col("locf_value"))
+      .orderBy(col("user_id"), col("grid_us"))
+  }
+
+  val q63Sql: String =
+    s"""WITH obs AS (
+      | SELECT user_id, epoch_us(ts) AS tus, event_id, value, 1 AS is_obs
+      | FROM events),
+      |grid AS (
+      | SELECT user_id, t.k * $SixHoursUs AS tus,
+      |  CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value, 0 AS is_obs
+      | FROM (SELECT user_id, MIN(tus) AS lo, MAX(tus) AS hi FROM obs GROUP BY user_id) b,
+      |  UNNEST(generate_series(lo // $SixHoursUs + 1, hi // $SixHoursUs)) AS t(k)),
+      |u AS (SELECT * FROM obs UNION ALL BY NAME SELECT * FROM grid)
+      |SELECT user_id, tus AS grid_us,
+      | last_value(value IGNORE NULLS) OVER (
+      |  PARTITION BY user_id
+      |  ORDER BY tus, is_obs DESC, COALESCE(event_id, 9223372036854775807)
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+      |FROM u
+      |QUALIFY is_obs = 0
+      |ORDER BY user_id, grid_us""".stripMargin
+
   // ---------------------------------------------------------------- q62
   /** Exact distinct users per (event_type, day) AND per event_type —
     * where the rollup level is computed by RE-AGGREGATING the day
@@ -1737,5 +1795,6 @@ object CoreQueries {
     ("q60_profile", q60Profile _, q60Sql),
     ("q61_time_weighted_avg", q61TimeWeightedAvg _, q61Sql),
     ("q62_bitmap_distinct", q62BitmapDistinct _, q62Sql),
+    ("q63_locf_resample", q63LocfResample _, q63Sql),
   )
 }

@@ -309,6 +309,12 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("Expand"), s"count-distinct family should plan via Expand:\n$p")
   }
 
+  test("q63 LOCF resample: union + ONE window, no per-grid-point join") {
+    val p = plan(CoreQueries.q63LocfResample(spark, Sf0001))
+    assert("Window".r.findAllIn(p).size === 1, s"LOCF split across windows:\n$p")
+    assert(!p.contains("Join"), s"grid fill must ride the window, not a join:\n$p")
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()
