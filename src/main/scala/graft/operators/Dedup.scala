@@ -257,13 +257,121 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = inv.join(dfreq, "sh")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+      // n − ⌊t·n⌋ + 1, not n − ⌈t·n⌉ + 1: when t·n is an exact integer
+      // (the J = t boundary pairs) the IEEE product rounds a hair HIGH
+      // (0.9·20 → 18.000…04), ceil jumps a whole unit and the prefix
+      // loses the one slot the pigeonhole guarantee needs. floor costs
+      // at most one extra probe token; verification keeps output exact.
+      .filter(col("rn") <= col("n_sh") - floor(col("n_sh") * lit(threshold)) + lit(1))
       .select(col("doc_id"), col("sh"))
     val a = prefix.as("a"); val b = prefix.as("b")
     val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sh, threshold, None)
+  }
+
+  /** dd11: containment (near-superset) pairs — the ASYMMETRIC dedup
+    * relation Jaccard misses: C(A,B) = |A∩B| / |A| ≥ τ says A is
+    * (nearly) embedded in B, even when B is far larger — quoted
+    * articles, boilerplate-wrapped reposts, documents concatenated
+    * into digests. A 50-token post pasted into a 5000-token page has
+    * Jaccard ≈ 0.01 (invisible to dd2/dd3) but containment 1.0.
+    *
+    * Same adaptive two-path shape as dd2, with the prefix rule changed
+    * for asymmetry: A may miss at most ⌊(1−τ)·|A|⌋ of its own tokens,
+    * so a prefix of A's ⌊(1−τ)|A|⌋+1 globally-rarest tokens must hit B
+    * — but B can be missed NOWHERE, so the container side is indexed
+    * on ALL its tokens, not a prefix. Candidate volume is therefore
+    * Σ_token pfx(token)·df(token) — linear in the container index like
+    * every inverted-index join, kept sane by df-ascending prefix
+    * selection; it never squares in the corpus. Verification divides
+    * by |A| only ⇒ output is the exact containment answer, ordered
+    * (doc_sub, doc_super) — both directions scored independently, so
+    * A⊂B and B⊃A are distinct rows only when each passes its own
+    * threshold (equal sets pass both). */
+  def containment(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val sh = withShingles(docs, n).cache()
+    val pairs = smallVocabMasks(sh) match {
+      case Some(masks) => containmentByMask(masks, tau)
+      case None        => containmentPrefix(sh, tau)
+    }
+    pairs.orderBy(col("doc_sub"), col("doc_super"))
+  }
+
+  /** Small-vocab containment: collapse to distinct (comp, mask) —
+    * identical sets are interchangeable, so ordered pairs inside one
+    * mask group are containment exactly 1.0 — then probe each mask's
+    * ⌊(1−τ)·popcount⌋+1 rarest BITS against every mask's full bit
+    * list (comp-local equi-join on the bit), popcount-verify. Mask
+    * collapse is the scale lever: candidate work is in distinct
+    * signatures, never documents. */
+  private def containmentByMask(masksIn: DataFrame, tau: Double): DataFrame = {
+    val groups = masksIn.groupBy("comp", "mask")
+      .agg(collect_list(col("doc_id")).as("ids")).cache()
+    val intra = groups.select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da").as("doc_sub"), col("db").as("doc_super"),
+        lit(1.0).as("containment"))
+    val bits = groups.select(col("comp"), col("mask"),
+        explode(expr("filter(transform(sequence(0, 63), i -> " +
+          "CASE WHEN (mask >> i) & 1 = 1 THEN i ELSE -1 END), i -> i >= 0)")).as("bit"))
+      .cache()
+    val dfreq = bits.groupBy("comp", "bit").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"), col("mask")).orderBy(col("df"), col("bit"))
+    val pfx = bits.join(dfreq, Seq("comp", "bit"))
+      .withColumn("rn", row_number().over(w))
+      // prefix = n − ⌊τn⌋ + 1: never computes (1−τ) in floating point —
+      // 1.0−0.9 rounds DOWN, and exactly when τn is an integer (the
+      // boundary pairs, C = τ precisely) ⌊(1−τ)n⌋ undercounts the
+      // allowed misses by one and the prefix silently drops true pairs
+      .filter(col("rn") <=
+        bit_count(col("mask")) - floor(lit(tau) * bit_count(col("mask"))) + lit(1))
+      .select(col("comp"), col("mask").as("mask_sub"), col("bit"))
+    val full = bits.select(col("comp"), col("mask").as("mask_sup"), col("bit"))
+    val cand = pfx.join(full, Seq("comp", "bit"))
+      .filter(col("mask_sub") =!= col("mask_sup"))
+      .select(col("comp"), col("mask_sub"), col("mask_sup")).distinct()
+    val verified = cand
+      .withColumn("containment",
+        bit_count(col("mask_sub").bitwiseAND(col("mask_sup"))).cast("double") /
+          bit_count(col("mask_sub")).cast("double"))
+      .filter(col("containment") >= tau)
+    val ga = groups.select(col("comp"), col("mask").as("mask_sub"), col("ids").as("ids_a"))
+    val gb = groups.select(col("comp"), col("mask").as("mask_sup"), col("ids").as("ids_b"))
+    val cross = verified.join(ga, Seq("comp", "mask_sub")).join(gb, Seq("comp", "mask_sup"))
+      .select(explode(col("ids_a")).as("doc_sub"), col("ids_b"), col("containment"))
+      .select(col("doc_sub"), explode(col("ids_b")).as("doc_super"), col("containment"))
+    intra.union(cross)
+  }
+
+  /** Large-vocab containment: string-shingle twin of the mask path —
+    * df-ascending prefix of the contained side against the FULL
+    * inverted index of the container side. */
+  private def containmentPrefix(sh: DataFrame, tau: Double): DataFrame = {
+    val inv = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val pfx = inv.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      // same no-(1−τ) form as the mask path (see comment there)
+      .filter(col("rn") <= col("n_sh") - floor(lit(tau) * col("n_sh")) + lit(1))
+      .select(col("doc_id").as("doc_sub"), col("sh"))
+    val full = inv.select(col("doc_id").as("doc_super"), col("sh"))
+    val cand = pfx.join(full, "sh")
+      .filter(col("doc_sub") =!= col("doc_super"))
+      .select(col("doc_sub"), col("doc_super")).distinct()
+    val sa = sh.select(col("doc_id").as("doc_sub"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_super"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_sub").join(sb, "doc_super")
+      .select(col("doc_sub"), col("doc_super"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("containment"))
+      .filter(col("containment") >= tau)
   }
 
   /** dd9: incremental dedup — near-dup pairs between a new DELTA batch
@@ -401,7 +509,12 @@ object Dedup {
     val prefix = inv.join(dfreq, Seq("sh"), "left")
       .na.fill(0L, Seq("df"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+      // n − ⌊t·n⌋ + 1, not n − ⌈t·n⌉ + 1: when t·n is an exact integer
+      // (the J = t boundary pairs) the IEEE product rounds a hair HIGH
+      // (0.9·20 → 18.000…04), ceil jumps a whole unit and the prefix
+      // loses the one slot the pigeonhole guarantee needs. floor costs
+      // at most one extra probe token; verification keeps output exact.
+      .filter(col("rn") <= col("n_sh") - floor(col("n_sh") * lit(threshold)) + lit(1))
       .select(col("doc_id"), col("is_delta"), col("sh"))
     val a = prefix.filter(col("is_delta")).select(col("doc_id").as("doc_new"), col("sh"))
     val b = prefix.filter(!col("is_delta")).select(col("doc_id").as("doc_old"), col("sh"))

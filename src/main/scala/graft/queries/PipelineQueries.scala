@@ -201,6 +201,23 @@ object PipelineQueries {
     Dedup.incrementalDupGroups(docs, 1, JaccardThreshold, isDelta, indexLabels)
   }
 
+  /** dd11: asymmetric containment |A∩B|/|A| ≥ τ — catches documents
+    * embedded in far larger ones, which Jaccard structurally cannot. */
+  def dd11(s: SparkSession, d: String): DataFrame =
+    Dedup.containment(Tables.documents(s, d), 1, JaccardThreshold)
+
+  val dd11Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+      | CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws) AS containment
+      |FROM docs a, docs b
+      |WHERE a.doc_id <> b.doc_id AND len(a.ws) > 0
+      | AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws)
+      |  >= $JaccardThreshold
+      |ORDER BY doc_sub, doc_super""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -370,6 +387,7 @@ object PipelineQueries {
     ("dd8_dup_spans", dd8 _, Dedup.dupSpansSql(10)),
     ("dd9_incremental", dd9 _, dd9Sql),
     ("dd10_incr_groups", dd10 _, dd6Sql),
+    ("dd11_containment", dd11 _, dd11Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),

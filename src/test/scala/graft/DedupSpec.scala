@@ -362,4 +362,57 @@ class DedupSpec extends SparkTestBase {
     // nothing intra-delta or intra-index leaks into the incremental answer
     assert(inc.forall { case (old, nw) => old < 1000L && nw >= 1000L })
   }
+
+  test("jaccard prefix path keeps the J = t boundary pair (t·n integral)") {
+    import spark.implicits._
+    // A = 70 tokens (> 64 distinct ⇒ prefix path, never masks), B = its
+    // 63 shared ones: J = 63/70 = 0.9 EXACTLY, and A's 7 private tokens
+    // are globally rarest so they fill A's prefix first. 0.9·70 rounds
+    // a hair high in IEEE, so a ⌈t·n⌉-based prefix loses the one slot
+    // that reaches a shared token and silently drops this pair.
+    val bToks = (0 until 63).map(i => f"shared$i%02d")
+    val aToks = bToks ++ (0 until 7).map(i => s"only$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(docs, 1, 0.9).collect()
+    assert(got.length === 1, got.mkString(","))
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getDouble(2)) === ((1L, 2L, 0.9)))
+  }
+
+  test("dd11 containment: asymmetric embeds found, boundary pair kept") {
+    import spark.implicits._
+    // P = A + 400 filler tokens: C(A,P) = 1.0 while C(P,A) ≈ 0.15 and
+    // Jaccard(A,P) ≈ 0.15 — the pair Jaccard dedup structurally misses.
+    // E has 10 tokens, 9 inside A∩P: C(E,·) = 0.9 EXACTLY; its one
+    // private token is rarest, so a float-(1−τ) prefix would probe only
+    // that token and drop both true rows.
+    val aToks = (0 until 70).map(i => f"a$i%02d")
+    val pToks = aToks ++ (0 until 400).map(i => f"fill$i%03d")
+    val eToks = aToks.take(9) :+ "enovel"
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, pToks.mkString(" ")),
+      (3L, eToks.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containment(docs, 1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 1.0), (3L, 1L, 0.9), (3L, 2L, 0.9)))
+  }
+
+  test("dd11 mask path ≡ prefix path on a small-vocabulary corpus") {
+    import spark.implicits._
+    // ≤64-token vocabulary drives the mask path; re-tokenizing the same
+    // corpus with per-doc unique suffixes past 64 distinct per doc would
+    // change the sets, so instead compare against a naive JVM reference.
+    def toks(i: Int): Seq[String] = (0 until 12).map(j => s"v${(5 * i + j) % 40}")
+    val rows = (0 until 50).map(i => (i.toLong, toks(i).distinct.mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val tau = 0.8
+    val got = Dedup.containment(docs, 1, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = rows.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= tau
+    } yield (a, b, c)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
