@@ -1714,17 +1714,30 @@ object CoreQueries {
     * exact equality, not approximation. */
   def q62BitmapDistinct(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    // Chunked container layout (roaring's scheme, made explicit): ids
+    // split into (id div 2^16) container key × (id mod 2^16) bitmap
+    // position, so ANY 64-bit id domain works without a dictionary —
+    // containers are disjoint id ranges, so cardinalities SUM exactly
+    // across them, and rollups OR bitmaps within a container as
+    // before. 2^16 is roaring's container width for the same reason:
+    // the dense buffer is at most 8 KB no matter where ids cluster
+    // (2^26 measured 10× slower on shifted-key replicas — every
+    // group's buffer grew to the multi-MB high-water position).
     val day = Tables.events(s, d)
       .select(col("event_type"),
         date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").as("day"),
-        col("user_id"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(expr("graft_bitmap(user_id)").as("bm"))
+        expr("user_id div 65536").as("chunk"),
+        expr("user_id % 65536").as("pos"))
+      .groupBy(col("event_type"), col("day"), col("chunk"))
+      .agg(expr("graft_bitmap(pos)").as("bm"))
       .cache()
-    val days = day.select(col("event_type"), col("day").cast("string").as("day"),
-      expr("graft_bitmap_card(bm)").as("n_users"))
-    val totals = day.groupBy(col("event_type"))
-      .agg(expr("graft_bitmap_card(graft_bitmap_or(bm))").as("n_users"))
+    val days = day.groupBy(col("event_type"), col("day"))
+      .agg(sum(expr("graft_bitmap_card(bm)")).as("n_users"))
+      .select(col("event_type"), col("day").cast("string").as("day"), col("n_users"))
+    val totals = day.groupBy(col("event_type"), col("chunk"))
+      .agg(expr("graft_bitmap_or(bm)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("graft_bitmap_card(bm)")).as("n_users"))
       .select(col("event_type"), lit("ALL").as("day"), col("n_users"))
     days.unionByName(totals).orderBy(col("event_type"), col("day"))
   }

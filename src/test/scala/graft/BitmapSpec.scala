@@ -55,6 +55,21 @@ class BitmapSpec extends SparkTestBase {
     assert(BitmapOps.cardinality(BitmapOps.serialize(merged)) === 3L)
   }
 
+  test("chunked containers make any id domain exact (q62's layout)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // ids far beyond MaxBits, straddling several 2^26 containers —
+    // the replica corpora shift keys by 1e9, which is what forced the
+    // container layout in the first place
+    val ids = Seq(3L, 5L, 3L, 1000000235L, 1000000235L, 1000000236L,
+      (1L << 40) + 7L, (1L << 40) + 7L, (1L << 41) + 7L)
+    val df = ids.toDF("id")
+      .selectExpr("id div 65536 AS chunk", "id % 65536 AS pos")
+      .groupBy($"chunk").agg(expr("graft_bitmap(pos)").as("bm"))
+      .agg(sum(expr("graft_bitmap_card(bm)")).as("n"))
+    assert(df.as[Long].head() === ids.distinct.size.toLong)
+  }
+
   test("out-of-domain ids fail fast with the dictionary-encode hint") {
     import spark.implicits._
     VectorFunctions.register(spark)

@@ -315,6 +315,15 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"grid fill must ride the window, not a join:\n$p")
   }
 
+  test("dd11 containment candidates ride equi-joins, never a nested loop") {
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val df = Dedup.containment(docs, 1, 0.9)
+    df.queryExecution.executedPlan // force planning
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()
