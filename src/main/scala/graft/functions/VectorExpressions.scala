@@ -147,6 +147,10 @@ object VectorFunctions {
           exprs => BitmapOr(exprs(0)).toAggregateExpression(), "scala_udf")
         reg.createOrReplaceTempFunction("graft_bitmap_card",
           exprs => BitmapCardinality(exprs(0)), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_bloom",
+          exprs => BloomBuild(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_might_contain",
+          exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
         registered += key
       }
     }

@@ -1752,6 +1752,57 @@ object CoreQueries {
       |GROUP BY GROUPING SETS ((event_type, day), (event_type))
       |ORDER BY event_type, day""".stripMargin
 
+  /** q64: Bloom-filter runtime semi-join pruning.
+    *
+    * Revenue of lineitems belonging to URGENT orders. The exact answer
+    * comes from the semi-join; the Bloom filter of the (filtered)
+    * build-side keys is broadcast as a one-row relation and applied
+    * map-side to the fact table BEFORE the join's exchange, so at
+    * 100 TB the shuffle carries only probable matches (~1/5 of rows
+    * here, arbitrarily selective in production). False positives are
+    * swallowed by the exact join that follows; false negatives cannot
+    * happen (BloomSpec pins both), so the oracle is the plain
+    * semi-join SQL. Sized m=2^20 bits / k=5 for ~15k build keys at
+    * sf0.01 → fp ≈ 2e-6; both knobs are explicit for full-scale
+    * sizing. Spark's own runtime bloom join does this same rewrite
+    * behind a flag; this is the explicit, composable form.
+    *
+    * The filter is materialized driver-side (one ~128 KB value) and
+    * embedded as a LITERAL predicate — exactly how Spark executes its
+    * own runtime-filter scalar subqueries. A lazy cross-join form was
+    * measured instead to have PushDownLeftSemiAntiJoin reorder the
+    * semi-join BELOW the bloom filter, neutralizing it; the literal
+    * form pins the filter to the fact scan, under the join's exchange
+    * (ExplainSpec-asserted).
+    */
+  def q64BloomPrune(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = urgent.agg(
+      call_function("graft_bloom", col("o_orderkey"), lit(1 << 20), lit(5)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .filter(call_function("graft_might_contain", lit(bf), col("l_orderkey")))
+    pruned
+      .join(urgent, pruned("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q64Sql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1809,5 +1860,6 @@ object CoreQueries {
     ("q61_time_weighted_avg", q61TimeWeightedAvg _, q61Sql),
     ("q62_bitmap_distinct", q62BitmapDistinct _, q62Sql),
     ("q63_locf_resample", q63LocfResample _, q63Sql),
+    ("q64_bloom_prune", q64BloomPrune _, q64Sql),
   )
 }

@@ -324,6 +324,19 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q64: bloom membership filters the fact side BEFORE the semi-join's exchange") {
+    val p = plan(CoreQueries.q64BloomPrune(spark, Sf0001))
+    // the pre-filter survives to the physical plan...
+    assert(p.contains("graft_might_contain"), p.take(4000))
+    // ...and sits on the join's streamed (probe) side: BELOW the
+    // semi-join in the tree (map-side, before any exchange), not above
+    // it where it would filter already-joined rows
+    val joinIdx = p.indexOf("LeftSemi")
+    val filterIdx = p.indexOf("graft_might_contain")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter must be under the semi-join, not above it:\n${p.take(4000)}")
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()
