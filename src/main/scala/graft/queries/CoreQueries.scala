@@ -1803,6 +1803,58 @@ object CoreQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q65: 2-D box query over a Z-order clustered layout.
+    *
+    * lineitem laid out on the (l_partkey, l_suppkey) Morton curve
+    * (sources/ZOrderLayout.scala), then a part×supplier box summed per
+    * return flag. The cell IN-list prunes whole directories
+    * (PartitionFilters — ZOrderSpec asserts files read ≪ files total)
+    * and the curve sort makes row-group stats tight inside surviving
+    * cells; the exact range predicates keep the result identical to a
+    * plain filter, so the oracle is the box SQL over the original
+    * table. Layout build is once per SF dir (write-once _SUCCESS
+    * guard), the 100 TB pattern where one layout pass amortizes over
+    * every box query after it. Box spans ~1/16 of each dimension at
+    * any SF (fractional bounds off the table's own min/max).
+    */
+  def q65ZorderBox(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrderLayout
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${Integer.toHexString(d.hashCode)}/lineitem"
+    if (!new java.io.File(s"$path/data/_SUCCESS").exists())
+      ZOrderLayout.writeZOrdered(Tables.lineitem(s, d), "l_partkey", "l_suppkey", path)
+    val m = ZOrderLayout.readMeta(s, path)
+    // box = [min + span/8, min + span/4] on each dim: SF-independent
+    // shape; true max from the data (meta holds bucket widths, not max)
+    val Array(trueMaxA, trueMaxB) = Tables.lineitem(s, d)
+      .agg(max(col("l_partkey")).cast("long"), max(col("l_suppkey")).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    def bounds(min: Long, hi: Long): (Long, Long) = {
+      val span = hi - min
+      (min + span / 8, min + span / 4)
+    }
+    val (loA, hiA) = bounds(m.minA, trueMaxA)
+    val (loB, hiB) = bounds(m.minB, trueMaxB)
+    ZOrderLayout.boxQuery(s, path, loA, hiA, loB, hiB)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle twin of q65's fractional box bounds (span/8 .. span/4). */
+  val q65Sql: String =
+    """WITH b AS (
+      | SELECT MIN(l_partkey) AS mina, MAX(l_partkey) AS maxa,
+      |        MIN(l_suppkey) AS minb, MAX(l_suppkey) AS maxb
+      | FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN mina + (maxa - mina) // 8 AND mina + (maxa - mina) // 4
+      |  AND l_suppkey BETWEEN minb + (maxb - minb) // 8 AND minb + (maxb - minb) // 4
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1861,5 +1913,6 @@ object CoreQueries {
     ("q62_bitmap_distinct", q62BitmapDistinct _, q62Sql),
     ("q63_locf_resample", q63LocfResample _, q63Sql),
     ("q64_bloom_prune", q64BloomPrune _, q64Sql),
+    ("q65_zorder_box", q65ZorderBox _, q65Sql),
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.queries.CoreQueries
+import graft.sources.ZOrderLayout
+
+/** Z-order layout (q65): the Morton arithmetic, exactness of the box
+  * query (cells are a superset, ranges make it exact), and the point
+  * of the whole exercise — a 2-D box must PRUNE most of the layout's
+  * files via partition pruning, asserted on the scan's numFiles
+  * metric, not just on plan text. */
+class ZOrderSpec extends SparkTestBase {
+
+  test("bit interleave: driver and column arithmetic agree") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val viaCol = pairs.toDF("a", "b")
+      .select(ZOrderLayout.zValueCol(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaCol === pairs.map { case (a, b) => ZOrderLayout.zValue(a, b) })
+    // locality sanity: interleaving maps the grid diagonal monotonically
+    assert(ZOrderLayout.zValue(3, 3) < ZOrderLayout.zValue(4, 4))
+  }
+
+  test("box query over the layout equals a direct filter on the original") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    val li = Tables.lineitem(spark, Sf0001)
+    ZOrderLayout.writeZOrdered(li, "l_partkey", "l_suppkey", dir, cellBits = 3)
+    val got = ZOrderLayout.boxQuery(spark, dir, 20L, 80L, 2L, 6L)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = li.filter(col("l_partkey").between(20, 80) && col("l_suppkey").between(2, 6))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "degenerate fixture: empty box proves nothing")
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect() // finalize AQE so metrics are real
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+  }
+
+  test("a small box reads a small fraction of the layout's files (partition pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_prune").toString
+    ZOrderLayout.writeZOrdered(Tables.lineitem(spark, Sf0001),
+      "l_partkey", "l_suppkey", dir, cellBits = 3)
+    val all = scanOf(spark.read.parquet(s"$dir/data"))
+    val box = scanOf(ZOrderLayout.boxQuery(spark, dir, 20L, 44L, 1L, 2L))
+    val (filesAll, filesBox) =
+      (all.metrics("numFiles").value, box.metrics("numFiles").value)
+    assert(box.toString.contains("PartitionFilters"), box.toString.take(2000))
+    assert(filesBox > 0 && filesBox * 2 <= filesAll,
+      s"box read $filesBox of $filesAll files — no pruning happened")
+  }
+
+  test("q65 registry query matches its own direct-filter twin") {
+    val viaLayout = CoreQueries.q65ZorderBox(spark, Sf0001).collect().toSeq
+    val li = Tables.lineitem(spark, Sf0001)
+    val direct = li
+      .filter(col("l_partkey").between(24, 49) && col("l_suppkey").between(1, 2))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(viaLayout === direct)
+  }
+}
