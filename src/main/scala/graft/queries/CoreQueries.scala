@@ -1855,6 +1855,33 @@ object CoreQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q66: re-aggregatable APPROXIMATE distinct via HLL sketches — the
+    * companion to q62's exact bitmaps at the other end of the
+    * space/exactness trade. Day-grain Datasketches HLL sketches
+    * (hll_sketch_agg, lgK=14 → ~16 KB, ±0.8% typical) union into the
+    * all-time grain with hll_union_agg without re-reading the fact
+    * table; at 100 TB the materialized day sketches make any
+    * time-range distinct a KB-scale merge, and unlike the bitmap
+    * family the state is FIXED-size per group regardless of id
+    * domain. Sketch bytes are engine-specific, so the gate is the
+    * spec (≤ 2% vs exact at lgK=14, plus rollup ≡ one-shot sketch),
+    * not a cross-engine hash — same policy as q29/q37. */
+  def q66HllRollup(s: SparkSession, d: String): DataFrame = {
+    val day = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .cache()
+    val days = day.select(col("event_type"), col("day").cast("string").as("day"),
+      expr("hll_sketch_estimate(sk)").as("n_users"))
+    val totals = day.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("n_users"))
+      .select(col("event_type"), lit("ALL").as("day"), col("n_users"))
+    days.unionByName(totals).orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1914,5 +1941,6 @@ object CoreQueries {
     ("q63_locf_resample", q63LocfResample _, q63Sql),
     ("q64_bloom_prune", q64BloomPrune _, q64Sql),
     ("q65_zorder_box", q65ZorderBox _, q65Sql),
+    ("q66_hll_rollup", q66HllRollup _, null),
   )
 }

@@ -87,6 +87,36 @@ class CoreQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q66 HLL rollup: day and ALL estimates within 2% of exact; union ≡ one-shot") {
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.q66HllRollup(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val events = Tables.events(spark, Sf0001)
+      .select(col("event_type"),
+        date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").cast("string").as("day"),
+        col("user_id"))
+    val exactDays = events.groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exactTotals = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), "ALL") -> r.getLong(1)).toMap
+    val exact = exactDays ++ exactTotals
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n).toDouble / math.max(n, 1L) <= 0.02,
+        s"$k: sketch ${got(k)} vs exact $n")
+    }
+    // re-aggregation fidelity: the unioned day sketches estimate the
+    // same cardinality as one sketch built over the whole table
+    val oneShot = events.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    oneShot.foreach { case (et, n) =>
+      assert(got((et, "ALL")) === n, s"$et: union rollup ${got((et, "ALL"))} != one-shot $n")
+    }
+  }
+
   test("q36 latest event agrees with a window-rank reference") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
