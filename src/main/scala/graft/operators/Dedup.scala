@@ -872,4 +872,41 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** dd12: EXACT edit-distance (Levenshtein) near-dup pairs — the
+    * character-level fuzzy-dedup complement to the token-level family
+    * (dd2 Jaccard sees word swaps, edit distance sees typo-grade and
+    * OCR-grade corruption that keeps token identity mostly intact).
+    *
+    * All-pairs Levenshtein is doubly ruinous (n² pairs × len² DP per
+    * pair), so candidates ride the pigeonhole that dist(a,b) ≤ k
+    * forces |len(a)−len(b)| ≤ k: block by (lang, ⌊len/(k+1)⌋), the
+    * probe side exploding to its own and both adjacent buckets —
+    * q30's band-join shape — so any qualifying pair meets in exactly
+    * one bucket (no distinct needed) and the DP runs only on
+    * same-language near-length pairs. The shuffle is hash-partitioned
+    * on (lang, bucket); dense buckets are AQE skew-split like any
+    * equi-join. Output (doc_a, doc_b, dist), doc_a < doc_b.
+    *
+    * Spark's levenshtein() counts CHARACTERS; DuckDB's counts BYTES —
+    * identical on ASCII corpora (the driver testdata is ASCII, so the
+    * oracle gate is sound) and divergent on multibyte text, where the
+    * Spark behavior is the intended semantic. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 20): DataFrame = {
+    val w = maxDist + 1
+    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+      length(col("text")).as("len"), (length(col("text")) / w).cast("int").as("bucket"))
+    val probe = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+        col("lang"), col("len").as("len_a"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val build = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+      col("lang"), col("len").as("len_b"), col("bucket"))
+    probe.join(build, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

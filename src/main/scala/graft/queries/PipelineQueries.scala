@@ -218,6 +218,22 @@ object PipelineQueries {
       |  >= $JaccardThreshold
       |ORDER BY doc_sub, doc_super""".stripMargin
 
+  /** dd12: exact Levenshtein near-dup pairs, banded length blocking.
+    * The oracle brute-forces same-language near-length pairs — sound
+    * because dist ≤ k forces len diff ≤ k (the same pigeonhole the
+    * Spark plan's bucketing rides). */
+  def dd12(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, d), maxDist = 20)
+
+  val dd12Sql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      | ON a.lang = b.lang AND a.doc_id < b.doc_id
+      | AND abs(length(a.text) - length(b.text)) <= 20
+      |WHERE levenshtein(a.text, b.text) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -388,6 +404,7 @@ object PipelineQueries {
     ("dd9_incremental", dd9 _, dd9Sql),
     ("dd10_incr_groups", dd10 _, dd6Sql),
     ("dd11_containment", dd11 _, dd11Sql),
+    ("dd12_edit_distance", dd12 _, dd12Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),

@@ -21,6 +21,40 @@ class DedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
   }
 
+  test("dd12 edit-distance pairs: planted distances, cross-bucket pair found, brute-force agreement") {
+    import spark.implicits._
+    // k=3 → bucket width 4. doc 12's length straddles a bucket
+    // boundary relative to doc 11 (lengths 8 vs 11 → buckets 2 vs 2;
+    // force a genuine cross-bucket case: lengths 7 vs 9 → buckets 1
+    // vs 2, dist 2 ≤ k) — the band explode must still find it.
+    val fuzz = Seq(
+      (10L, "abcdefg", "en"),   // len 7, bucket 1
+      (11L, "abcdefgxy", "en"), // len 9, bucket 2; dist(10,11)=2 cross-bucket
+      (12L, "abcdefh", "en"),   // len 7; dist(10,12)=1
+      (13L, "abcdefg", "de"),   // same text, other lang: blocked out
+      (14L, "zzzzzzz", "en"),   // len 7; far from everything
+      (15L, "qqqq", "en")       // len 4, bucket 1; dist to 10 > 3
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(fuzz, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference over all same-lang pairs (no blocking)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = fuzz.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = (for {
+      (ia, ta, la) <- rows; (ib, tb, lb) <- rows
+      if ia < ib && la == lb && lev(ta, tb) <= 3
+    } yield (ia, ib, lev(ta, tb).toLong)).toSet
+    assert(got === want)
+    assert(got.contains((10L, 11L, 2L)), "cross-bucket pair missed by the band explode")
+    assert(!got.exists(p => p._1 == 13L || p._2 == 13L), "cross-language pair leaked")
+  }
+
   test("dd1 exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)))

@@ -337,6 +337,13 @@ class ExplainSpec extends SparkTestBase {
       s"bloom filter must be under the semi-join, not above it:\n${p.take(4000)}")
   }
 
+  test("dd12 edit-distance candidates ride the (lang, bucket) equi-join, never a nested loop") {
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"), col("lang"))
+    val p = plan(Dedup.editDistancePairs(docs, 20))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()
