@@ -167,4 +167,126 @@ object Multimodal {
     base.select(Seq(col("doc_id"), col("n_bytes"), col("batch_size")) ++ flat: _*)
       .orderBy(col("doc_id"))
   }
+
+  /** Perceptual hash of a blob — aHash with the DECODE stubbed.
+    *
+    * A real image pipeline decodes, downscales to 8×8 grayscale, and
+    * sets bit i when pixel i beats the mean. Here the "decode" is the
+    * deterministic stand-in (no codecs in this container): the blob's
+    * bytes are range-partitioned into 64 chunks ("pixels"), each
+    * pixel = its chunk's mean byte value. The property that matters —
+    * LOCALITY: a small edit anywhere in the payload perturbs few
+    * pixels, so near-identical blobs land within a few Hamming bits —
+    * survives the stub, which is what lets mm5's band join and the
+    * spec's planted near-dups exercise the real pipeline shape. */
+  def phashOf(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      val c = ((i.toLong * 64L) / bytes.length).toInt
+      sums(c) += bytes(i) & 0xFF
+      counts(c) += 1
+      i += 1
+    }
+    var total = 0L
+    var b = 0
+    while (b < 64) { total += sums(b); b += 1 }
+    val mean = total.toDouble / bytes.length
+    var h = 0L
+    b = 0
+    while (b < 64) {
+      if (counts(b) > 0 && sums(b).toDouble / counts(b) > mean) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** (doc_id, phash) via the mm2 batch contract (mapPartitions in
+    * BatchSize groups — the shape a vectorized decoder drops into). */
+  def phash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val withBlob = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rdd = withBlob.rdd.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row(r.getLong(0), phashOf(r.getAs[Array[Byte]](1)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic "re-encode" stand-in: a lossy codec round-trip
+    * perturbs byte VALUES but preserves payload geometry (length,
+    * structure) — modeled as single-character substitutions at 1/3 and
+    * 2/3 of the payload. Length-preserving is the load-bearing
+    * property: it keeps the perturbation local in chunk space, exactly
+    * like compression artifacts and unlike text edits (an insertion
+    * shifts every downstream byte — the probe that motivated this:
+    * token-level near-dups measure ~32/64 bits apart, i.e. random).
+    * Re-encoded ids are original + [[ReencodeOffset]]. */
+  val ReencodeOffset = 1000000L
+
+  def reencodeStub(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + ReencodeOffset).as("doc_id"),
+      overlay(
+        overlay(col("text"), lit("~"),
+          greatest(lit(1), (length(col("text")) / 3).cast("int")), lit(1)),
+        lit("~"),
+        greatest(lit(1), (length(col("text")) * 2 / 3).cast("int")), lit(1)).as("text"))
+
+  /** mm5: perceptual-hash near-duplicate pairs over media blobs —
+    * image-grade dedup for a multimodal corpus (re-encoded, lightly
+    * retouched, or resampled assets share most perceptual bits even
+    * when their bytes diverge; exact-hash dedup sees nothing).
+    *
+    * Identical signatures collapse first (duplicate-heavy corpora put
+    * many assets on one hash; intra-group pairs are Hamming 0 by
+    * construction), then DISTINCT signatures ride the exact Hamming
+    * pigeonhole: maxHamming+1 disjoint bit-bands, since dist ≤ k must
+    * leave at least one of k+1 bands untouched — every qualifying
+    * pair agrees exactly on some band, so candidates come from
+    * maxHamming+1 equi-joins-worth of band keys (one exploded
+    * equi-join), never an all-pairs comparison. Same machinery as
+    * dd2's mask path; sound (zero misses), unlike fixed-band simhash
+    * LSH. Output (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def phashNearDup(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val groups = phash(docs).groupBy("phash")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+      .cache()
+    val intra = groups.select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(0L).as("hamming"))
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(k => k * 64 / nBands)
+    val bandCols = (0 until nBands).map { k =>
+      val lo = bounds(k); val width = bounds(k + 1) - lo
+      val bits = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(k).as("band"), expr(s"(phash >> $lo) & $bits").as("bv"))
+    }
+    val reps = groups.select(col("rep"), col("phash"))
+    val bands = reps.select(col("rep"), col("phash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("rep"), col("phash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val x = bands.as("x"); val y = bands.as("y")
+    val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val ga = groups.select(col("rep").as("rep_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("rep").as("rep_b"), col("ids").as("ids_b"))
+    val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
 }

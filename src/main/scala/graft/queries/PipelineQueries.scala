@@ -390,6 +390,15 @@ object PipelineQueries {
   def mm3(s: SparkSession, d: String): DataFrame = Multimodal.frameSampleMeta(Tables.documents(s, d))
   def mm2(s: SparkSession, d: String): DataFrame = Multimodal.featureExtractFlat(Tables.documents(s, d))
   def mm4(s: SparkSession, d: String): DataFrame = Multimodal.resizeStub(Tables.documents(s, d))
+  /** mm5: the corpus ships no binary media, so the registry query
+    * unions each blob with its deterministic "re-encode" twin
+    * (lossy-codec stand-in) and recovers the planted original↔twin
+    * pairs — recall spec-pinned at 100%. Stub decode is
+    * engine-specific byte arithmetic → spec-gated, mm2 policy. */
+  def mm5(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Multimodal.phashNearDup(docs.unionByName(Multimodal.reencodeStub(docs)))
+  }
 
   /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -437,5 +446,6 @@ object PipelineQueries {
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
     ("mm4_resize_stub", mm4 _, Multimodal.resizeStubSql(Multimodal.ResizeTarget)),
+    ("mm5_phash_neardup", mm5 _, null),
   )
 }

@@ -344,6 +344,13 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("mm5 phash near-dup candidates ride the band equi-join, never a nested loop") {
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val p = plan(graft.operators.Multimodal.phashNearDup(docs, 8))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()

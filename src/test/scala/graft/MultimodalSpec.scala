@@ -89,4 +89,58 @@ class MultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("mm5 phash locality: small payload edits flip few bits, rewrites flip many") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes("UTF-8")
+    val retouched = base.clone()
+    // a localized "retouch": corrupt one 16-byte run mid-payload
+    (400 until 416).foreach(i => retouched(i) = 'Z'.toByte)
+    val other = ("entirely different payload with other content " * 20).getBytes("UTF-8")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(Multimodal.phashOf(base) === Multimodal.phashOf(base.clone()))
+    assert(ham(Multimodal.phashOf(base), Multimodal.phashOf(retouched)) <= 4,
+      "a localized edit must perturb only nearby chunks")
+    assert(ham(Multimodal.phashOf(base), Multimodal.phashOf(other)) > 8,
+      "unrelated payloads must not look near-duplicate")
+  }
+
+  test("mm5 near-dup pairs: planted retouch found, exact dup at hamming 0, unrelated absent") {
+    import spark.implicits._
+    val doc = "the quick brown fox jumps over the lazy dog " * 20
+    val retouched = doc.updated(400, 'Z').updated(401, 'Z').updated(402, 'Z')
+    val docs = Seq(
+      (1L, doc), (2L, doc), (3L, retouched),
+      (4L, "entirely different payload with other content " * 20),
+      (5L, "short odd one out")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.phashNearDup(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) === 0L, "exact duplicate must be hamming 0")
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)), "retouched near-dup missed")
+    // a tiny retouch may land below hash resolution (hamming 0) —
+    // what matters is it's found within the band; the locality test
+    // above pins that larger edits DO move bits
+    assert(got((1L, 3L)) <= 8L)
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      "unrelated docs must not pair")
+    // pigeonhole soundness: band candidates found EVERY pair a
+    // brute-force hamming scan finds
+    val hashes = Multimodal.phash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib)).toSet
+    assert(got.keySet === brute)
+  }
+
+  test("mm5 registry shape: every planted re-encode twin is recovered (recall 1.0)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val pairs = Multimodal.phashNearDup(
+        docs.unionByName(Multimodal.reencodeStub(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = ids.filterNot(id => pairs.contains((id, id + Multimodal.ReencodeOffset)))
+    assert(missed.isEmpty, s"planted re-encode pairs missed for ids: ${missed.take(10).mkString(",")}")
+  }
 }
