@@ -35,5 +35,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         e(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction(fn("graft_heavyhitters",
       e => MisraGries(e(0), e(1)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_bitmap",
+      e => BitmapBuild(e(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_bitmap_or",
+      e => BitmapOr(e(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_bitmap_card", e => BitmapCardinality(e(0))))
+    ext.injectFunction(fn("graft_bloom",
+      e => BloomBuild(e(0), e(1), e(2)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_might_contain", e => BloomMightContain(e(0), e(1))))
+    ext.injectFunction(fn("graft_kll", e => KllBuild(e(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kll_merge", e => KllMerge(e(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kll_quantile", e => KllQuantile(e(0), e(1))))
+    // optimizer: naive |x - y| <= k band joins get q30's bucketized
+    // equi-join shape automatically (see plans/BandJoinRewrite.scala)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

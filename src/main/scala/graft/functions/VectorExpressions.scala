@@ -151,6 +151,12 @@ object VectorFunctions {
           exprs => BloomBuild(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
         reg.createOrReplaceTempFunction("graft_might_contain",
           exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_kll",
+          exprs => KllBuild(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_kll_merge",
+          exprs => KllMerge(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_kll_quantile",
+          exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
         registered += key
       }
     }

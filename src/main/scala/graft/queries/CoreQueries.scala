@@ -1882,6 +1882,35 @@ object CoreQueries {
     days.unionByName(totals).orderBy(col("event_type"), col("day"))
   }
 
+  /** q67: re-aggregatable APPROXIMATE quantiles via KLL sketches —
+    * the third mergeable-summary family after q62 (exact distinct)
+    * and q66 (approx distinct). Month-grain sketches of order value
+    * per priority (graft_kll) roll up to all-time quantiles with
+    * graft_kll_merge — no fact re-scan, any later time-range
+    * percentile question is a KB-scale merge. p50/p95/p99 per grain.
+    * KLL compaction is randomized, so estimates are stable only
+    * within the ~1.65% rank-error bound → spec-gated (q29 policy). */
+  def q67KllRollup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val month = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_totalprice"))
+      .groupBy(col("o_orderpriority"), col("month"))
+      .agg(expr("graft_kll(o_totalprice)").as("sk"))
+      .cache()
+    def quantiles(skCol: String): Seq[Column] = Seq(
+      expr(s"graft_kll_quantile($skCol, 0.5)").as("p50"),
+      expr(s"graft_kll_quantile($skCol, 0.95)").as("p95"),
+      expr(s"graft_kll_quantile($skCol, 0.99)").as("p99"))
+    val months = month.select(Seq(col("o_orderpriority"),
+      col("month").cast("string").as("month")) ++ quantiles("sk"): _*)
+    val totals = month.groupBy(col("o_orderpriority"))
+      .agg(expr("graft_kll_merge(sk)").as("sk_all"))
+      .select(Seq(col("o_orderpriority"), lit("ALL").as("month")) ++ quantiles("sk_all"): _*)
+    months.unionByName(totals).orderBy(col("o_orderpriority"), col("month"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1942,5 +1971,6 @@ object CoreQueries {
     ("q64_bloom_prune", q64BloomPrune _, q64Sql),
     ("q65_zorder_box", q65ZorderBox _, q65Sql),
     ("q66_hll_rollup", q66HllRollup _, null),
+    ("q67_kll_rollup", q67KllRollup _, null),
   )
 }

@@ -117,6 +117,36 @@ class CoreQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q67 KLL rollup: every estimate's true rank within the sketch's error bound") {
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.q67KllRollup(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3), 0.99 -> r.getDouble(4))).toMap
+    val orders = Tables.orders(spark, Sf0001)
+      .select(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def check(key: (String, String), values: Array[Double]): Unit = {
+      val n = values.length.toDouble
+      got(key).foreach { case (p, est) =>
+        val rank = values.count(_ <= est) / n
+        // k=200 → ~1.65% rank error at 99% confidence; for tiny
+        // groups one order statistic can be worth > 2.5% of rank, so
+        // allow the 1-element discretization on top of the bound
+        assert(math.abs(rank - p) <= 0.025 + 1.0 / n,
+          s"$key p$p: est $est has true rank $rank over ${values.length} values")
+      }
+    }
+    orders.groupBy(r => (r._1, r._2)).foreach { case (key, vs) =>
+      check(key, vs.map(_._3).toArray)
+    }
+    orders.groupBy(_._1).foreach { case (prio, vs) =>
+      check((prio, "ALL"), vs.map(_._3).toArray)
+    }
+    assert(got.keySet.count(_._2 == "ALL") === orders.map(_._1).distinct.length)
+  }
+
   test("q36 latest event agrees with a window-rank reference") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
