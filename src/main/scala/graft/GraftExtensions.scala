@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_kll", e => KllBuild(e(0)).toAggregateExpression()))
     ext.injectFunction(fn("graft_kll_merge", e => KllMerge(e(0)).toAggregateExpression()))
     ext.injectFunction(fn("graft_kll_quantile", e => KllQuantile(e(0), e(1))))
+    ext.injectFunction(fn("graft_theta", e => ThetaBuild(e(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_theta_union", e => ThetaUnionAgg(e(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_theta_estimate", e => ThetaEstimate(e(0))))
+    ext.injectFunction(fn("graft_theta_intersect", e => ThetaIntersect(e(0), e(1))))
+    ext.injectFunction(fn("graft_theta_anotb", e => ThetaANotB(e(0), e(1))))
     // optimizer: naive |x - y| <= k band joins get q30's bucketized
     // equi-join shape automatically (see plans/BandJoinRewrite.scala)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)

@@ -157,6 +157,16 @@ object VectorFunctions {
           exprs => KllMerge(exprs(0)).toAggregateExpression(), "scala_udf")
         reg.createOrReplaceTempFunction("graft_kll_quantile",
           exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_theta",
+          exprs => ThetaBuild(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_theta_union",
+          exprs => ThetaUnionAgg(exprs(0)).toAggregateExpression(), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_theta_estimate",
+          exprs => ThetaEstimate(exprs(0)), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_theta_intersect",
+          exprs => ThetaIntersect(exprs(0), exprs(1)), "scala_udf")
+        reg.createOrReplaceTempFunction("graft_theta_anotb",
+          exprs => ThetaANotB(exprs(0), exprs(1)), "scala_udf")
         registered += key
       }
     }

@@ -147,6 +147,26 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(got.keySet.count(_._2 == "ALL") === orders.map(_._1).distinct.length)
   }
 
+  test("q68 theta overlap: union, intersection and difference estimates within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.q68ThetaOverlap(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val users = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def close(est: Double, exact: Int): Unit =
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 2.0), s"est $est vs exact $exact")
+    got.foreach { case ((ta, tb), (ea, eb, eBoth, eOnlyA)) =>
+      val (sa, sb) = (users(ta), users(tb))
+      close(ea, sa.size); close(eb, sb.size)
+      close(eBoth, (sa & sb).size); close(eOnlyA, (sa -- sb).size)
+    }
+    val types = users.keySet.toSeq.sorted
+    assert(got.keySet === (for { a <- types; b <- types if a < b } yield (a, b)).toSet)
+  }
+
   test("q36 latest event agrees with a window-rank reference") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
