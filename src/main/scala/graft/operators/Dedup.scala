@@ -892,18 +892,39 @@ object Dedup {
     * identical on ASCII corpora (the driver testdata is ASCII, so the
     * oracle gate is sound) and divergent on multibyte text, where the
     * Spark behavior is the intended semantic. */
+  /** Characters whose per-doc counts feed the cheap L1 pre-filter. */
+  private val FreqProbeChars = Seq("e", "a", "t", " ")
+
   def editDistancePairs(docs: DataFrame, maxDist: Int = 20): DataFrame = {
     val w = maxDist + 1
-    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+    // Cheap NECESSARY condition ahead of the O(len²) DP: one edit op
+    // changes any character-count vector by L1 ≤ 2, so dist ≤ k
+    // forces Σ|countΔ| ≤ 2k over ANY subset of characters (projecting
+    // to a subset only shrinks the L1). Counts via length-of-replace
+    // are pure codegen. Load-bearing when length blocking is weak —
+    // e.g. a corpus of near-uniform lengths puts many docs per
+    // bucket, and this filter kills almost all of those candidates
+    // for the cost of four integer subtractions instead of a DP.
+    val freqCols = FreqProbeChars.zipWithIndex.map { case (c, i) =>
+      (length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(c), ""))).as(s"fq$i")
+    }
+    val base = docs.select(Seq(col("doc_id"), col("text"), col("lang"),
       length(col("text")).as("len"), (length(col("text")) / w).cast("int").as("bucket"))
-    val probe = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+      ++ freqCols: _*)
+    val fq = FreqProbeChars.indices
+    val probe = base.select(Seq(col("doc_id").as("doc_a"), col("text").as("text_a"),
         col("lang"), col("len").as("len_a"),
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
-    val build = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
-      col("lang"), col("len").as("len_b"), col("bucket"))
+      ++ fq.map(i => col(s"fq$i").as(s"fqa$i")): _*)
+    val build = base.select(Seq(col("doc_id").as("doc_b"), col("text").as("text_b"),
+        col("lang"), col("len").as("len_b"), col("bucket"))
+      ++ fq.map(i => col(s"fq$i").as(s"fqb$i")): _*)
     probe.join(build, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDist)
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        fq.map(i => abs(col(s"fqa$i") - col(s"fqb$i")))
+          .reduce(_ + _) <= lit(2 * maxDist))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
