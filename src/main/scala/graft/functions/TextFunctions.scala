@@ -814,6 +814,78 @@ object TextFunctions {
       |FROM kept
       |ORDER BY source, doc_id""".stripMargin
 
+  /** tx20: span-level eval-DECONTAMINATION — tx11 detects benchmark
+    * leakage, this removes it the way production corpora do (drop the
+    * contaminated n-gram spans, keep the rest of the document; nuking
+    * whole documents over one quoted benchmark line wastes data).
+    * Every train-split token covered by any word n-gram that also
+    * occurs in the eval split is deleted; the document is re-emitted
+    * from its surviving tokens with removal counts for auditing.
+    *
+    * Scale design: the eval side collapses to DISTINCT shingles before
+    * the join (same as tx11); train shingles probe it with one
+    * left-semi hash join, and ONLY the hit positions (sparse in a
+    * healthy corpus) shuffle back — grouped to one int-array row per
+    * affected doc. Span expansion + token filtering then happen
+    * map-side with array HOFs on the intact document row: the token
+    * stream itself is never exploded across the wire. Cost is
+    * O(|shingles|) join + O(hits) shuffle, NOT O(tokens). At 100 TB
+    * both join sides would key on xxhash64(shingle) (8-byte keys);
+    * the string key is kept so the oracle replays the join exactly. */
+  def decontaminate(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spanOf = s"transform(sequence(1, size(ts) - ${n - 1}), i -> concat_ws(' ', slice(ts, i, $n)))"
+    val t = docs.select(col("doc_id"), expr(tokensExpr).as("ts"))
+    val evalSh = t.filter(col("doc_id") % 10 === 0)
+      .filter(size(col("ts")) >= n)
+      .select(explode(expr(spanOf)).as("shingle")).distinct()
+    val tr = t.filter(col("doc_id") % 10 =!= 0)
+    val trSh = tr.filter(size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(expr(spanOf)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
+    val hits = trSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("his"))
+    tr.join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("cov", expr(
+        s"array_distinct(flatten(transform(coalesce(his, CAST(array() AS array<int>)), i -> sequence(i, i + ${n - 1}))))"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        expr("array_join(filter(ts, (tok, j) -> NOT array_contains(cov, j + 1)), ' ')").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Relational replay of [[decontaminate]]: DuckDB has no
+    * filter-with-index HOF, so the oracle explodes tokens and
+    * anti-joins covered positions — same sets, same order keys. */
+  def decontaminateSql(n: Int): String =
+    s"""WITH t AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |ev AS (
+      | SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts) - ${n - 1}),
+      |   i -> array_to_string(ts[i:i+${n - 1}], ' '))) AS shingle
+      | FROM t WHERE doc_id % 10 = 0 AND len(ts) >= $n),
+      |tr AS (SELECT doc_id, ts FROM t WHERE doc_id % 10 <> 0),
+      |tsh AS (
+      | SELECT doc_id, i, array_to_string(ts[i:i+${n - 1}], ' ') AS shingle
+      | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${n - 1})) AS i
+      |       FROM tr WHERE len(ts) >= $n)),
+      |hits AS (SELECT DISTINCT h.doc_id, h.i FROM tsh h JOIN ev USING (shingle)),
+      |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${n - 1})) AS p FROM hits),
+      |tok AS (
+      | SELECT doc_id, j, ts[j] AS tok
+      | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS j FROM tr)),
+      |kept AS (
+      | SELECT k.doc_id, k.j, k.tok
+      | FROM tok k ANTI JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.j),
+      |agg AS (
+      | SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text, COUNT(*) AS n_kept
+      | FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+      | CAST(len(t.ts) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      | coalesce(a.clean_text, '') AS clean_text
+      |FROM tr t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

@@ -477,6 +477,97 @@ object Similarity {
     * addition-order-independent, so the result is bit-deterministic
     * under Spark's nondeterministic partition merge order (the same
     * trick every dsum oracle query uses). */
+  /** ss10: distributed Lloyd k-means over the whole corpus, with
+    * ORACLE-GATED BIT-EXACT assignments — rare for clustering, and
+    * the point: every arithmetic step is either exact DECIMAL (order-
+    * independent, so Spark's nondeterministic merge order can't
+    * perturb it) or a single fixed IEEE operation mirrored verbatim
+    * in the DuckDB oracle.
+    *
+    * The deterministic recipe, per coordinate — integer micro-units:
+    *  - inputs quantized once: float → double (exact widening) →
+    *    DECIMAL(18,6) (both engines' validated half-up cast) → ×10⁶
+    *    → BIGINT. After this line there is NO floating point and NO
+    *    decimal division anywhere — every engine-divergent rounding
+    *    path is gone. (A first cut kept DECIMAL centroids and
+    *    re-quantized the mean through a double divide; the two
+    *    engines' double→DECIMAL(18,6) casts round the mean's last
+    *    microdigit differently ~50% of the time, which the sf0.01
+    *    gate caught in the distance column. Integer micro-units are
+    *    the fix, not a band-aid: exact by construction.)
+    *  - distances: Σ (x−c)² in int64 micro²-units — exact, no
+    *    sum-order sensitivity; argmin tie-breaks on cluster id via
+    *    one struct-array min (mirrors the oracle's ORDER BY dist,
+    *    cluster). Bound: |coordinate| ≤ ~3·10³ keeps Σ of 64 squared
+    *    diffs under 2⁶³ — unit-normalized embeddings are ~1.
+    *  - new centroids: exact int64 coordinate sums; the half-up mean
+    *    ⌊(2s+n) / 2n⌋ is computed with pmod-floor division — pure
+    *    integer ops both engines share verbatim.
+    *  - seeds: the k smallest vec_ids — deterministic, no RNG.
+    *
+    * Scale: assignment is map-side only (centroids are k×dim decimal
+    * literals broadcast in the plan — the IVF trainer's bounded-
+    * driver-state pattern), so each Lloyd round is one corpus scan
+    * plus a partial-agg'd groupBy whose shuffle volume is
+    * partitions×k×dim, independent of corpus size. The quantized
+    * corpus is cached across rounds; empty clusters keep their
+    * previous centroid (COALESCE in the oracle, getOrElse here). */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansAssign: k and iters must be >= 1")
+    val xq = corpus.select(col("vec_id"),
+      expr("transform(embedding, v -> " +
+        "CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))").as("xi"))
+      .cache()
+
+    val seed = xq.orderBy(col("vec_id")).limit(k).collect() // k×dim longs: bounded driver state
+    var cents: Array[Array[Long]] = seed.map(_.getSeq[Long](1).toArray)
+
+    def distCol(c: Array[Long]): Column = {
+      val cLit = array(c.map(lit(_)): _*)
+      aggregate(
+        zip_with(col("xi"), cLit, (a, b) => (a - b) * (a - b)),
+        lit(0L),
+        (acc, v) => acc + v)
+    }
+
+    def assign(): DataFrame = {
+      val structs = cents.zipWithIndex.map { case (c, i) =>
+        struct(distCol(c).as("dist"), lit(i).as("cluster"))
+      }
+      xq.select(col("vec_id"), col("xi"), array_min(array(structs: _*)).as("best"))
+        .select(col("vec_id"), col("xi"),
+          col("best.cluster").as("cluster"), col("best.dist").as("dist"))
+    }
+
+    var assigned = assign()
+    var round = 1
+    while (round < iters) {
+      // half-up mean in micro-units: ⌊(2s+n) / 2n⌋ via pmod-floor —
+      // exactly-divisible after subtracting pmod, so the one double
+      // division is exact (operands < 2^53) and casts back losslessly
+      val means = assigned
+        .select(col("cluster"), posexplode(col("xi")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .selectExpr("cluster", "pos",
+          "CAST((2*s + n - pmod(2*s + n, 2*n)) / (2*n) AS BIGINT) AS c")
+        .collect() // k×dim rows: bounded driver state
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci) match {
+          case Some(rows) =>
+            val m = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+            old.indices.map(p => m.getOrElse(p, old(p))).toArray
+          case None => old
+        }
+      }
+      assigned = assign()
+      round += 1
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("dist").as("dist2u"))
+      .orderBy(col("vec_id"))
+  }
+
   def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))

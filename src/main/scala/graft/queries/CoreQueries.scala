@@ -1937,6 +1937,53 @@ object CoreQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q69: rolling 7-day distinct users per day (the DAU/WAU board) —
+    * the sliding-window form of q62's bitmap rollup, and the query
+    * COUNT(DISTINCT) OVER a RANGE frame cannot answer at scale
+    * (Spark refuses distinct window aggregates; the naive self-join
+    * re-scans the fact table 7×). One fact pass builds day-grain
+    * chunked bitmaps (q62's roaring-style (div 2^16, mod 2^16)
+    * layout); each day bitmap then contributes to the 7 target days
+    * it covers — a 7× replication of KB-scale summaries, not of fact
+    * rows — and per-target-day OR-merge + popcount gives EXACT
+    * windowed distincts. Target days clip to days that exist
+    * (broadcast semi-join against the day spine, itself read off the
+    * cached day aggregate). At 100 TB the day bitmaps are a
+    * materialized table and any window length is the same cheap
+    * merge. Oracle: DuckDB windowed COUNT(DISTINCT) via a spine
+    * range join — exact equality. */
+  def q69RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val day = Tables.events(s, d)
+      .select(date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").as("day"),
+        expr("user_id div 65536").as("chunk"),
+        expr("user_id % 65536").as("pos"))
+      .groupBy(col("day"), col("chunk"))
+      .agg(expr("graft_bitmap(pos)").as("bm"))
+      .cache()
+    val spine = day.select(col("day")).distinct()
+    val contrib = day
+      .select(col("day"), col("chunk"), col("bm"), explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add(col("day"), col("off")).as("day"), col("chunk"), col("bm"))
+    contrib.join(broadcast(spine), Seq("day"), "left_semi")
+      .groupBy(col("day"), col("chunk"))
+      .agg(expr("graft_bitmap_or(bm)").as("bm"))
+      .groupBy(col("day"))
+      .agg(sum(expr("graft_bitmap_card(bm)")).as("n_users_7d"))
+      .select(col("day").cast("string").as("day"), col("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
+  val q69Sql: String =
+    """WITH e AS (
+      | SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      | FROM events),
+      |d AS (SELECT DISTINCT day FROM e)
+      |SELECT CAST(d.day AS VARCHAR) AS day, COUNT(DISTINCT e.user_id) AS n_users_7d
+      |FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day
+      |ORDER BY day""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -1999,5 +2046,6 @@ object CoreQueries {
     ("q66_hll_rollup", q66HllRollup _, null),
     ("q67_kll_rollup", q67KllRollup _, null),
     ("q68_theta_overlap", q68ThetaOverlap _, null),
+    ("q69_rolling_distinct", q69RollingDistinct _, q69Sql),
   )
 }

@@ -351,6 +351,65 @@ object PipelineQueries {
       | AND list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) >= $RangeMinCosine
       |ORDER BY query_id, vec_id""".stripMargin
 
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  def ss10(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansAssign(Tables.embeddings(s, d), KmeansK, KmeansIters)
+
+  /** ss10's oracle unrolls the SAME two Lloyd rounds the Spark side
+    * runs, in the same int64 micro-units: coordinates quantized to
+    * DECIMAL(18,6) then ×10⁶ → BIGINT, exact integer squared
+    * distances (sum-order-independent), argmin tie-broken on cluster
+    * id, half-up means via the shared pmod-floor identity, empty
+    * clusters COALESCEd to their previous centroid. Pure integer
+    * arithmetic end to end, so assignments AND distances hash
+    * bit-exactly. (SUM(BIGINT) is HUGEINT in DuckDB — cast back
+    * before reuse.) */
+  val ss10Sql: String =
+    s"""WITH x AS (
+      |  SELECT vec_id, gs - 1 AS pos,
+      |   CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS gs FROM embeddings)),
+      |seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KmeansK)),
+      |c0 AS (
+      |  SELECT s.cluster, x.pos, x.xi AS c
+      |  FROM seeds s JOIN x ON x.vec_id = s.vec_id),
+      |d1 AS (
+      |  SELECT x.vec_id, c.cluster,
+      |   CAST(SUM((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS dist
+      |  FROM x JOIN c0 c ON c.pos = x.pos
+      |  GROUP BY x.vec_id, c.cluster),
+      |a1 AS (
+      |  SELECT vec_id, cluster,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+      |  FROM d1),
+      |m1 AS (
+      |  SELECT a.cluster, x.pos, CAST(SUM(x.xi) AS BIGINT) AS s, COUNT(*) AS n
+      |  FROM a1 a JOIN x USING (vec_id)
+      |  WHERE a.rn = 1
+      |  GROUP BY a.cluster, x.pos),
+      |c1 AS (
+      |  SELECT c0.cluster, c0.pos,
+      |   COALESCE(CAST((2*m.s + m.n - ((((2*m.s + m.n) % (2*m.n)) + 2*m.n) % (2*m.n)))
+      |                 / (2*m.n) AS BIGINT), c0.c) AS c
+      |  FROM c0 LEFT JOIN m1 m ON m.cluster = c0.cluster AND m.pos = c0.pos),
+      |d2 AS (
+      |  SELECT x.vec_id, c.cluster,
+      |   CAST(SUM((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS dist
+      |  FROM x JOIN c1 c ON c.pos = x.pos
+      |  GROUP BY x.vec_id, c.cluster),
+      |a2 AS (
+      |  SELECT vec_id, cluster, dist,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+      |  FROM d2)
+      |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist AS dist2u
+      |FROM a2 WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
     * DECIMAL accumulation mirrors the Spark plan exactly. */
@@ -383,6 +442,7 @@ object PipelineQueries {
   def tx17(s: SparkSession, d: String): DataFrame = TextFunctions.bigramLm(Tables.documents(s, d))
   def tx18(s: SparkSession, d: String): DataFrame = TextFunctions.domainCap(Tables.documents(s, d))
   def tx19(s: SparkSession, d: String): DataFrame = TextFunctions.mixtureSample(Tables.documents(s, d))
+  def tx20(s: SparkSession, d: String): DataFrame = TextFunctions.decontaminate(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -423,6 +483,7 @@ object PipelineQueries {
     ("ss7_ivfpq_ann", ss7 _, null),
     ("ss8_ann_recall", ss8 _, null),
     ("ss9_range_search", ss9 _, ss9Sql),
+    ("ss10_kmeans", ss10 _, ss10Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),
@@ -442,6 +503,7 @@ object PipelineQueries {
     ("tx17_bigram_lm", tx17 _, TextFunctions.bigramLmSql),
     ("tx18_domain_cap", tx18 _, TextFunctions.domainCapSql(2)),
     ("tx19_mixture_sample", tx19 _, TextFunctions.mixtureSampleSql),
+    ("tx20_decontaminate", tx20 _, TextFunctions.decontaminateSql(8)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

@@ -82,6 +82,26 @@ class BitmapSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("dictionary-encode")), e.toString)
   }
 
+  test("q69 rolling 7-day distinct ≡ direct distinct over each window") {
+    import spark.implicits._
+    val got = CoreQueries.q69RollingDistinct(spark, Sf0001)
+      .as[(String, Long)].collect().toSeq
+    // brute-force reference: distinct (day, user) pairs, window by scan
+    val pairs = Tables.events(spark, Sf0001)
+      .select(date_trunc("day", timestamp_micros(expr("ts div 1000"))).cast("date").as("day"),
+        col("user_id"))
+      .distinct()
+      .as[(java.sql.Date, Long)].collect()
+    val want = pairs.map(_._1).distinct.sorted((a: java.sql.Date, b: java.sql.Date) => a.compareTo(b))
+      .map { d =>
+        val lo = java.sql.Date.valueOf(d.toLocalDate.minusDays(6))
+        (d.toString,
+          pairs.filter(p => !p._1.before(lo) && !p._1.after(d)).map(_._2).distinct.length.toLong)
+      }.toSeq
+    assert(got === want)
+    assert(got.map(_._2).max >= got.map(_._2).min) // windows non-degenerate
+  }
+
   test("q62 day rows and ALL rows are consistent: ALL ≥ max day, ≤ Σ days") {
     val rows = CoreQueries.q62BitmapDistinct(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -216,4 +216,31 @@ class SimilaritySpec extends SparkTestBase {
     rng.foreach { case (_, _, c) => assert(c >= tau) }
     assert(rng.nonEmpty)
   }
+
+  test("ss10 k-means: planted tight clusters recovered; deterministic") {
+    import spark.implicits._
+    // three tight clusters at distinct corners; ids interleaved so the
+    // seed set (min ids) spans clusters unevenly
+    def around(cx: Float, cy: Float, eps: Float): Seq[Float] =
+      Seq(cx + eps, cy - eps) ++ Seq.fill(dim - 2)(0.0f)
+    val rows =
+      (0 until 6).map(i => (i * 3L, around(10f, 0f, 0.01f * i))) ++
+      (0 until 6).map(i => (i * 3L + 1, around(0f, 10f, 0.01f * i))) ++
+      (0 until 6).map(i => (i * 3L + 2, around(-10f, -10f, 0.01f * i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(emb, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length === rows.length)
+    // each planted cluster maps to exactly one label
+    val byPlanted = out.groupBy(_._1 % 3).map { case (p, rs) => p -> rs.map(_._2).toSet }
+    assert(byPlanted.values.forall(_.size === 1), byPlanted.toString)
+    assert(byPlanted.values.toSeq.distinct.length === 3)
+    // converged members sit near their centroid: dist (int64 micro²
+    // units, 1.0 real = 1e12) well under the ~200-real inter-cluster gap
+    out.foreach { case (_, _, dist) => assert(dist < 1_000_000_000_000L, dist.toString) }
+    // bit-deterministic across runs
+    val again = Similarity.kmeansAssign(emb, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq)
+  }
 }
