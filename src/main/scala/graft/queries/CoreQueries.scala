@@ -1984,6 +1984,49 @@ object CoreQueries {
       |GROUP BY d.day
       |ORDER BY day""".stripMargin
 
+  /** q70: first-order Markov transition matrix over the event stream —
+    * P(next event type | current) per user journey, the sequence-
+    * analytics summary behind "what do users do after a click".
+    *
+    * One user-keyed shuffle sorts each user's history (ts, then
+    * event_id for deterministic tie order — both engines share the
+    * key); lead() pairs consecutive events map-side after the sort,
+    * and the (from, to) count matrix is |types|² rows — the
+    * per-from-type normalization window runs on that tiny matrix, not
+    * on raw events. Probability is one IEEE divide of two exact
+    * integers, so the oracle hashes bit-exactly. At 100 TB this is
+    * the canonical shape: shuffle O(events) once, aggregate to a
+    * constant-size summary, post-process the summary. */
+  def q70MarkovChain(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts
+      .withColumn("n_from", sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from")).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q70Sql: String =
+    """WITH pairs AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      | FROM events),
+      |counts AS (
+      | SELECT from_type, to_type, COUNT(*) AS n_transitions
+      | FROM pairs WHERE to_type IS NOT NULL
+      | GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n_transitions,
+      | CAST(n_transitions AS DOUBLE) /
+      |   SUM(n_transitions) OVER (PARTITION BY from_type) AS prob
+      |FROM counts
+      |ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2047,5 +2090,6 @@ object CoreQueries {
     ("q67_kll_rollup", q67KllRollup _, null),
     ("q68_theta_overlap", q68ThetaOverlap _, null),
     ("q69_rolling_distinct", q69RollingDistinct _, q69Sql),
+    ("q70_markov_chain", q70MarkovChain _, q70Sql),
   )
 }

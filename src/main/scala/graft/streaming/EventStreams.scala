@@ -74,6 +74,27 @@ object EventStreams {
         col("col.item").as("token"), col("col.est").as("est_count"))
   }
 
+  /** Streaming windowed EXACT distinct users — q62's bitmap aggregate
+    * inside a streaming aggregation. Spark refuses COUNT(DISTINCT) in
+    * streaming queries outright (exact distinct state would be
+    * per-id rows the planner can't bound); the mergeable bitmap turns
+    * it into an ordinary associative aggregate whose state is ONE
+    * dense bitset per open (window, event_type) group — merged
+    * incrementally across micro-batches, evicted with the window at
+    * watermark close. State is id-domain/8 bytes per group with the
+    * 8 MiB MaxBits failsafe; for sparse 64-bit domains, dictionary-
+    * encode upstream or chunk-key the group and sum cards in a batch
+    * query over the sink (q62's container layout — chained streaming
+    * aggregations are not the supported shape). */
+  def windowedDistinctUsers(events: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(expr("graft_bitmap_card(graft_bitmap(user_id))").as("n_users"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_users"))
+  }
+
   /** Stream-static enrichment join: each event decorated with its
     * user's dimension attributes (segment, account tier, …). The
     * static side is a plain batch DataFrame: Spark re-plans it into

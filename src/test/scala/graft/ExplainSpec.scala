@@ -351,6 +351,42 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q69 rolling distinct: spine broadcasts, bitmap aggs are partial, no nested loop") {
+    val df = CoreQueries.q69RollingDistinct(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the day-spine semi-join must broadcast (it's tiny) — a shuffled
+    // spine join would put an exchange on the KB-scale bitmap stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial"), s"bitmap aggregation must map-side combine:\n$p")
+  }
+
+  test("ss10 k-means assignment is map-side: no join, no shuffle before the sort") {
+    val df = Similarity.kmeansAssign(
+      Tables.embeddings(spark, Sf0001), 4, 1)
+    val p = plan(df)
+    // centroids ride as literals — assignment adds NO join of any kind
+    assert(!p.contains("Join"), s"assignment must not join:\n${p.take(3000)}")
+    // only exchange: the presentation sort's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"assignment plan has $exchanges exchanges:\n${p.take(3000)}")
+  }
+
+  test("tx20 decontaminate: shingle probe is a real hash semi-join; doc rows join hits broadcast-free of tokens") {
+    val df = graft.functions.TextFunctions.decontaminate(Tables.documents(spark, Sf0001))
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"eval-shingle probe must be a semi-join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q70 markov: one window sort; matrix normalization windows the tiny aggregate") {
+    val df = CoreQueries.q70MarkovChain(spark, Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial"), s"transition counts must map-side combine:\n$p")
+  }
+
   test("tx19 mixture sampling broadcasts cuts; corpus is never shuffled") {
     val df = graft.functions.TextFunctions.mixtureSample(Tables.documents(spark, Sf0001))
     df.collect()

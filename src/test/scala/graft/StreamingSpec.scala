@@ -76,6 +76,30 @@ class StreamingSpec extends SparkTestBase {
     assert(w1.head._3 === "cold" && w1.head._4 === 3L)
   }
 
+  test("windowed bitmap distinct: exact across micro-batches, dups collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // batch 1: users 1,2,1 in window 0; batch 2 re-adds user 1 (same
+    // window — must NOT double count) and opens window 1 with user 7
+    val q = EventStreams.windowedDistinctUsers(source.toDF())
+      .writeStream.format("memory").queryName("wdu").outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(
+        Event(1, ts(5), 1, "click", 0), Event(2, ts(10), 2, "click", 0),
+        Event(3, ts(15), 1, "click", 0))
+      q.processAllAvailable()
+      source.addData(Event(4, ts(20), 1, "click", 0), Event(5, ts(70), 7, "view", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in Update mode keeps every emitted version; the
+    // LAST row per group is the current exact count
+    val rows = spark.table("wdu").collect()
+      .map(r => ((r.getTimestamp(0).getTime / 60000, r.getString(1)), r.getLong(2)))
+    val last = rows.zipWithIndex.groupBy(_._1._1).map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+    assert(last === Map((0L, "click") -> 2L, (60L, "view") -> 1L))
+  }
+
   test("stream-static enrichment joins dim attributes with no stream state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
