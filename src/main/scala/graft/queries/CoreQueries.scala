@@ -2027,6 +2027,48 @@ object CoreQueries {
       |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q72: exponential time-decay aggregation — recency-weighted
+    * engagement per event type with a 1-day half-life, the scoring
+    * shape behind trending/decay dashboards. Cross-engine exactness
+    * without a single libm call: the decay weight 2^(−age_days) is a
+    * POWER OF TWO, so `value / (1 << age)` is pure exponent
+    * arithmetic in IEEE — exact scaling, no rounding at all — and the
+    * decayed values then ride the validated dsum DECIMAL cast. Ages
+    * beyond 62 days clamp to weight 0 (they're below 2⁻⁶² of a unit —
+    * sub-noise by construction, and the clamp keeps the shift in
+    * range). The anchor (max ts) is ONE driver scalar from a
+    * column-pruned scan — q64's runtime-literal pattern — so the main
+    * scan stays a single pass with a map-side partial agg. */
+  def q72DecayAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val maxNs = ev.agg(max(col("ts"))).head().getLong(0)
+    ev.select(col("event_type"), col("value"),
+        expr(s"(${maxNs}L - ts) div 86400000000000").as("age"))
+      .withColumn("decayed",
+        when(col("age") <= 62,
+          col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(age AS INT)) AS DOUBLE)"))
+          .otherwise(lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("decayed")).as("decayed_value"),
+        dsum(col("value")).as("raw_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q72Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_ns(ts)) AS maxns FROM events),
+      |e AS (
+      | SELECT event_type, value,
+      |  (mx.maxns - epoch_ns(ts)) // 86400000000000 AS age
+      | FROM events, mx)
+      |SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(CASE WHEN age <= 62
+      |   THEN value / CAST(CAST(1 AS BIGINT) << age AS DOUBLE)
+      |   ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS decayed_value,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw_value
+      |FROM e GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2091,5 +2133,6 @@ object CoreQueries {
     ("q68_theta_overlap", q68ThetaOverlap _, null),
     ("q69_rolling_distinct", q69RollingDistinct _, q69Sql),
     ("q70_markov_chain", q70MarkovChain _, q70Sql),
+    ("q72_decay_agg", q72DecayAgg _, q72Sql),
   )
 }

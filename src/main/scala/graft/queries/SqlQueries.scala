@@ -203,6 +203,38 @@ object SqlQueries {
     s.sql(q54Sql)
   }
 
+  /** q71: per-group ordinary-least-squares fit — price-vs-size trend
+    * per part brand, the grouped regression a metrics store computes
+    * for "is this dimension drifting". Engine-native regr_slope /
+    * regr_intercept accumulate doubles in engine-specific order and
+    * can never hash-match; instead the FIVE power sums (n, Σx, Σx²,
+    * Σy, Σxy) accumulate exactly in DECIMAL(38,6) (q54's moment
+    * machinery), convert once through the string→double hop, and the
+    * slope/intercept come from one fixed IEEE tree shared verbatim by
+    * both engines (q24 shared-text pattern) — bit-exact. One
+    * partial-agg-friendly scan, |brands| output rows; the double
+    * product x·y is a single shared IEEE op per row before the exact
+    * decimal cast (dsum's validated shape). */
+  val q71Sql: String =
+    """WITH s AS (
+      |  SELECT p_brand,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(CAST(p_size AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(p_size*p_size AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx2,
+      |    CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(p_size*p_retailprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxy
+      |  FROM part GROUP BY p_brand)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+      |  (n*sxy - sx*sy) / (n*sx2 - sx*sx) AS slope,
+      |  (sy/n) - ((n*sxy - sx*sy) / (n*sx2 - sx*sx)) * (sx/n) AS intercept
+      |FROM s
+      |ORDER BY p_brand""".stripMargin
+
+  def q71(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q71Sql)
+  }
+
   /** (name, spark-fn, oracle-sql) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q23_csv_ingest", q23 _, q23Sql),
@@ -212,5 +244,6 @@ object SqlQueries {
     ("q43_grouping_sets", q43 _, q43Sql),
     ("q53_avro_ingest", q53 _, q53Sql),
     ("q54_summary_stats", q54 _, q54Sql),
+    ("q71_regression", q71 _, q71Sql),
   )
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.queries.CoreQueries
 
 /** §2.A sanity specs on sf0.001 (the DuckDB oracle is the strong gate;
@@ -49,6 +51,29 @@ class CoreQueriesSpec extends SparkTestBase {
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
     assert(grand.length === 1)
     assert(grand.head.getLong(2) === Tables.customer(spark, Sf0001).count())
+  }
+
+  test("q72 decay: exact power-of-two weighting replayed in the JVM") {
+    val rows = CoreQueries.q72DecayAgg(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    // JVM replay: same anchor, same integer ages, same exact 2^-age scaling
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val maxNs = ev.map(_._2).max
+    val want = ev.groupBy(_._1).map { case (t, es) =>
+      val dec = es.map { case (_, ts, v) =>
+        val age = (maxNs - ts) / 86400000000000L
+        if (age <= 62) BigDecimal(v / (1L << age).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) else BigDecimal(0)
+      }.sum
+      t -> dec.toDouble
+    }
+    want.foreach { case (t, d) =>
+      assert(math.abs(rows(t)._2 - d) < 1e-9, s"$t decayed")
+      assert(rows(t)._2.abs <= rows(t)._3.abs + 1e-6 || rows(t)._3 >= 0)
+    }
   }
 
   test("q21 session counts bounded by event counts") {

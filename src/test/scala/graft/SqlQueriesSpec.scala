@@ -111,4 +111,22 @@ class SqlQueriesSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(6) - co) < 1e-9, "corr")
     }
   }
+
+  test("q71 regression matches Spark's native regr_slope/regr_intercept") {
+    import graft.queries.SqlQueries
+    val rows = SqlQueries.q71(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ref = Tables.part(spark, Sf0001)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        expr("regr_slope(p_retailprice, p_size)").as("sl"),
+        expr("regr_intercept(p_retailprice, p_size)").as("ic"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.foreach { r =>
+      val (n, sl, ic) = ref(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - sl) < 1e-6, s"slope ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - ic) < 1e-6, s"intercept ${r.getString(0)}")
+    }
+  }
 }
