@@ -24,19 +24,29 @@ object Bench {
       // free them too or repeated runs degrade under memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query must be loud: recording its ~70 ms of
+      // throw-latency as a real time once hid a 15-query breakage for
+      // two rounds. Keep the time but carry the failure alongside.
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 false
+               }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (n, _, false) => n }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver captures only a fixed-size stdout tail: a final line
     // carrying ~90 per-query entries (~4 KB) gets its head cut off and
     // fails to parse. So the FINAL stdout line is compact totals-only;
     // the full per-query map lives exclusively in BENCH_LAST.json.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     // Stop first: Spark shutdown logs (stderr) can't then interleave
     // after the JSON line the driver parses.
     spark.stop()
@@ -45,5 +55,6 @@ object Bench {
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(compact)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

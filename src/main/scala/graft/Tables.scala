@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Single place all table reads go through.
   *
@@ -21,14 +23,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot map to a
-    * timestamp type; read it as INT64 nanoseconds instead. Queries that
-    * need a timestamp convert with exact integer arithmetic
-    * (`timestamp_micros(ts div 1000)`) — double division would lose
-    * precision at 1e18 ns. */
+  /** events.ts: downstream code uses one fixed convention — INT64
+    * nanoseconds since epoch — because exact integer arithmetic (session
+    * gaps, LOCF grids, decay ages) must not round. The physical parquet
+    * type has varied across testdata generations (TIMESTAMP(NANOS) read
+    * as INT64 under nanosAsLong; TIMESTAMP(MICROS) read as
+    * TIMESTAMP_NTZ), so normalize at the loader:
+    *   - LONG: already ns, pass through.
+    *   - TIMESTAMP / TIMESTAMP_NTZ: `unix_micros(cast(ts as timestamp))
+    *     * 1000L` — exact (no doubles), and with session tz UTC the
+    *     NTZ→TZ cast is the identity on the underlying micros, matching
+    *     DuckDB's `epoch_ns(ts)` on the same file.
+    * Cost note: the derived column means a raw min/max ts predicate is
+    * no longer pushed into the parquet footer for the timestamp-typed
+    * case; at 100 TB you'd partition events by date and prune on the
+    * partition column instead, which survives the conversion. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
