@@ -395,4 +395,75 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial"), s"token-count aggregate must map-side combine:\n$p")
   }
+
+  // ---- restored-events-query pins (the 15 queries broken by the ts
+  // ---- type drift had no plan protection while red; pin them now)
+
+  test("q20 date agg: partial aggregate; events read prunes to 3 columns") {
+    val s = formatted(CoreQueries.q20DateAgg(spark, Sf0001))
+    assert(s.contains("partial"), s"no map-side combine:\n$s")
+    // props and event_id are untouched — the ns normalization must not
+    // defeat column pruning on the rest of the row
+    assert(!s.contains("props") && !s.contains("event_id"),
+      "events ReadSchema not pruned to ts/event_type/value")
+  }
+
+  test("q21 sessionize: ONE window, and the groupBy reuses its user_id shuffle") {
+    val df = CoreQueries.q21Sessionize(spark, Sf0001)
+    val p = plan(df)
+    assert("Window".r.findAllIn(p).length == 1, s"expected exactly one Window:\n$p")
+    // lag window partitions by user_id; the session-count groupBy keys
+    // on user_id too — a second hash exchange between them would mean
+    // Spark failed to reuse the partitioning. Allowed exchanges: the
+    // window's hash + the presentation sort's range.
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"groupBy re-shuffled after the window ($exchanges exchanges):\n$p")
+  }
+
+  test("q22 as-of join: union+window shape — no range join, no nested loop") {
+    val p = plan(CoreQueries.q22AsofJoin(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a product join:\n$p")
+    assert(p.contains("Window"), s"as-of must ride an ordered window:\n$p")
+  }
+
+  test("q41 gap fill: spine explodes map-side off the aggregate, join is equi") {
+    val p = plan(CoreQueries.q41GapFill(spark, Sf0001))
+    assert(p.contains("Generate"), s"sequence+explode spine missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spine must never cross-join a global calendar:\n$p")
+  }
+
+  test("q50 cohort retention: both user aggregates partial; equi-join only") {
+    val p = plan(CoreQueries.q50CohortRetention(spark, Sf0001))
+    assert(p.contains("partial"), s"cohort anchor must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q62 bitmap distinct: both output grains read the cached day aggregate") {
+    val df = CoreQueries.q62BitmapDistinct(spark, Sf0001)
+    val p = plan(df)
+    // the rollup must merge day bitmaps, not re-scan events: the
+    // events parquet scan appears only inside the cached relation
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"day-grain cache not reused by both grains:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"bitmap aggregate must map-side combine:\n${p.take(3000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q66 HLL rollup: totals merge day sketches from cache, not a fact re-scan") {
+    val df = CoreQueries.q66HllRollup(spark, Sf0001)
+    val p = plan(df)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"day-sketch cache not reused by both grains:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"hll_sketch_agg must map-side combine:\n${p.take(3000)}")
+  }
+
+  test("q72 decay agg: single events pass, no join, map-side partial agg") {
+    val p = plan(CoreQueries.q72DecayAgg(spark, Sf0001))
+    // the max-ts anchor is a driver scalar (runtime literal), so the
+    // scoring plan itself must contain no join of any kind
+    assert(!p.contains("Join"), s"anchor leaked into the plan as a join:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"decay aggregate must map-side combine:\n$p")
+  }
 }
