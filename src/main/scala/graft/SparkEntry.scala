@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries, SqlQueries}
+import graft.queries.{CoreQueries, PipelineQueries, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
 object SparkEntry {
 
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    CoreQueries.all ++ SqlQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ SqlQueries.all ++ PipelineQueries.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

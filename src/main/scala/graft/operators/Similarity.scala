@@ -244,15 +244,21 @@ object Similarity {
     * OFFLINE evaluation query run on a sampled query set, not a
     * serving path; the exact side is computed once and reused across
     * variants (cached: queries×k rows, driver-bounded). */
-  def annRecall(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
-    val exact = bruteForceTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).cache()
-    val variants: Seq[(String, DataFrame)] = Seq(
+  def annRecall(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame =
+    annRecallOf(corpus, queries, k, Seq(
       "ss2_lsh"   -> lshTopK(corpus, queries, dim, k),
       "ss3_ivf"   -> ivfTopK(corpus, queries, dim, k),
       "ss5_pq"    -> pqTopK(corpus, queries, dim, k),
-      "ss7_ivfpq" -> ivfPqTopK(corpus, queries, dim, k))
+      "ss7_ivfpq" -> ivfPqTopK(corpus, queries, dim, k)))
+
+  /** [[annRecall]] over caller-supplied (name, top-k result) variants —
+    * lets the evaluation run against materialized-index probe plans
+    * instead of retraining every variant in-query. */
+  def annRecallOf(corpus: DataFrame, queries: DataFrame, k: Int,
+      variants: Seq[(String, DataFrame)]): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).cache()
     variants.map { case (name, ann) =>
       val hits = ann.select(col("query_id"), col("vec_id"))
         .join(exact, Seq("query_id", "vec_id"), "left_semi")
@@ -456,6 +462,61 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("codes"))
     val probed = probeLists(queries, coarse, nprobe)
     val scored = indexed
+      .withColumn("recon", reconCol(books, m))
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("recon")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Materialized IVF+PQ index — ss7's layered layout at rest: index
+    * rows are (vec_id, codes) PARTITIONED BY the coarse cid (directory
+    * pruning gives the nprobe/nlist factor), rows carry PQ codes only
+    * (the code-bytes/vector-bytes factor) — raw embeddings appear
+    * nowhere in the index. Coarse centroids and the PQ codebook ride
+    * alongside as tiny parquets, re-loaded as bounded driver state at
+    * probe time. */
+  def ivfPqWriteIndex(corpus: DataFrame, path: String, dim: Int,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = trainCentroids(corpus, nlist, iters)
+    val books = trainPq(corpus, dim, m, ksub, iters)
+    pqEncode(corpus, dim, m, books)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cid", assignExpr(col("embedding"), coarse))
+      .select(col("vec_id"), col("codes"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    coarse.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toIndexedSeq.toDF("s", "c", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Probe a materialized IVF+PQ index: coarse-probe the cid partition
+    * directories (planning-time pruning), reconstruct probed rows from
+    * their codes, asymmetric-distance re-rank against the exact query
+    * vector. IO = (nprobe/nlist) × (code bytes / vector bytes) of a
+    * flat scan. */
+  def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(spark)
+    val coarse = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val rows = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    val books = Array.tabulate(m, ksub)((s, c) => rows((s, c)))
+    val probed = probeLists(queries, coarse, nprobe)
+    val probedCids = probed.select("cid").distinct().collect().map(_.getInt(0))
+    val scored = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
       .withColumn("recon", reconCol(books, m))
       .join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))

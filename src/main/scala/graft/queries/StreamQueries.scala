@@ -1,0 +1,156 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
+
+import graft.Tables
+
+/** §2.F registry rows: Structured Streaming pipelines executed END TO
+  * END against the driver's events table — `readStream` file source →
+  * event-time transform → memory sink, one `Trigger.AvailableNow`
+  * pass — with the final table hash-compared against a DuckDB oracle.
+  * The watermarked/stateful production variants of these pipelines
+  * live in streaming/EventStreams.scala and are spec-gated
+  * (StreamingSpec); these registry entries prove the STREAMING
+  * EXECUTION PATH (file source discovery, micro-batch planning,
+  * streaming aggregation state, sink commit) computes exactly what the
+  * equivalent batch query computes, which is the invariant an
+  * incremental pipeline is trusted for.
+  *
+  * Scale notes: AvailableNow is the batch-backfill trigger — the same
+  * code deployed against a live stream just changes the trigger and
+  * output mode. Complete-mode output is bounded by GROUP cardinality
+  * (hours × types), not input rows, for st1/st3; st2 is stateless.
+  */
+object StreamQueries {
+
+  /** Memory-sink query names must be session-unique; Verify/Bench/specs
+    * may invoke an entry several times in one session. */
+  private val runId = new AtomicInteger(0)
+
+  /** Events as a STREAMING DataFrame with the same ts normalization
+    * contract as Tables.events (INT64 ns regardless of the parquet
+    * physical type) — the static read supplies the schema, as a file
+    * stream cannot infer one. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the table is a single parquet FILE; FileStreamSource wants a
+    // directory or glob (its basePath must be a dir), so glob the name
+    val raw = s.readStream.schema(s.read.parquet(s"$d/events.parquet").schema)
+      .parquet(s"$d/events.parque*")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+  }
+
+  /** ns BIGINT → TIMESTAMP_NTZ for event-time windowing (exact µs). */
+  private def tsCol: Column =
+    timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+
+  /** Run `df` through a memory sink with one AvailableNow pass and
+    * return the committed table. */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    s.table(name)
+  }
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("double").cast(DecimalType(18, 6))).cast("double")
+
+  /** st1: tumbling 1-hour windowed counts + DECIMAL-exact value sums
+    * per event_type — EventStreams.windowedCounts' shape run through
+    * the real streaming engine. Complete mode (no watermark) so the
+    * finite backfill emits every window exactly once; the streaming
+    * aggregation still exercises state-store updates per micro-batch. */
+  def st1(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .select(window(tsCol, "1 hour").as("w"), col("event_type"), col("value"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    runToTable(s, agg, "complete")
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val st1Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      | event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** st2: stream-static enrichment — each streamed event decorated
+    * with its type's corpus-wide DECIMAL-exact mean value (the static
+    * side re-read and broadcast per micro-batch, EventStreams
+    * .enrichedEvents' join shape). Stateless ⇒ append mode; output is
+    * every event row, proving the stateless streaming path loses and
+    * duplicates nothing across micro-batches. */
+  def st2(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg((dsum(col("value")) / count(lit(1))).as("type_avg"))
+    val enriched = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(dim), "event_type")
+    runToTable(s, enriched, "append")
+      .select(col("event_id"), col("event_type"), col("value"), col("type_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val st2Sql: String =
+    """SELECT e.event_id, e.event_type, e.value, d.type_avg
+      |FROM events e
+      |JOIN (SELECT event_type,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS type_avg
+      |      FROM events GROUP BY event_type) d
+      |  ON e.event_type = d.event_type
+      |ORDER BY e.event_id""".stripMargin
+
+  /** st3: EXACT distinct users per (day, event_type) through the
+    * streaming engine using the graft_bitmap chunked-bitmap aggregate
+    * family (q62's machinery) — proof the custom
+    * TypedImperativeAggregates merge correctly under streaming
+    * state-store serialization, not just batch partial aggregation.
+    * Day grain (not hour) keeps complete-mode state at groups×chunks
+    * KB-scale. */
+  def st3(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val agg = eventsStream(s, d)
+      .select(date_trunc("day", tsCol).cast("timestamp_ntz").as("day"),
+        col("event_type"),
+        expr("user_id div 65536").as("chunk"),
+        expr("user_id % 65536").as("pos"))
+      .groupBy(col("day"), col("event_type"), col("chunk"))
+      .agg(expr("graft_bitmap(pos)").as("bm"))
+    runToTable(s, agg, "complete")
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(expr("graft_bitmap_card(bm)")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val st3Sql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("st1_stream_counts", st1 _, st1Sql),
+    ("st2_stream_enrich", st2 _, st2Sql),
+    ("st3_stream_distinct", st3 _, st3Sql))
+}

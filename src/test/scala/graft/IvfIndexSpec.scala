@@ -47,4 +47,26 @@ class IvfIndexSpec extends SparkTestBase {
     assert(codeScan.isDefined, s"no codes FileScan in probe plan:\n$p")
     assert(!codeScan.get.contains("embedding"), s"probe scan reads embeddings:\n$p")
   }
+
+  test("IVF-PQ index write → probe equals inline ivfPqTopK; pruned code-only scan") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfPqWriteIndex(emb, dir, dim = 64, nlist = 16)
+
+    val probe = Similarity.ivfPqProbeIndex(spark, dir, q, k = 10, nprobe = 4)
+    val inline = Similarity.ivfPqTopK(emb, q, dim = 64, k = 10,
+      nlist = 16, nprobe = 4)
+    assert(probe.collect().toSeq === inline.collect().toSeq)
+
+    // both index properties at once: the cid predicate prunes partition
+    // directories at planning time AND the pruned scan reads PQ codes,
+    // never raw embeddings
+    val p = probe.queryExecution.executedPlan.toString
+    val codeScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("codes"))
+    assert(codeScan.isDefined, s"no codes FileScan in probe plan:\n$p")
+    assert(codeScan.exists(_.contains("PartitionFilters: [cid#")),
+      s"cid not a partition filter:\n$p")
+    assert(!codeScan.get.contains("embedding"), s"probe scan reads embeddings:\n$p")
+  }
 }
