@@ -51,4 +51,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Cache key for write-once derived layouts/indexes (z-order, avro,
+    * dup-groups, ANN): dir + source parquet size/mtime, so driver-side
+    * data REGENERATION invalidates the materialization instead of
+    * serving stale rows — the events.ts type drift proved testdata
+    * changes between rounds are real. */
+  def layoutKey(dir: String, tableName: String): String = {
+    val f = new java.io.File(s"$dir/$tableName.parquet")
+    Integer.toHexString(s"$dir|${f.length}|${f.lastModified}".hashCode)
+  }
 }

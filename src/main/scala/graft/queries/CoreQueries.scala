@@ -1819,7 +1819,7 @@ object CoreQueries {
     */
   def q65ZorderBox(s: SparkSession, d: String): DataFrame = {
     import graft.sources.ZOrderLayout
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${Integer.toHexString(d.hashCode)}/lineitem"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${Tables.layoutKey(d, "lineitem")}/lineitem"
     if (!new java.io.File(s"$path/data/_SUCCESS").exists())
       ZOrderLayout.writeZOrdered(Tables.lineitem(s, d), "l_partkey", "l_suppkey", path)
     val m = ZOrderLayout.readMeta(s, path)

@@ -90,10 +90,8 @@ object PipelineQueries {
     * parquet index — at 100 TB you never re-run propagation per query. */
   private def cachedGroupsIndex(s: SparkSession, d: String, variant: String,
       docs: => DataFrame): DataFrame = {
-    val src = new java.io.File(s"$d/documents.parquet")
-    val key = Integer.toHexString(s"$d|${src.length}|${src.lastModified}".hashCode)
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_dupidx_$key/$variant"
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_dupidx_${Tables.layoutKey(d, "documents")}/$variant"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val dset = docs
       Dedup.dupGroupsWriteIndex(dset,
@@ -307,9 +305,8 @@ object PipelineQueries {
     * query batch. Probe ≡ inline is spec-asserted per variant
     * (IvfIndexSpec). */
   private def cachedAnnIndex(s: SparkSession, d: String, variant: String): String = {
-    val src = new java.io.File(s"$d/embeddings.parquet")
-    val key = Integer.toHexString(s"$d|${src.length}|${src.lastModified}".hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_$key/$variant"
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_annidx_${Tables.layoutKey(d, "embeddings")}/$variant"
     if (!new java.io.File(s"$path/_done").exists()) {
       val emb = Tables.embeddings(s, d)
       variant match {

@@ -114,7 +114,7 @@ object AvroIngest {
     * round-trip bit-exactly through Avro's binary encoding, so the
     * DuckDB oracle over the parquet original must hash-match. */
   def supplierAvro(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_${Integer.toHexString(dir.hashCode)}/supplier"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_${graft.Tables.layoutKey(dir, "supplier")}/supplier"
     if (!new java.io.File(s"$out/_SUCCESS").exists())
       writeAvro(Tables.supplier(spark, dir), out)
     avro(spark, out, supplierSchema)
