@@ -2069,6 +2069,54 @@ object CoreQueries {
       |FROM e GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q73: PageRank over the bipartite customer↔purchased-part graph
+    * (edges = distinct (custkey, partkey) purchase links via
+    * orders⋈lineitem, symmetrized so both sides rank) — "which parts
+    * anchor the catalog / which customers anchor demand", the iterative
+    * graph-importance shape alongside dd6's components and q70's
+    * Markov matrix. Two unrolled synchronous rounds in 64-bit
+    * fixed-point picorank arithmetic (operators/PageRank.scala): every
+    * step is integer floor-div/multiply/add shared verbatim by the
+    * DuckDB oracle, so the gate is a bit-exact hash, not a tolerance.
+    * Node ids namespace the two sides onto one key space (2c / 2p+1 —
+    * collision-free, order-preserving per side). */
+  def q73PageRank(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.PageRank.ranks(edges, 2)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("entity_id"), col("pr_e12"), col("pagerank"))
+      .orderBy(col("kind"), col("entity_id"))
+  }
+
+  val q73Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+      |n AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (SELECT node, outdeg, 1000000000000 // n.n AS r FROM deg CROSS JOIN n),
+      |s1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // r0.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      |r1 AS (SELECT deg.node, deg.outdeg,
+      |        (150000000000 // n.n) + (85 * COALESCE(s1.s, 0)) // 100 AS r
+      |       FROM deg CROSS JOIN n LEFT JOIN s1 ON deg.node = s1.node),
+      |s2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // r1.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      |r2 AS (SELECT deg.node, deg.outdeg,
+      |        (150000000000 // n.n) + (85 * COALESCE(s2.s, 0)) // 100 AS r
+      |       FROM deg CROSS JOIN n LEFT JOIN s2 ON deg.node = s2.node)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+      | node // 2 AS entity_id, CAST(r AS BIGINT) AS pr_e12,
+      | CAST(r AS DOUBLE) / 1e12 AS pagerank
+      |FROM r2
+      |ORDER BY kind, entity_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2134,5 +2182,6 @@ object CoreQueries {
     ("q69_rolling_distinct", q69RollingDistinct _, q69Sql),
     ("q70_markov_chain", q70MarkovChain _, q70Sql),
     ("q72_decay_agg", q72DecayAgg _, q72Sql),
+    ("q73_pagerank", q73PageRank _, q73Sql),
   )
 }

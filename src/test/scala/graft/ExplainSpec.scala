@@ -459,6 +459,13 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial"), s"hll_sketch_agg must map-side combine:\n${p.take(3000)}")
   }
 
+  test("q73 pagerank: per-round message aggregation partial-combines; equi-joins only") {
+    val p = plan(CoreQueries.q73PageRank(spark, Sf0001))
+    assert(p.contains("partial"), s"contribution sums must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation degenerated to a product join:\n${p.take(3000)}")
+  }
+
   test("q72 decay agg: single events pass, no join, map-side partial agg") {
     val p = plan(CoreQueries.q72DecayAgg(spark, Sf0001))
     // the max-ts anchor is a driver scalar (runtime literal), so the
