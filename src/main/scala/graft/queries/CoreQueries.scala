@@ -2117,6 +2117,50 @@ object CoreQueries {
       |FROM r2
       |ORDER BY kind, entity_id""".stripMargin
 
+  /** q74: triangle counting on the part co-purchase graph (parts
+    * appearing in the same order; "frequently bundled triples") — the
+    * third classic iterative/graph shape after components (dd6) and
+    * PageRank (q73), and the standard test of whether a join plan
+    * explodes at scale. The wedge join runs on ORIENTED edges
+    * (lo < hi), so each triangle is generated exactly once as
+    * a < b < c and the quadratic wedge set is bounded by Σ deg²(v)
+    * over ORIENTED out-degrees — the textbook mitigation (orienting by
+    * degree instead of id tightens the bound further under power-law
+    * skew; id-orientation keeps the oracle trivially identical).
+    * Wedges then confirm the closing edge via a semi-join — all
+    * equi-joins, exact integer counts, bit-exact hash gate. Output:
+    * per-part triangle participation (parts in ≥1 triangle). */
+  def q74Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("lo"), col("b.l_partkey").as("hi"))
+      .distinct()
+    val wedges = e.as("x").join(e.as("y"), col("x.hi") === col("y.lo"))
+      .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
+    val tri = wedges.join(e,
+        wedges("a") === e("lo") && wedges("c") === e("hi"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q74Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT x.lo AS a, x.hi AS b, y.hi AS c
+      |  FROM e x JOIN e y ON x.hi = y.lo
+      |  WHERE EXISTS (SELECT 1 FROM e z WHERE z.lo = x.lo AND z.hi = y.hi)),
+      |m AS (
+      |  SELECT a AS p FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |SELECT p AS p_partkey, COUNT(*) AS n_triangles
+      |FROM m GROUP BY p
+      |ORDER BY p""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2183,5 +2227,6 @@ object CoreQueries {
     ("q70_markov_chain", q70MarkovChain _, q70Sql),
     ("q72_decay_agg", q72DecayAgg _, q72Sql),
     ("q73_pagerank", q73PageRank _, q73Sql),
+    ("q74_triangles", q74Triangles _, q74Sql),
   )
 }

@@ -466,6 +466,13 @@ class ExplainSpec extends SparkTestBase {
       s"rank propagation degenerated to a product join:\n${p.take(3000)}")
   }
 
+  test("q74 triangles: wedge and closing joins are equi/semi, never nested loops") {
+    val p = plan(CoreQueries.q74Triangles(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration degenerated to a product join:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"), s"closing-edge check must be a semi-join:\n${p.take(3000)}")
+  }
+
   test("q72 decay agg: single events pass, no join, map-side partial agg") {
     val p = plan(CoreQueries.q72DecayAgg(spark, Sf0001))
     // the max-ts anchor is a driver scalar (runtime literal), so the
