@@ -149,8 +149,45 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** st4: WATERMARKED append-mode windows — the semantics the other
+    * entries deliberately sidestep with complete mode. A 2-hour
+    * watermark + append emits a window exactly once, when the
+    * watermark (max event time − 2 h, advanced at batch end, flushed
+    * by the closing no-data micro-batch) passes its end — so the
+    * committed table is precisely the CLOSED windows, and the oracle
+    * states that eviction rule in SQL: hour windows with
+    * window_end ≤ max(ts) − 2 h. This pins cross-engine not just the
+    * values but the watermark CONTRACT (late-window suppression), the
+    * property an incremental consumer of an append stream relies on. */
+  def st4(s: SparkSession, d: String): DataFrame = {
+    // watermarks require TIMESTAMP (not NTZ); with session tz UTC the
+    // instant equals the NTZ wall clock, and the output window start
+    // casts back to NTZ for the cross-engine compare
+    val agg = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value"))
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    runToTable(s, agg, "append")
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val st4Sql: String =
+    """WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      | event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events, mx
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.max_ts - INTERVAL 2 HOUR
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
-    ("st3_stream_distinct", st3 _, st3Sql))
+    ("st3_stream_distinct", st3 _, st3Sql),
+    ("st4_stream_watermark", st4 _, st4Sql))
 }

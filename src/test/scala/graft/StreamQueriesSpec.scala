@@ -50,4 +50,17 @@ class StreamQueriesSpec extends SparkTestBase {
     val b = StreamQueries.st2(spark, Sf0001).count()
     assert(a === b && a > 0)
   }
+
+  test("st4 = st1 minus the windows the 2-hour watermark holds open") {
+    val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
+    val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq
+    val maxTs = Tables.events(spark, Sf0001)
+      .agg(max(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+      .head().getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.minusHours(2)
+    val expected = all.filter(
+      _.getAs[java.time.LocalDateTime]("window_start").plusHours(1).compareTo(cutoff) <= 0)
+    assert(closed === expected)
+    assert(closed.size < all.size, "watermark suppressed nothing — open windows leaked")
+  }
 }
