@@ -2121,36 +2121,47 @@ object CoreQueries {
     * appearing in the same order; "frequently bundled triples") — the
     * third classic iterative/graph shape after components (dd6) and
     * PageRank (q73), and the standard test of whether a join plan
-    * explodes at scale. The wedge join runs on ORIENTED edges
-    * (lo < hi), so each triangle is generated exactly once as
-    * a < b < c and the quadratic wedge set is bounded by Σ deg²(v)
-    * over ORIENTED out-degrees — the textbook mitigation (orienting by
-    * degree instead of id tightens the bound further under power-law
-    * skew; id-orientation keeps the oracle trivially identical).
-    * Wedges then confirm the closing edge via a semi-join — all
-    * equi-joins, exact integer counts, bit-exact hash gate. Output:
-    * per-part triangle participation (parts in ≥1 triangle). */
+    * explodes at scale. Edges are ORIENTED lo→hi by DEGREE rank
+    * (deg, then partkey as the tie-break — a strict total order), so
+    * each triangle is generated exactly once as rank-a ≺ b ≺ c and
+    * the wedge set is bounded by Σ out·in over DEGREE-oriented
+    * degrees — out-degree under degree orientation is O(√m)
+    * (arboricity bound), giving the textbook O(m^1.5) wedge bound
+    * that survives power-law hubs; id-orientation (rounds ≤5) let a
+    * low-id hub keep out-degree ≈ deg and blow the wedge join up
+    * quadratically. The triangle SET is orientation-invariant, so the
+    * oracle output is unchanged — only both engines' edge CTEs carry
+    * the same (deg, id) orientation. Wedges confirm the closing edge
+    * via a semi-join — all equi-joins, exact integer counts,
+    * bit-exact hash gate. The oriented edge set is localCheckpointed:
+    * it is used three times (both wedge sides + the closing probe)
+    * and each use would otherwise replay the O(|li|²/orders) self-join
+    * and the degree join. Output: per-part triangle participation
+    * (parts in ≥1 triangle). */
   def q74Triangles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+    val e0 = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
       .filter(col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("lo"), col("b.l_partkey").as("hi"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    val wedges = e.as("x").join(e.as("y"), col("x.hi") === col("y.lo"))
-      .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
-    val tri = wedges.join(e,
-        wedges("a") === e("lo") && wedges("c") === e("hi"), "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
-      .groupBy(col("p_partkey"))
-      .agg(count(lit(1)).as("n_triangles"))
+    graft.operators.Triangles.perNodeCounts(e0)
+      .select(col("node").as("p_partkey"), col("n_triangles"))
       .orderBy(col("p_partkey"))
   }
 
   val q74Sql: String =
-    """WITH e AS (
-      |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |  WHERE a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS dg
+      |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY node),
+      |e AS (
+      |  SELECT CASE WHEN du.dg <= dv.dg THEN e0.u ELSE e0.v END AS lo,
+      |         CASE WHEN du.dg <= dv.dg THEN e0.v ELSE e0.u END AS hi
+      |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
       |tri AS (
       |  SELECT x.lo AS a, x.hi AS b, y.hi AS c
       |  FROM e x JOIN e y ON x.hi = y.lo

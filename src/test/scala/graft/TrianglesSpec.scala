@@ -3,7 +3,9 @@ package graft
 import graft.queries.CoreQueries
 
 /** q74 triangle counting: the distributed wedge-join answer must equal
-  * a driver-side brute force over the same co-purchase edge set. */
+  * a driver-side brute force over the same co-purchase edge set, and
+  * the degree orientation must tame a power-law hub (the skew shape
+  * that blows up an id-oriented wedge join at scale). */
 class TrianglesSpec extends SparkTestBase {
 
   test("q74 per-part counts equal a brute-force recomputation (sf0.001)") {
@@ -27,5 +29,39 @@ class TrianglesSpec extends SparkTestBase {
     assert(got === counts.toMap)
     // sanity on the shape: total participation is divisible by 3
     assert(got.values.sum % 3 === 0)
+  }
+
+  test("skewed hub: counts exact AND degree orientation caps the hub's out-degree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // node 0 is a hub co-occurring with 1..300 (out-degree 300 under id
+    // orientation — the wedge-explosion shape); a sparse ring among the
+    // spokes (i — i+1) creates hub-spoke-spoke triangles
+    val hub = (1L to 300L).map(v => (0L, v))
+    val ring = (1L to 299L).map(i => (i, i + 1))
+    val edges = (hub ++ ring).toDF("u", "v")
+
+    val edgeSeq = (hub ++ ring)
+    val edgeSet = edgeSeq.toSet
+    val nbrs = edgeSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- edgeSeq; c <- nbrs(b) if b < c && edgeSet((a, c))) {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+
+    val got = graft.operators.Triangles.perNodeCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === counts.toMap)
+    // hub participates in every ring triangle (0, i, i+1)
+    assert(got(0L) === 299L)
+
+    // the orientation invariant itself: the hub (deg 300 — the max)
+    // ranks above every spoke (deg ≤ 3), so ALL its edges point IN and
+    // its oriented out-degree is 0 — id orientation would give it 300
+    // out-edges and a ~300²-wedge hot spot
+    val hubOut = graft.operators.Triangles.orient(edges)
+      .filter(col("lo") === 0L).count()
+    assert(hubOut === 0L)
   }
 }
