@@ -53,12 +53,22 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Cache key for write-once derived layouts/indexes (z-order, avro,
-    * dup-groups, ANN): dir + source parquet size/mtime, so driver-side
-    * data REGENERATION invalidates the materialization instead of
-    * serving stale rows — the events.ts type drift proved testdata
-    * changes between rounds are real. */
-  def layoutKey(dir: String, tableName: String): String = {
+    * CSV/JSON round-trips, dup-groups, ANN): dir + source parquet
+    * size/mtime, so driver-side data REGENERATION invalidates the
+    * materialization instead of serving stale rows — the events.ts
+    * type drift proved testdata changes between rounds are real.
+    * The RAW size/mtime values are embedded in the key (not a 32-bit
+    * hash of them): a hash collision across regenerations would
+    * silently serve a stale layout, and raw values cannot collide
+    * unless the bytes-on-disk fingerprint itself is identical.
+    * `params` appends a build-parameter/format-version token so
+    * changing an index's construction defaults (nlist/m/ksub/dim, …)
+    * keys a fresh build instead of serving one trained under the old
+    * parameters. */
+  def layoutKey(dir: String, tableName: String, params: String = ""): String = {
     val f = new java.io.File(s"$dir/$tableName.parquet")
-    Integer.toHexString(s"$dir|${f.length}|${f.lastModified}".hashCode)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9.-]", "_").stripPrefix("_")
+    val p = if (params.isEmpty) "" else s"_$params"
+    s"${dirTag}_${f.length}_${f.lastModified}$p"
   }
 }

@@ -91,7 +91,7 @@ object PipelineQueries {
   private def cachedGroupsIndex(s: SparkSession, d: String, variant: String,
       docs: => DataFrame): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_dupidx_${Tables.layoutKey(d, "documents")}/$variant"
+      s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/$variant"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val dset = docs
       Dedup.dupGroupsWriteIndex(dset,
@@ -305,8 +305,10 @@ object PipelineQueries {
     * query batch. Probe ≡ inline is spec-asserted per variant
     * (IvfIndexSpec). */
   private def cachedAnnIndex(s: SparkSession, d: String, variant: String): String = {
+    // v1 = the registry build defaults: nlist 16, nprobe 4, m 8,
+    // ksub 16, 2 Lloyd iters over EmbDim dims — bump on any change
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_annidx_${Tables.layoutKey(d, "embeddings")}/$variant"
+      s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v1d$EmbDim")}/$variant"
     if (!new java.io.File(s"$path/_done").exists()) {
       val emb = Tables.embeddings(s, d)
       variant match {

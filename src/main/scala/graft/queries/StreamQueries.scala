@@ -56,14 +56,21 @@ object StreamQueries {
     timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
 
   /** Run `df` through a memory sink with one AvailableNow pass and
-    * return the committed table. */
+    * return the committed table. The sink's temp view is dropped
+    * after materializing (localCheckpoint) — the memory sink retains
+    * every committed row for as long as the view is registered, so a
+    * long session invoking entries repeatedly (Verify + Bench +
+    * specs) would otherwise accumulate one full result copy in driver
+    * memory per invocation. */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
-    s.table(name)
+    val out = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
   }
 
   private def dsum(c: Column): Column =
@@ -175,8 +182,12 @@ object StreamQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // max_ts is MILLISECOND-truncated: Spark advances the watermark from
+  // ms-granularity event-time stats, so a max(ts) within 1 ms above an
+  // (hour boundary + 2 h) would otherwise let the engines disagree on
+  // whether the boundary window closed — a data-dependent hash flake
   val st4Sql: String =
-    """WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events)
       |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       | event_type, COUNT(*) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -185,9 +196,106 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** st5: STREAM-STREAM interval join through the real engine — the
+    * hardest streaming state shape (EventStreams.purchaseAttribution's
+    * plan): clicks and purchases are two watermarked streaming reads
+    * of the same source, inner-joined per user with purchase_ts
+    * bounded to [click_ts, click_ts + 1 h]. The time bound is what
+    * lets Spark derive an eviction horizon for BOTH state buffers
+    * (clicks older than watermark − horizon, purchases older than
+    * watermark) — state O(rate × (horizon + delay)), never
+    * stream-lifetime; StreamingSpec pins the value semantics and the
+    * bounded-state metrics on a multi-batch MemoryStream. An INNER
+    * stream-stream join emits each match in the micro-batch where
+    * both rows are present (the watermark evicts state, it never
+    * suppresses an inner match), so the committed table equals the
+    * batch join and the oracle is that join stated in SQL. */
+  def st5(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + interval 1 hour"""))
+    runToTable(s, joined, "append")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val st5Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      | CAST(c.ts AS TIMESTAMP) AS click_ts,
+      | CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** st6: STREAMING SESSIONIZATION via the native session_window —
+    * gap-merged per-user sessions in the streaming aggregation state
+    * store, watermark-closed and append-emitted exactly once. The
+    * oracle restates both halves in SQL: (a) q21's gap rule builds the
+    * session set — with session_window's STRICT boundary (an event at
+    * exactly prev + gap starts a NEW session, since [t, t+gap)
+    * intervals merge only when they properly overlap); (b) st4's
+    * eviction rule selects the CLOSED sessions — end (last event +
+    * gap) ≤ ms-truncated max(ts) − 2 h. Open sessions of recently
+    * active users are suppressed, which is precisely the append-mode
+    * contract a downstream consumer relies on. State is one row per
+    * OPEN session (O(active users)); closed rows leave the store. */
+  def st6(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("user_id"), col("value"))
+      .withWatermark("ets", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    runToTable(s, agg, "append")
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("start_ts"),
+        col("sw.end").cast("timestamp_ntz").as("end_ts"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
+  val st6Sql: String =
+    """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
+      |e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        >= INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, MIN(ts) AS start_ts,
+      |   MAX(ts) + INTERVAL 30 MINUTE AS end_ts, COUNT(*) AS n_events,
+      |   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, CAST(start_ts AS TIMESTAMP) AS start_ts,
+      | CAST(end_ts AS TIMESTAMP) AS end_ts, n_events, total_value
+      |FROM g, mx
+      |WHERE end_ts <= mx.max_ts - INTERVAL 2 HOUR
+      |ORDER BY user_id, start_ts""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
     ("st3_stream_distinct", st3 _, st3Sql),
-    ("st4_stream_watermark", st4 _, st4Sql))
+    ("st4_stream_watermark", st4 _, st4Sql),
+    ("st5_stream_join", st5 _, st5Sql),
+    ("st6_stream_sessions", st6 _, st6Sql))
 }

@@ -33,8 +33,11 @@ object CsvIngest {
       .schema(schema)
       .csv(path)
 
+  // keyed on the SOURCE parquet's size/mtime (Tables.layoutKey), not
+  // the dir name: a driver-side regeneration of customer.parquet must
+  // invalidate the CSV round-trip copy, not keep serving stale rows
   private def csvDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_csv_${Integer.toHexString(dir.hashCode)}/customer"
+    s"${System.getProperty("java.io.tmpdir")}/graft_csv_${Tables.layoutKey(dir, "customer")}/customer"
 
   /** The customer table via the CSV path (parquet → CSV → read back).
     * Doubles survive the round-trip exactly: Spark writes shortest
@@ -62,7 +65,8 @@ object CsvIngest {
   /** The documents table via the JSON-lines path (parquet → JSONL →
     * read back): free-text fields exercise JSON string escaping. */
   def documentsJson(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${Integer.toHexString(dir.hashCode)}/documents"
+    // same size/mtime keying as csvDir — stale-serve prevention
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${Tables.layoutKey(dir, "documents")}/documents"
     if (!new java.io.File(s"$out/_SUCCESS").exists())
       Tables.documents(spark, dir).write.mode("overwrite").json(out)
     jsonLines(spark, out, documentsSchema)

@@ -51,13 +51,68 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(a === b && a > 0)
   }
 
+  test("st5 stream-stream join ≡ the same interval join run as one batch") {
+    val streamed = StreamQueries.st5(spark, Sf0001).collect().toSeq
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") && col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + lit(3600L * 1000000000L))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        timestamp_micros(expr("c_ts div 1000")).cast("timestamp_ntz").as("click_ts"),
+        timestamp_micros(expr("p_ts div 1000")).cast("timestamp_ntz").as("purchase_ts"),
+        col("value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("st6 = strict-gap batch sessions minus those the watermark holds open") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = StreamQueries.st6(spark, Sf0001).collect().toSeq
+    // batch twin of session_window's STRICT gap rule: an event exactly
+    // gap after its predecessor starts a NEW session
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapNs = 1800L * 1000000000L
+    val sessions = Tables.events(spark, Sf0001)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        col("ts") - col("prev_ts") >= lit(gapNs), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        timestamp_micros(expr("min_ts div 1000")).cast("timestamp_ntz").as("start_ts"),
+        (timestamp_micros(expr("max_ts div 1000")) + expr("interval 30 minutes"))
+          .cast("timestamp_ntz").as("end_ts"),
+        col("n_events"), col("total_value"))
+    val maxTs = Tables.events(spark, Sf0001)
+      .agg(max(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+      .head().getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.truncatedTo(java.time.temporal.ChronoUnit.MILLIS).minusHours(2)
+    val all = sessions.orderBy(col("user_id"), col("start_ts")).collect().toSeq
+    val expected = all.filter(
+      _.getAs[java.time.LocalDateTime]("end_ts").compareTo(cutoff) <= 0)
+    assert(streamed === expected)
+    assert(streamed.size < all.size, "watermark suppressed nothing — open sessions leaked")
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq
     val maxTs = Tables.events(spark, Sf0001)
       .agg(max(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
       .head().getAs[java.time.LocalDateTime](0)
-    val cutoff = maxTs.minusHours(2)
+    // ms truncation matches the engine: Spark advances the watermark
+    // from millisecond-granularity event-time stats
+    val cutoff = maxTs.truncatedTo(java.time.temporal.ChronoUnit.MILLIS).minusHours(2)
     val expected = all.filter(
       _.getAs[java.time.LocalDateTime]("window_start").plusHours(1).compareTo(cutoff) <= 0)
     assert(closed === expected)

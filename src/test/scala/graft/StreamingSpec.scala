@@ -240,6 +240,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Set((1L, 1L, 2L, 9.5), (1L, 1L, 5L, 1.0)))
   }
 
+  test("stream-stream join buffers are watermark-evicted, not lifetime-grown") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.purchaseAttribution(source.toDF())
+      .writeStream.format("memory").queryName("attrstate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 3 clicks + 1 purchase buffered (timeline at 1000min — epoch 0
+      // would collide with the initial watermark)
+      source.addData(
+        Event(1, ts(1000), 1, "click", 0), Event(2, ts(1001), 2, "click", 0),
+        Event(3, ts(1002), 3, "click", 0), Event(4, ts(1030), 1, "purchase", 7.0))
+      q.processAllAvailable()
+      val before = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(before === 4L)
+      // far-ahead events on BOTH sides push the global watermark
+      // (min over the click- and purchase-side watermark operators —
+      // advancing only one side pins the global watermark and evicts
+      // nothing) to 3000−120 = 2880min, past every horizon: clicks
+      // (< wm − 1 h) and the old purchase (< wm) must leave the join
+      // state; the extra batch lets the store apply eviction under
+      // the advanced watermark. Users 8≠9 so no new match emits.
+      source.addData(Event(5, ts(3000), 8, "click", 0),
+        Event(6, ts(3000), 9, "purchase", 0))
+      q.processAllAvailable()
+      source.addData(Event(7, ts(3001), 8, "click", 0),
+        Event(8, ts(3001), 9, "purchase", 0))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      // only the four far-ahead rows remain buffered
+      assert(after === 4L, s"old buffered rows must evict (state=$after)")
+      // and the join itself still attributed the in-horizon purchase
+      val got = spark.table("attrstate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+      assert(got === Set((1L, 1L, 4L, 7.0)))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink resumes exactly-once across a restart") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
