@@ -37,8 +37,13 @@ object ScaleBench {
     // warm-up: JIT + codegen caches, so x1's first cell isn't taxed
     try SparkEntry.queries(names.head)(spark, points.head._2).count()
     catch { case _: Throwable => () }
+    // Non-registry components measurable at scale (SURVEY §2 rows with
+    // no oracle-able registry binding — a convergence loop's round
+    // count is data-dependent, so it lives here, not in Verify/Bench).
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("pr_loop" -> ((s, d) => graft.queries.CoreQueries.pagerankLoop(s, d)))
     val rows = for (name <- names; (label, dir) <- points) yield {
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name, extras(name))
       // One untimed count records output-size linearity. The TIMED runs
       // use the noop sink: count() would let Catalyst prune whole
       // Window operators and unused expensive projections (a window

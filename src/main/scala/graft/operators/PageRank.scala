@@ -31,22 +31,35 @@ object PageRank {
   private val Unit_e12 = 1000000000000L // total rank in picorank units
   private val Base_e12 = 150000000000L  // (1 − d) · 1e12 for d = 0.85
 
-  /** One synchronous round over `withDeg` = (node, outdeg, r). */
-  private def round(withDeg: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+  /** One synchronous round over `withDeg` = (node, outdeg, r). When
+    * `keepOld`, the pre-round rank rides along as `old` (dd6's trick:
+    * the convergence metric becomes a local scan of the round's own
+    * output, not another shuffle join). */
+  private def round(withDeg: DataFrame, edges: DataFrame, n: Long,
+      keepOld: Boolean = false): DataFrame = {
     val contrib = edges
       .join(withDeg.select(col("node").as("src"), col("outdeg"), col("r")), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(expr("r div outdeg")).as("s"))
-    withDeg.select(col("node"), col("outdeg"))
-      .join(contrib, Seq("node"), "left")
-      .select(col("node"), col("outdeg"),
-        (lit(Base_e12 / n) + expr(s"(85 * coalesce(s, 0L)) div 100")).as("r"))
+    val base = if (keepOld) withDeg.select(col("node"), col("outdeg"), col("r").as("old"))
+               else withDeg.select(col("node"), col("outdeg"))
+    val out = base.join(contrib, Seq("node"), "left")
+    val newR = (lit(Base_e12 / n) + expr(s"(85 * coalesce(s, 0L)) div 100")).as("r")
+    if (keepOld) out.select(col("node"), col("outdeg"), col("old"), newR)
+    else out.select(col("node"), col("outdeg"), newR)
   }
 
   /** Ranks after `iters` rounds from a uniform start, over the
     * directed edge set (src, dst). Nodes = every src (callers wanting
     * sink nodes ranked should pre-symmetrize or add self-degree rows).
-    * Returns (node, pr_e12: BIGINT picoranks, pagerank: DOUBLE). */
+    * Returns (node, pr_e12: BIGINT picoranks, pagerank: DOUBLE).
+    *
+    * UNROLLED plan — each round references the previous rank frame
+    * TWICE (message join + base), so the logical plan DOUBLES per
+    * round. Fine at the oracle-able 2–3 rounds; past ~10 rounds use
+    * [[ranksConverged]], whose per-round lineage truncation keeps the
+    * plan constant-size (a 40-round unrolled plan is 2^40 nodes and
+    * hangs the optimizer). */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
@@ -58,5 +71,68 @@ object PageRank {
     for (_ <- 0 until iters) r = round(r, e, n)
     r.select(col("node"), col("r").as("pr_e12"),
       (col("r").cast("double") / 1e12).as("pagerank"))
+  }
+
+  /** Iterate-to-convergence PageRank — dd6's checkpoint-loop machinery
+    * (Dedup.dupGroupLabels) applied to the rank recurrence: run rounds
+    * until max_v |r'(v) − r(v)| ≤ tolE12 picoranks, truncating lineage
+    * every round so round k's plan is one join + one aggregate over a
+    * materialized snapshot, never a k-deep recursive plan (which would
+    * re-execute the whole history each action and blow the optimizer
+    * up long before 100 TB). The previous rank rides along into the
+    * checkpoint so the convergence metric is a LOCAL max over
+    * checkpointed rows — no extra shuffle join per round (dd6's `old`
+    * trick). Integer picorank arithmetic makes every round bit-exact
+    * and engine-independent; for tolE12 ≥ 1 the loop terminates on any
+    * graph because the damped map is a 0.85-contraction in L∞ on
+    * picorank space. Not SQL-oracle-able (round count is
+    * data-dependent) — spec-gated instead: PageRankSpec pins loop ≡
+    * unrolled `ranks` at the same round count, the fixed point, and
+    * per-round conservation. */
+  def ranksConverged(edges: DataFrame, tolE12: Long = 1000L, maxIters: Int = 60,
+      checkpointDir: Option[String] = None): DataFrame =
+    ranksConvergedWithRounds(edges, tolE12, maxIters, checkpointDir)._1
+
+  /** [[ranksConverged]] with the tolerance RELATIVE to the uniform
+    * rank 1e12/N — the scale-free form: the same tolRel stops after
+    * ~the same round count at any corpus size (the absolute picorank
+    * threshold tightens as N grows, exactly matching how individual
+    * ranks shrink). tolRel = 1e-3 means "converged when no node moves
+    * by more than 0.1% of the uniform share per round". */
+  def ranksConvergedRel(edges: DataFrame, tolRel: Double = 1e-3, maxIters: Int = 60,
+      checkpointDir: Option[String] = None): DataFrame =
+    ranksConvergedWithRounds(edges, 1L, maxIters, checkpointDir, tolRel)._1
+
+  /** ranksConverged exposing the round count it took — the statistic
+    * the x1→x30 scale curve reports (per-round cost should scale with
+    * |E|; round COUNT should stay flat, fixed by damping and tol).
+    * Effective tolerance = max(tolE12, tolRel·1e12/N). */
+  def ranksConvergedWithRounds(edges: DataFrame, tolE12: Long = 1000L, maxIters: Int = 60,
+      checkpointDir: Option[String] = None, tolRel: Double = 0.0): (DataFrame, Int) = {
+    require(tolE12 >= 1L, s"tolE12 must be ≥ 1 picorank, got $tolE12")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    // snapshot edges once: every round re-reads them, and an upstream
+    // candidate-generation plan must not re-execute per round
+    val e = snap(edges.select(col("src"), col("dst")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.count()
+    val tol = math.max(tolE12, (tolRel * (Unit_e12 / n)).toLong)
+    var r = snap(deg.select(col("node"), col("outdeg"), lit(Unit_e12 / n).as("r")))
+    var delta = Long.MaxValue
+    var it = 0
+    while (delta > tol) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"PageRank did not reach |Δr|∞ ≤ $tol in $maxIters rounds (last Δ=$delta)")
+      val next = snap(round(r, e, n, keepOld = true))
+      delta = next.agg(max(abs(col("r") - col("old")))).head().getLong(0)
+      r = next.select(col("node"), col("outdeg"), col("r"))
+      it += 1
+    }
+    (r.select(col("node"), col("r").as("pr_e12"),
+      (col("r").cast("double") / 1e12).as("pagerank")), it)
   }
 }

@@ -102,20 +102,23 @@ object Similarity {
     * the query; exact cosine re-rank inside candidates. Approximate —
     * recall depends on Tables×Bits (spec plants exact duplicates which
     * always collide). */
+  // (id, t, sig) band rows → the bucket probe is a plain HASH
+  // equi-join on (t, sig), not an OR-of-equalities nested-loop:
+  // partitionable by key, AQE/skew-split applies, and it stays a join
+  // even when the query side outgrows a broadcast.
+  private def bandRows(df: DataFrame, dim: Int, idCol: String, outId: String,
+      extra: Seq[String] = Nil): DataFrame = {
+    val bands = (0 until Tables).map(t =>
+      struct(lit(t).as("t"), sigCol("embedding", dim, t).as("sig")))
+    val carried = extra.map(col)
+    df.select(col(idCol).as(outId) +: carried :+ explode(array(bands: _*)).as("b"): _*)
+      .select(col(outId) +: carried :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    // (id, t, sig) band rows on both sides → the bucket probe is a
-    // plain HASH equi-join on (t, sig), not an OR-of-equalities
-    // nested-loop: partitionable by key, AQE/skew-split applies, and
-    // it stays a join even when the query side outgrows a broadcast.
-    def bandRows(df: DataFrame, idCol: String, embCol: String, outId: String): DataFrame = {
-      val bands = (0 until Tables).map(t =>
-        struct(lit(t).as("t"), sigCol(embCol, dim, t).as("sig")))
-      df.select(col(idCol).as(outId), explode(array(bands: _*)).as("b"))
-        .select(col(outId), col("b.t").as("t"), col("b.sig").as("sig"))
-    }
-    val cb = bandRows(corpus, "vec_id", "embedding", "vec_id")
-    val qb = bandRows(queries, "vec_id", "embedding", "query_id")
+    val cb = bandRows(corpus, dim, "vec_id", "vec_id")
+    val qb = bandRows(queries, dim, "vec_id", "query_id")
     val cand = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
@@ -126,6 +129,51 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** bucket = table·2^Bits + signature — ONE integer partition column,
+    * so a probe's pruning is a single-column `isin` over ≤ Tables·2^Bits
+    * directories (the ivfProbeIndex pattern; two partition columns
+    * would need OR-of-conjunction pruning). */
+  private def bucketCol: Column = (col("t") * (1 << Bits) + col("sig")).as("bucket")
+
+  /** Materialized LSH index: the corpus replicated once per hash table
+    * (×Tables rows — the standard LSH space/recall trade) and written
+    * PARTITIONED BY bucket. Completes the index family (IVF/PQ/IVF+PQ
+    * got theirs in round 5): the signature pass over the corpus is the
+    * amortized build cost, and a probe reads only the ≤ Tables
+    * buckets per query instead of re-hashing the corpus per run.
+    * Embeddings ride along in the bucket rows so the exact re-rank
+    * needs no join back to the source table. */
+  def lshWriteIndex(corpus: DataFrame, path: String, dim: Int): Unit = {
+    VectorFunctions.register(corpus.sparkSession)
+    bandRows(corpus, dim, "vec_id", "vec_id", Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), bucketCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
+  }
+
+  /** Probe a materialized LSH index: hash ONLY the query set, prune to
+    * the probed bucket directories (planning-time partition pruning,
+    * like ivfProbeIndex), exact-re-rank inside candidates. Duplicate
+    * candidates from multi-table collisions dedup on the scored row —
+    * cosine is deterministic per pair, so `distinct` is exact and
+    * avoids a second corpus join. Probe ≡ inline lshTopK is
+    * spec-asserted (IvfIndexSpec). */
+  def lshProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val qb = bandRows(queries, dim, "vec_id", "query_id", Seq("embedding"))
+      .select(col("query_id"), col("embedding").as("q_emb"), bucketCol)
+    // bounded driver state: ≤ Tables·2^Bits distinct bucket ids
+    val probedBuckets = qb.select("bucket").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(s"$path/buckets")
+      .filter(col("bucket").isin(probedBuckets.toIndexedSeq: _*))
+    val scored = idx.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+      .distinct()
     topKPerQuery(scored, k)
   }
 

@@ -2080,18 +2080,31 @@ object CoreQueries {
     * DuckDB oracle, so the gate is a bit-exact hash, not a tolerance.
     * Node ids namespace the two sides onto one key space (2c / 2p+1 —
     * collision-free, order-preserving per side). */
-  def q73PageRank(s: SparkSession, d: String): DataFrame = {
+  /** q73's symmetrized bipartite purchase graph, shared with the
+    * convergence-loop variant below. */
+  private def q73Edges(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.PageRank.ranks(edges, 2)
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def q73PageRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.PageRank.ranks(q73Edges(s, d), 2)
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part")).as("kind"),
         expr("node div 2").as("entity_id"), col("pr_e12"), col("pagerank"))
       .orderBy(col("kind"), col("entity_id"))
-  }
+
+  /** Iterate-to-convergence PageRank over q73's graph — the SURVEY §2
+    * non-registry component behind q73's fixed-round oracle row (round
+    * count is data-dependent, so no SQL oracle; PageRankSpec gates it,
+    * ScaleBench curves it as `pr_loop`). Tolerance is RELATIVE (no
+    * node moves > 0.1% of the uniform share per round), so the round
+    * count stays ~flat across SF dirs — the scale-free stopping rule. */
+  def pagerankLoop(s: SparkSession, d: String): DataFrame =
+    graft.operators.PageRank.ranksConvergedRel(q73Edges(s, d), tolRel = 1e-3)
 
   val q73Sql: String =
     """WITH e0 AS (

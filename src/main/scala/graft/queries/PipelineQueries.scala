@@ -291,9 +291,14 @@ object PipelineQueries {
       |FROM ranked WHERE rnk <= $TopK
       |ORDER BY query_id, "rank"""".stripMargin
 
+  /** ss2 probes the materialized LSH index (round 6 — the last ANN
+    * variant without one): signatures are computed once at build time,
+    * a probe hashes only the query set and prunes to its bucket
+    * directories. Probe ≡ inline lshTopK is spec-asserted. */
   def ss2(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
+    Similarity.lshProbeIndex(s, cachedAnnIndex(s, d, "lsh"),
+      emb.filter(col("vec_id") < NQueries), EmbDim, TopK)
   }
 
   /** Build-if-missing materialized ANN index over the embeddings table
@@ -315,10 +320,32 @@ object PipelineQueries {
         case "ivf"   => Similarity.ivfWriteIndex(emb, path)
         case "pq"    => Similarity.pqWriteIndex(emb, path, EmbDim)
         case "ivfpq" => Similarity.ivfPqWriteIndex(emb, path, EmbDim)
+        case "lsh"   => Similarity.lshWriteIndex(emb, path, EmbDim)
       }
       new java.io.File(s"$path/_done").createNewFile()
     }
     path
+  }
+
+  /** Force-build every write-once derived layout/index for `d`, so a
+    * benchmark can report amortized infrastructure cost separately
+    * from probe cost: a cold single-pass bench otherwise folds ~14 s
+    * of index building into whichever query happens to run first and
+    * misreads it as that query's cost. Idempotent — every build is
+    * keyed on source parquet size/mtime and skipped when present.
+    * Covers: dup-groups CC index (dd7 full + dd10 non-delta), the
+    * three ANN indexes (ss3/ss5/ss7/ss8), the CSV/JSON/Avro
+    * round-trip copies (q23/q26/q53), and q65's z-order layout. */
+  def prebuildLayouts(s: SparkSession, d: String): Unit = {
+    val docs = Tables.documents(s, d)
+    val isDelta = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    cachedGroupsIndex(s, d, "full", docs).count()
+    cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDelta)).count()
+    Seq("ivf", "pq", "ivfpq", "lsh").foreach(v => cachedAnnIndex(s, d, v))
+    graft.sources.CsvIngest.customerCsv(s, d).count()
+    graft.sources.CsvIngest.documentsJson(s, d).count()
+    graft.sources.AvroIngest.supplierAvro(s, d).count()
+    graft.queries.CoreQueries.q65ZorderBox(s, d).count()
   }
 
   def ss3(s: SparkSession, d: String): DataFrame = {
@@ -377,13 +404,13 @@ object PipelineQueries {
     * registry's default parameters — rows-gated (engine-specific
     * metric), floors pinned in SimilaritySpec. IVF/PQ/IVFPQ evaluate
     * through their materialized-index probe plans (≡ inline by
-    * IvfIndexSpec), so the evaluation retrains nothing; LSH is
-    * training-free and stays inline. */
+    * IvfIndexSpec), so the evaluation retrains nothing — LSH included
+    * as of round 6 (corpus signatures come off the bucket layout). */
   def ss8(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < NQueries)
     Similarity.annRecallOf(emb, q, TopK, Seq(
-      "ss2_lsh"   -> Similarity.lshTopK(emb, q, EmbDim, TopK),
+      "ss2_lsh"   -> Similarity.lshProbeIndex(s, cachedAnnIndex(s, d, "lsh"), q, EmbDim, TopK),
       "ss3_ivf"   -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf"), q, TopK),
       "ss5_pq"    -> Similarity.pqProbeIndex(s, cachedAnnIndex(s, d, "pq"), q, TopK),
       "ss7_ivfpq" -> Similarity.ivfPqProbeIndex(s, cachedAnnIndex(s, d, "ivfpq"), q, TopK)))

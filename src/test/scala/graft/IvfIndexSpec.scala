@@ -48,6 +48,23 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!codeScan.get.contains("embedding"), s"probe scan reads embeddings:\n$p")
   }
 
+  test("LSH index write → probe equals inline lshTopK and prunes bucket dirs") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    Similarity.lshWriteIndex(emb, dir, dim = 64)
+
+    val probe = Similarity.lshProbeIndex(spark, dir, q, dim = 64, k = 10)
+    val inline = Similarity.lshTopK(emb, q, dim = 64, k = 10)
+    assert(probe.collect().toSeq === inline.collect().toSeq)
+
+    // the bucket predicate must prune directory-level at planning time
+    val p = probe.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l => l.contains("FileScan") && l.contains("buckets"))
+    assert(scanLine.exists(_.contains("PartitionFilters: [bucket#")),
+      s"bucket not a partition filter:\n$p")
+  }
+
   test("IVF-PQ index write → probe equals inline ivfPqTopK; pruned code-only scan") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
