@@ -2185,6 +2185,138 @@ object CoreQueries {
       |FROM m GROUP BY p
       |ORDER BY p""".stripMargin
 
+  /** q75: bounded-radius multi-source BFS over the SPARSIFIED part
+    * co-purchase graph (pairs bundled in ≥ 2 distinct orders — the
+    * q74 graph minus its one-off noise edges), seeds = all parts of
+    * one brand: "everything within 4 recommendation hops of this
+    * brand". This is the first CONVERGING loop under the full hash
+    * gate (dd6's recursive-CTE oracle pattern applied to hop
+    * distances): the Spark side iterates frontier expansion with
+    * per-round lineage truncation (operators/Bfs.scala) and stops
+    * when the frontier drains or the radius caps — a data-dependent
+    * round count — while the DuckDB mirror is a radius-bounded
+    * recursive CTE taking MIN(dist). Hop counts are exact integers,
+    * so the gate is bit-exact. Scale: the k-ball frontier bounds
+    * per-round work; visited is one row per reached node. */
+  def q75BfsHops(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val e = co.select(col("u").as("src"), col("v").as("dst"))
+      .union(co.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey").as("node"))
+    graft.operators.Bfs.hops(e, seeds, maxHops = 4)
+      .select(col("node").as("p_partkey"), col("hops").cast("long").as("hops"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q75Sql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      |e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+      |seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#4'),
+      |rch(node, dist) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.dist + 1 FROM rch r JOIN e ON e.src = r.node
+      |  WHERE r.dist < 4)
+      |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS hops
+      |FROM rch GROUP BY node ORDER BY p_partkey""".stripMargin
+
+  /** q76: ordered string/array aggregation (LISTAGG / string_agg —
+    * the ANSI 2016 feature every warehouse user reaches for): per
+    * nation, its suppliers' names as one comma-joined SORTED string.
+    * collect_list's order is partition-nondeterministic by design, so
+    * the deterministic form is collect → array_sort → array_join —
+    * exactly what DuckDB's string_agg(... ORDER BY ...) states
+    * declaratively. Scale: the aggregate's state is the per-group
+    * value list — safe when groups are bounded (25 nations); for
+    * unbounded groups the q47 top-k heap shape is the right tool. */
+  def q76Listagg(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  val q76Sql: String =
+    """SELECT n.n_name, COUNT(*) AS n_suppliers,
+      | string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** q77: interval union / coverage — per user, total time covered by
+    * the union of that user's event intervals [ts, ts + 10 min),
+    * overlapping and touching intervals merged (the sweep-line
+    * "merge overlapping intervals" analytic, distinct from q21's
+    * gap-sessionization and q57's overlap JOIN). One window pass:
+    * an interval opens a new island iff it starts strictly after the
+    * running max end of all earlier intervals; islands then aggregate
+    * as max(end) − min(start). All arithmetic on int64 ns — exact in
+    * both engines. Scale: single window partitioned by the
+    * high-cardinality user key; no self-join (the naive pairwise
+    * overlap test is O(n²) per user). */
+  def q77IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    val tenMinNs = 600000000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("ts") + lit(tenMinNs)).as("end_ns"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isl = ev.withColumn("prev_max_end", max(col("end_ns")).over(w))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("ts") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+    val wid = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl.withColumn("island", sum(col("new_island")).over(wid))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts")).as("s0"), max(col("end_ns")).as("e1"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("covered_ns"))
+      .orderBy(col("user_id"))
+  }
+
+  val q77Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id,
+      |   epoch_ns(ts) + 600000000000 AS end_ns
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, t, end_ns, event_id,
+      |   CASE WHEN MAX(end_ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |     OR t > MAX(end_ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS new_island
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, t, end_ns,
+      |   SUM(new_island) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked),
+      |g AS (
+      |  SELECT user_id, island, MIN(t) AS s0, MAX(end_ns) AS e1
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      | CAST(SUM(e1 - s0) AS BIGINT) AS covered_ns
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2252,5 +2384,8 @@ object CoreQueries {
     ("q72_decay_agg", q72DecayAgg _, q72Sql),
     ("q73_pagerank", q73PageRank _, q73Sql),
     ("q74_triangles", q74Triangles _, q74Sql),
+    ("q75_bfs_hops", q75BfsHops _, q75Sql),
+    ("q76_listagg", q76Listagg _, q76Sql),
+    ("q77_interval_union", q77IntervalUnion _, q77Sql),
   )
 }

@@ -291,11 +291,45 @@ object StreamQueries {
       |WHERE end_ts <= mx.max_ts - INTERVAL 2 HOUR
       |ORDER BY user_id, start_ts""".stripMargin
 
+  /** st7: STREAMING DEDUPLICATION via dropDuplicatesWithinWatermark —
+    * the production dedup form whose state is bounded by the watermark
+    * horizon (plain streaming dropDuplicates keeps every key seen for
+    * the stream's lifetime; the within-watermark variant evicts a key
+    * once the watermark passes its event time + delay, i.e. state is
+    * O(rate × horizon)). Key = (user_id, event_type, event-hour); the
+    * first-seen row per key is emitted immediately in append mode
+    * (the watermark drives EVICTION, not emission), and only the key
+    * columns are projected so the output is the deterministic
+    * distinct key set regardless of which physical row arrived first.
+    * Every duplicate of a key shares its hour bucket, so all dups of
+    * a key sit within the 2 h horizon of each other and the
+    * watermark-bounded dedup equals exact DISTINCT — which is the
+    * oracle, stated in SQL. */
+  def st7(s: SparkSession, d: String): DataFrame = {
+    val dedup = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("user_id"), col("event_type"))
+      .withWatermark("ets", "2 hours")
+      .withColumn("hour", date_trunc("hour", col("ets")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+    runToTable(s, dedup, "append")
+      .select(col("user_id"), col("event_type"),
+        col("hour").cast("timestamp_ntz").as("hour"))
+      .orderBy(col("user_id"), col("event_type"), col("hour"))
+  }
+
+  val st7Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      | CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+      |FROM events
+      |ORDER BY user_id, event_type, hour""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
     ("st3_stream_distinct", st3 _, st3Sql),
     ("st4_stream_watermark", st4 _, st4Sql),
     ("st5_stream_join", st5 _, st5Sql),
-    ("st6_stream_sessions", st6 _, st6Sql))
+    ("st6_stream_sessions", st6 _, st6Sql),
+    ("st7_stream_dedup", st7 _, st7Sql))
 }

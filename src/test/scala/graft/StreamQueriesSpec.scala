@@ -104,6 +104,20 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(streamed.size < all.size, "watermark suppressed nothing — open sessions leaked")
   }
 
+  test("st7 streaming dedup-within-watermark ≡ batch exact DISTINCT") {
+    val streamed = StreamQueries.st7(spark, Sf0001).collect().toSeq
+    val batch = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", timestamp_micros(expr("ts div 1000")))
+          .cast("timestamp_ntz").as("hour"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"), col("hour"))
+      .collect().toSeq
+    assert(streamed === batch)
+    // the dedup actually dropped rows (events per key-hour > 1 somewhere)
+    assert(streamed.size < Tables.events(spark, Sf0001).count())
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq
