@@ -480,4 +480,46 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"anchor leaked into the plan as a join:\n${p.take(3000)}")
     assert(p.contains("partial"), s"decay aggregate must map-side combine:\n$p")
   }
+
+  test("q75 BFS: frontier round is equi-join + anti-join, never a nested loop") {
+    // the loop materializes each round (localCheckpoint), so the final
+    // plan is just a union of checkpoint scans — pin the PER-ROUND
+    // shape by composing exactly what Bfs.hops executes each round
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val frontier = Seq(1L).toDF("node")
+    val visited = Seq(1L).toDF("node")
+    val round = frontier.select(col("node").as("src")).join(e, "src")
+      .select(col("dst").as("node")).distinct()
+      .join(visited, Seq("node"), "left_anti")
+    val p = plan(round)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"BFS round degenerated to a product join:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"visited-set exclusion must be an anti-join:\n${p.take(3000)}")
+    // the registry query's edge build must also stay equi-join-only
+    val q = plan(CoreQueries.q75BfsHops(spark, Sf0001))
+    assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoopJoin"),
+      s"edge build degenerated:\n${q.take(3000)}")
+  }
+
+  test("q76 listagg: dimension broadcast; collect aggregate partial-combines") {
+    val p = plan(CoreQueries.q76Listagg(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"nation should broadcast:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"collect_list must partial-agg map-side:\n$p")
+  }
+
+  test("q77 interval union: both windows and the island groupBy reuse ONE user_id shuffle") {
+    val df = CoreQueries.q77IntervalUnion(spark, Sf0001)
+    df.collect()
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — count
+    // exchanges only in the final (executed) section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"interval union must not self-join:\n${p.take(3000)}")
+    // both window passes share one (user_id) hash exchange + sort; both
+    // groupBys reuse that partitioning (user_id ⊆ their keys); the only
+    // other exchange is the final orderBy's range partition. >2 means
+    // the plan re-shuffles per analytic step and would melt at 100 TB.
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n${p.take(3000)}")
+  }
 }
