@@ -346,6 +346,7 @@ object PipelineQueries {
     graft.sources.CsvIngest.documentsJson(s, d).count()
     graft.sources.AvroIngest.supplierAvro(s, d).count()
     graft.queries.CoreQueries.q65ZorderBox(s, d).count()
+    graft.queries.CoreQueries.copurchaseEdges(s, d).count()
   }
 
   def ss3(s: SparkSession, d: String): DataFrame = {

@@ -324,6 +324,62 @@ object StreamQueries {
       |FROM events
       |ORDER BY user_id, event_type, hour""".stripMargin
 
+  /** st8 state tuple rows (top-level case classes so the tuple/product
+    * encoders derive cleanly inside the closure). */
+  case class UEvent(user_id: Long, ts: Long, v_micros: Long)
+  case class UserTotals(user_id: Long, n_events: Long, total_micros: Long,
+    first_ts: Long, last_ts: Long)
+
+  /** st8: ARBITRARY STATEFUL AGGREGATION via flatMapGroupsWithState —
+    * the "custom state machine" escape hatch (the API a user reaches
+    * for when windows/dedup/joins can't express their state shape) run
+    * through the real engine and hash-gated. Per-user GroupState holds
+    * (n, total, first_ts, last_ts); every value is integer (micro-unit
+    * values via round(value·1e6) — positive, so HALF_UP == away-from-
+    * zero in both engines; ns timestamps), so state updates commute
+    * exactly and no IEEE summation order can leak in. Update mode
+    * emits RUNNING totals per micro-batch; every component is monotone
+    * (count/total/last up, first down), so the committed table reduces
+    * to final totals with max/min REGARDLESS of how the backfill split
+    * into batches — the oracle is the plain GROUP BY stated in SQL.
+    * Scale: state is one fixed-width row per user, the minimal
+    * possible for this computation; a live deployment would add an
+    * event-time timeout to retire idle users. */
+  def st8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = eventsStream(s, d)
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 1000000) as long)").as("v_micros"))
+      .as[UEvent]
+    def update(user: Long, rows: Iterator[UEvent],
+        state: GroupState[(Long, Long, Long, Long)]): Iterator[UserTotals] = {
+      var (n, tot, first, last) =
+        state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+      for (r <- rows) {
+        n += 1; tot += r.v_micros
+        first = math.min(first, r.ts); last = math.max(last, r.ts)
+      }
+      state.update((n, tot, first, last))
+      Iterator.single(UserTotals(user, n, tot, first, last))
+    }
+    val upd = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+    runToTable(s, upd.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("total_micros")).as("total_micros"),
+        min(col("first_ts")).as("first_ts"),
+        max(col("last_ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val st8Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros,
+      | MIN(epoch_ns(ts)) AS first_ts, MAX(epoch_ns(ts)) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -331,5 +387,6 @@ object StreamQueries {
     ("st4_stream_watermark", st4 _, st4Sql),
     ("st5_stream_join", st5 _, st5Sql),
     ("st6_stream_sessions", st6 _, st6Sql),
-    ("st7_stream_dedup", st7 _, st7Sql))
+    ("st7_stream_dedup", st7 _, st7Sql),
+    ("st8_stream_custom_state", st8 _, st8Sql))
 }

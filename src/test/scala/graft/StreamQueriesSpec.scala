@@ -118,6 +118,20 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(streamed.size < Tables.events(spark, Sf0001).count())
   }
 
+  test("st8 custom-state totals ≡ batch groupBy (exact integer arithmetic)") {
+    val streamed = StreamQueries.st8(spark, Sf0001).collect().toSeq
+    val batch = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 1000000) as long)").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("total_micros"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq

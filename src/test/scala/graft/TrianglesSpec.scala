@@ -64,4 +64,19 @@ class TrianglesSpec extends SparkTestBase {
       .filter(col("lo") === 0L).count()
     assert(hubOut === 0L)
   }
+
+  test("co-purchase edge index probe ≡ the inline self-join it amortizes") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_partkey"))
+    val inline = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey"), col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probe = CoreQueries.copurchaseEdges(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(probe === inline)
+    assert(probe.nonEmpty)
+  }
 }
