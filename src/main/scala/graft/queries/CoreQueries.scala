@@ -2333,6 +2333,126 @@ object CoreQueries {
       | CAST(SUM(e1 - s0) AS BIGINT) AS covered_ns
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q78: systematic PPS (probability-proportional-to-size) weighted
+    * sampling — the weighted tier of the sampling family (q32 hash,
+    * q38 stratified, tx19 mixture): walk the cumulative-weight axis
+    * and take one unit each time it crosses a multiple of W/k, so
+    * every order's selection probability is k·w/W and the sample size
+    * is k ± 1 at ANY corpus size. Fully deterministic and integer-
+    * exact: weights are cent units (round(price·100) — positive, so
+    * HALF_UP ≡ away-from-zero in both engines), the crossing test is
+    * (cum·k) div W > ((cum−w)·k) div W in int64 floor division.
+    *
+    * The running total is a DISTRIBUTED PREFIX SUM, not a global-order
+    * window (which Catalyst plans as ONE partition — the classic
+    * scale cliff of naive cumulative SQL): rows bucket by key range,
+    * per-bucket sums aggregate small, the bucket-offset prefix is a
+    * broadcast-sized scan, and the within-bucket window partitions by
+    * bucket — every stage parallel. The oracle states the naive
+    * global cumsum, which is the same number. */
+  def q78PpsSample(s: SparkSession, d: String): DataFrame = {
+    val k = 1000L
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as long)").as("w"))
+    // bucket width keeps |buckets| broadcast-sized at any SF while the
+    // per-bucket window stays wide enough to parallelize
+    val b = o.withColumn("bkt", expr("o_orderkey div 4096"))
+    val offsets = b.groupBy(col("bkt")).agg(sum(col("w")).as("bsum"))
+      .withColumn("off",
+        coalesce(sum(col("bsum")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wInBkt = Window.partitionBy(col("bkt")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("off") + sum(col("w")).over(wInBkt))
+    val total = o.agg(sum(col("w"))).head().getLong(0) // driver scalar (q64 pattern)
+    // int64 floor division (`div`) keeps the crossing test exact at any
+    // cum·k magnitude — double division would round past 2^53
+    cum.filter(expr(s"(cum * $k) div $total > ((cum - w) * $k) div $total"))
+      .select(col("o_orderkey"), col("w"), col("cum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q78Sql: String =
+    """WITH w AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_orderkey, w,
+      |   SUM(w) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM w),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM w)
+      |SELECT o_orderkey, w, CAST(cum AS BIGINT) AS cum
+      |FROM c, t
+      |WHERE (cum * 1000) // total > ((cum - w) * 1000) // total
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q79: cross-table constraint audit — the data-quality gate an
+    * ingestion pipeline runs before publishing a corpus version:
+    * referential integrity (orders→customer, lineitem→orders, via
+    * anti-joins — never a row-by-row lookup), key uniqueness
+    * (count vs distinct), domain checks (positive amounts, value
+    * ranges) and null rates, one row per named check. Each check is
+    * a partial-agg'd scan or a broadcast/shuffle anti-join; the
+    * report is a fixed-size union. At 100 TB each check is exactly
+    * as expensive as its underlying scan — nothing quadratic, and
+    * independent checks share nothing so a scheduler can run them
+    * concurrently. */
+  def q79ConstraintAudit(s: SparkSession, d: String): DataFrame =
+    constraintAudit(Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.customer(s, d))
+
+  /** The audit over arbitrary frames (spec feeds planted-violation
+    * fixtures; the clean driver corpus must report all-zero). */
+  def constraintAudit(o: DataFrame, li: DataFrame, c: DataFrame): DataFrame = {
+    def row(name: String, violations: DataFrame, checked: Long): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          lit(checked).as("n_checked"))
+    val nO = o.count(); val nLi = li.count(); val nC = c.count()
+    val fkOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+    val fkLine = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+    val posPrice = o.filter(col("o_totalprice") <= 0)
+    val qtyRange = li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+    val nullDate = li.filter(col("l_shipdate").isNull)
+    val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    row("lineitem_orderkey_fk", fkLine, nLi)
+      .union(row("lineitem_qty_range", qtyRange, nLi))
+      .union(row("lineitem_shipdate_null", nullDate, nLi))
+      .union(row("orders_custkey_fk", fkOrders, nO))
+      .union(row("orders_key_unique", dupKeys, nO))
+      .union(row("orders_price_positive", posPrice, nO))
+      .orderBy(col("check_name"))
+  }
+
+  val q79Sql: String =
+    """SELECT 'lineitem_orderkey_fk' AS check_name,
+      | (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      | (SELECT COUNT(*) FROM lineitem) AS n_checked
+      |UNION ALL SELECT 'lineitem_qty_range',
+      | (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+      | (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL SELECT 'lineitem_shipdate_null',
+      | (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL),
+      | (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL SELECT 'orders_custkey_fk',
+      | (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      | (SELECT COUNT(*) FROM orders)
+      |UNION ALL SELECT 'orders_key_unique',
+      | (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+      |    GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+      | (SELECT COUNT(*) FROM orders)
+      |UNION ALL SELECT 'orders_price_positive',
+      | (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+      | (SELECT COUNT(*) FROM orders)
+      |ORDER BY check_name""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2403,5 +2523,7 @@ object CoreQueries {
     ("q75_bfs_hops", q75BfsHops _, q75Sql),
     ("q76_listagg", q76Listagg _, q76Sql),
     ("q77_interval_union", q77IntervalUnion _, q77Sql),
+    ("q78_pps_sample", q78PpsSample _, q78Sql),
+    ("q79_constraint_audit", q79ConstraintAudit _, q79Sql),
   )
 }

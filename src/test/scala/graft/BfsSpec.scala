@@ -121,6 +121,53 @@ class BfsSpec extends SparkTestBase {
     }
   }
 
+  test("q78 PPS sample: strides distribute exactly, heavy orders guaranteed, deterministic") {
+    val rows = CoreQueries.q78PpsSample(spark, Sf0001).collect()
+    val o = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), expr("cast(round(o_totalprice * 100) as long)").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = o.map(_._2).sum
+    // the k strides distribute EXACTLY over the selected units (a unit
+    // wider than W/k absorbs several), so Σ per-unit crossings = k and
+    // the distinct sample size is ≤ k
+    val crossings = rows.map { r =>
+      val (w, cum) = (r.getLong(1), r.getLong(2))
+      cum * 1000L / total - (cum - w) * 1000L / total
+    }.sum
+    assert(crossings === 1000L)
+    assert(rows.length <= 1000 && rows.length > 500)
+    // systematic PPS guarantee: any unit with w·k ≥ W is ALWAYS selected
+    val guaranteed = o.filter { case (_, w) => w * 1000L >= total }.map(_._1).toSet
+    val sampled = rows.map(_.getLong(0)).toSet
+    assert(guaranteed.subsetOf(sampled))
+    // deterministic: a second run returns the identical sample
+    val again = CoreQueries.q78PpsSample(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    assert(sampled === again)
+  }
+
+  test("q79 audit: clean corpus all-zero; planted violations are counted") {
+    val clean = CoreQueries.q79ConstraintAudit(spark, Sf0001).collect()
+    assert(clean.length === 6)
+    assert(clean.forall(_.getLong(1) === 0L), "clean corpus must report zero violations")
+
+    import spark.implicits._
+    // plant: an orphan order (custkey 999), a duplicate orderkey, a
+    // non-positive price, an orphan lineitem, an out-of-range quantity,
+    // and a null shipdate
+    val o = Seq((1L, 10L, 100.0), (2L, 999L, 50.0), (2L, 10L, -5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Seq((1L, 10.0, "1995-01-01"), (77L, 10.0, "1995-01-01"),
+        (1L, 99.0, "1995-01-01"), (1L, 10.0, null))
+      .toDF("l_orderkey", "l_quantity", "l_shipdate")
+    val c = Seq(Tuple1(10L)).toDF("c_custkey")
+    val got = CoreQueries.constraintAudit(o, li, c).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "lineitem_orderkey_fk" -> 1L, "lineitem_qty_range" -> 1L,
+      "lineitem_shipdate_null" -> 1L, "orders_custkey_fk" -> 1L,
+      "orders_key_unique" -> 1L, "orders_price_positive" -> 1L))
+  }
+
   test("q77 merges touching intervals into one island") {
     // hand-check the island rule on a 3-event fixture via the same
     // window plan shape: t=0, t=10min (touching → merge), t=30min (gap)
