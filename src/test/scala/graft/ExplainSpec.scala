@@ -508,6 +508,26 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial"), s"collect_list must partial-agg map-side:\n$p")
   }
 
+  test("q78 PPS: the fact-table window partitions by bucket; only the tiny offset prefix is single-partition") {
+    val df = CoreQueries.q78PpsSample(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly one SinglePartition exchange is allowed — the bucket-offset
+    // prefix over the |buckets|-row aggregate. A second would mean the
+    // fact-table cumsum degenerated to the global-order window.
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1, s"fact cumsum collapsed to one partition:\n${p.take(3000)}")
+    // the per-row running sum must window over the bucket key
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"fact window must partition by bkt:\n${p.take(3000)}")
+  }
+
+  test("q79 audit: FK checks are anti-joins, never nested loops or cartesians") {
+    val p = plan(CoreQueries.q79ConstraintAudit(spark, Sf0001))
+    assert(p.contains("LeftAnti"), s"FK checks must anti-join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"audit degenerated:\n${p.take(3000)}")
+  }
+
   test("q77 interval union: both windows and the island groupBy reuse ONE user_id shuffle") {
     val df = CoreQueries.q77IntervalUnion(spark, Sf0001)
     df.collect()
