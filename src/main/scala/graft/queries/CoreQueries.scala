@@ -1574,44 +1574,38 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- q60
   /** Column profiling — the data-quality summary every ingestion run
-    * wants: per-column null count, exact distinct count, min and max,
-    * in ONE pass over the fact table (multi-count-distinct plans via
-    * Catalyst's Expand, so the scan still happens once; at 100 TB the
-    * Expand factor is the documented cost of exactness — swap in
-    * approx_count_distinct per q29 when ±2% is acceptable). Min/max
-    * render through engine-agreed formats: fixed-scale DECIMAL strings
-    * for numerics, ISO dates — double→string shortest-round-trip
-    * formatting differs between engines, fixed-scale does not. */
+    * wants: per-column null count, EXACT distinct count, min and max.
+    * Planned as one TWO-PHASE pass per column (groupBy(value) partial
+    * counts, then a tiny final aggregate over the distinct values) and
+    * unioned: each scan is column-pruned to its single column, so the
+    * four scans read the same total bytes as one four-column scan,
+    * while the shuffle carries only Σ|distinct| value-count pairs —
+    * strictly smaller than the 4×n-row Expand shuffle Catalyst plans
+    * for multi-countDistinct in one aggregate (the round-5 shape:
+    * 6.1 s min-of-3 → this plan, measured below in BENCH_NOTES).
+    * Null counts ride the null group's partial count; at 100 TB each
+    * column profile is an independent partial-agg'd job a scheduler
+    * can run concurrently. Min/max render through engine-agreed
+    * formats: fixed-scale DECIMAL strings for numerics, ISO dates —
+    * double→string shortest-round-trip formatting differs between
+    * engines, fixed-scale does not. */
   def q60Profile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    def dec(c: String) = col(c).cast(DecimalType(18, 6))
-    li.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("q_nulls"),
-        countDistinct(col("l_quantity")).as("q_dist"),
-        min(dec("l_quantity")).cast("string").as("q_min"),
-        max(dec("l_quantity")).cast("string").as("q_max"),
-        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("e_nulls"),
-        countDistinct(col("l_extendedprice")).as("e_dist"),
-        min(dec("l_extendedprice")).cast("string").as("e_min"),
-        max(dec("l_extendedprice")).cast("string").as("e_max"),
-        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("d_nulls"),
-        countDistinct(col("l_shipdate")).as("d_dist"),
-        min(col("l_shipdate").cast("date")).cast("string").as("d_min"),
-        max(col("l_shipdate").cast("date")).cast("string").as("d_max"),
-        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("f_nulls"),
-        countDistinct(col("l_returnflag")).as("f_dist"),
-        min(col("l_returnflag")).as("f_min"),
-        max(col("l_returnflag")).as("f_max"))
-      .selectExpr("n_rows",
-        """stack(4,
-          | 'l_quantity', q_nulls, q_dist, q_min, q_max,
-          | 'l_extendedprice', e_nulls, e_dist, e_min, e_max,
-          | 'l_shipdate', d_nulls, d_dist, d_min, d_max,
-          | 'l_returnflag', f_nulls, f_dist, f_min, f_max
-          |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-        col("min_s"), col("max_s"))
+    def profile(cname: String, fmt: Column => Column): DataFrame =
+      li.select(col(cname)).groupBy(col(cname)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col(cname).isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          count(when(col(cname).isNotNull, lit(1))).as("n_distinct"),
+          min(fmt(col(cname))).cast("string").as("min_s"),
+          max(fmt(col(cname))).cast("string").as("max_s"))
+        .select(lit(cname).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    def dec(c: Column) = c.cast(DecimalType(18, 6))
+    profile("l_extendedprice", dec)
+      .union(profile("l_quantity", dec))
+      .union(profile("l_returnflag", identity))
+      .union(profile("l_shipdate", _.cast("date")))
       .orderBy(col("col_name"))
   }
 

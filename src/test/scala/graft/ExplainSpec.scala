@@ -301,12 +301,20 @@ class ExplainSpec extends SparkTestBase {
       s"groupBy re-shuffled what the window already partitioned:\n$p")
   }
 
-  test("q60 profile reads the fact table once: one scan feeds all metrics") {
+  test("q60 profile: four column-pruned scans, partial aggs, no Expand blowup") {
     val p = plan(CoreQueries.q60Profile(spark, Sf0001))
-    // multi-count-distinct plans via ONE Expand over ONE parquet scan;
-    // a per-column subquery shape would scan the table four times
-    assert("Scan parquet".r.findAllIn(p).size === 1, s"profile re-scans the table:\n$p")
-    assert(p.contains("Expand"), s"count-distinct family should plan via Expand:\n$p")
+    // one two-phase distinct pass per column: each scan prunes to its
+    // single column (same total bytes as one 4-column scan) and the
+    // shuffle carries Σ|distinct| value-count pairs — NOT the 4×n-row
+    // Expand shuffle of multi-countDistinct-in-one-aggregate (6.1 s →
+    // 0.9 s min-of-3 at sf0.1, BENCH_NOTES round 6)
+    assert("Scan parquet".r.findAllIn(p).size === 4, s"expected 4 per-column scans:\n$p")
+    assert(!p.contains("Expand"), s"profile regressed to the Expand plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"value counts must partial-agg map-side:\n$p")
+    // every scan reads exactly one column
+    assert("ReadSchema: struct<[^>]*>".r.findAllIn(p).forall(!_.contains(",")),
+      s"a profile scan reads more than its column:\n$p")
   }
 
   test("q63 LOCF resample: union + ONE window, no per-grid-point join") {
