@@ -380,6 +380,71 @@ object StreamQueries {
       | MIN(epoch_ns(ts)) AS first_ts, MAX(epoch_ns(ts)) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** st9: STREAM-STREAM LEFT OUTER interval join — the hardest
+    * streaming gate: matched rows emit like st5's inner join, but an
+    * UNMATCHED click emits its null-padded row only when the engine
+    * can PROVE no future purchase can match — i.e. when its join
+    * state evicts because the watermark passed click_ts + horizon.
+    * With the closing no-data micro-batch the final watermark is
+    * ms-truncated max(ts) − 2 h, so the committed table is exactly:
+    * all matches, plus unmatched clicks with click_ts + 1 h <
+    * watermark. Clicks younger than that are still "maybe matched
+    * later" and are suppressed — the outer-join analogue of st4's
+    * late-window suppression, stated in the oracle's SQL. Purchases
+    * are COUNTED not joined row-wise on the null side (n_purchases +
+    * exact total), keeping the output one row per click. */
+  def st9(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + interval 1 hour"""),
+      "left_outer")
+    runToTable(s, joined, "append")
+      .groupBy(col("c_user").as("user_id"), col("click_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+      .agg(count(col("purchase_id")).as("n_purchases"),
+        dsum(coalesce(col("value"), lit(0.0))).as("total_value"))
+      .orderBy(col("click_id"))
+  }
+
+  // the watermark base is the MIN across the two sides' ms-truncated
+  // max event times (each side's watermark comes from its FILTERED
+  // stream; the engine takes the min across watermark operators — the
+  // same contract StreamingSpec pins for st5's state eviction), and an
+  // unmatched click emits once watermark (base − 2 h) passes
+  // click_ts + 1 h ⇒ click_ts + 3 h < base
+  val st9Sql: String =
+    """WITH mx AS (
+      |  SELECT LEAST(
+      |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'click' THEN ts END)),
+      |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+      |  ) AS max_ts FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.value
+      |  FROM c LEFT JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |SELECT user_id, click_id, CAST(click_ts AS TIMESTAMP) AS click_ts,
+      | COUNT(purchase_id) AS n_purchases,
+      | CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM j, mx
+      |GROUP BY user_id, click_id, click_ts, mx.max_ts
+      |HAVING COUNT(purchase_id) > 0
+      |    OR click_ts + INTERVAL 3 HOUR < mx.max_ts
+      |ORDER BY click_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -388,5 +453,6 @@ object StreamQueries {
     ("st5_stream_join", st5 _, st5Sql),
     ("st6_stream_sessions", st6 _, st6Sql),
     ("st7_stream_dedup", st7 _, st7Sql),
-    ("st8_stream_custom_state", st8 _, st8Sql))
+    ("st8_stream_custom_state", st8 _, st8Sql),
+    ("st9_stream_outer_join", st9 _, st9Sql))
 }

@@ -132,6 +132,39 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("st9 left-outer join = matches ∪ unmatched clicks past the two-sided watermark") {
+    val streamed = StreamQueries.st9(spark, Sf0001).collect().toSeq
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + lit(3600L * 1000000000L), "left_outer")
+      .groupBy(col("user_id"), col("click_id"), col("c_ts"))
+      .agg(count(col("p_ts")).as("n_purchases"),
+        dsum(coalesce(col("value"), lit(0.0))).as("total_value"))
+    // watermark base = min of the two sides' ms-truncated max event
+    // times (each side watermarks its FILTERED stream; the engine
+    // takes the min across watermark operators); an unmatched click
+    // survives only once base − 2 h passes click_ts + 1 h
+    val maxOf = (t: String) => ev.filter(col("event_type") === t)
+      .agg(max(expr("(ts div 1000000) * 1000000"))).head().getLong(0)
+    val base = math.min(maxOf("click"), maxOf("purchase"))
+    val cutoff = base - 3L * 3600L * 1000000000L
+    val expected = joined
+      .filter(col("n_purchases") > 0 || col("c_ts") < lit(cutoff))
+      .select(col("user_id"), col("click_id"),
+        timestamp_micros(expr("c_ts div 1000")).cast("timestamp_ntz").as("click_ts"),
+        col("n_purchases"), col("total_value"))
+      .orderBy(col("click_id"))
+      .collect().toSeq
+    assert(streamed === expected)
+    val all = joined.count()
+    assert(streamed.size < all, "watermark suppressed nothing — young unmatched clicks leaked")
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq
