@@ -147,6 +147,33 @@ class RandomizedSpec extends SparkTestBase {
     }
   }
 
+  test("BFS hops equal a local reference on generated random graphs") {
+    import spark.implicits._
+    val r = rng
+    // Erdős–Rényi-ish directed graph with ~3 edges per node plus a few
+    // isolated seeds — dense enough for multi-hop paths, sparse enough
+    // that radius-4 doesn't trivially cover everything
+    val n = 120
+    val edges = (1 to 3 * n).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = Seq.fill(5)(r.nextInt(n + 10).toLong).distinct // some off-graph
+    val maxHops = 4
+    val got = graft.operators.Bfs.hops(
+        edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // local BFS reference over the same directed adjacency
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map[Long, Int]()
+    seeds.foreach(dist(_) = 0)
+    var frontier = seeds.toSet
+    for (d <- 1 to maxHops) {
+      frontier = frontier.flatMap(x => adj.getOrElse(x, Nil))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = d)
+    }
+    assert(got === dist.toMap)
+  }
+
   test("mm4 resize matches the JVM reference on generated text") {
     import spark.implicits._
     val r = rng
