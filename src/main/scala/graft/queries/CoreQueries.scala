@@ -2363,8 +2363,11 @@ object CoreQueries {
     val cum = b.join(broadcast(offsets), "bkt")
       .withColumn("cum", col("off") + sum(col("w")).over(wInBkt))
     val total = o.agg(sum(col("w"))).head().getLong(0) // driver scalar (q64 pattern)
-    // int64 floor division (`div`) keeps the crossing test exact at any
-    // cum·k magnitude — double division would round past 2^53
+    // int64 floor division (`div`) keeps the crossing test exact —
+    // double division would round past 2^53. Headroom: cum·k must stay
+    // < 2^63, which holds through ~10^15 total cents × k=1000 (well
+    // past 100 TB of orders); beyond that, segment the weight axis or
+    // widen the product to DECIMAL(38,0)
     cum.filter(expr(s"(cum * $k) div $total > ((cum - w) * $k) div $total"))
       .select(col("o_orderkey"), col("w"), col("cum"))
       .orderBy(col("o_orderkey"))
