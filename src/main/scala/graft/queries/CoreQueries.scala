@@ -2450,6 +2450,43 @@ object CoreQueries {
       | (SELECT COUNT(*) FROM orders)
       |ORDER BY check_name""".stripMargin
 
+  /** q80: longest consecutive-day activity streak per user — the
+    * run-length form of gaps-and-islands (q21 sessionizes by time gap,
+    * q77 unions intervals; this counts maximal runs of adjacent
+    * ACTIVE DAYS, the retention metric "longest daily streak"). The
+    * classic day − row_number() island key makes consecutive days
+    * share a group; all integer day arithmetic ⇒ bit-exact. One
+    * distinct (the (user, day) collapse bounds everything downstream
+    * by active-days, not events), one window, two partial-agg'd
+    * groupBys — all partitioned by the high-cardinality user key. */
+  def q80LongestStreak(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val q80Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |   day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+      | CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2522,5 +2559,6 @@ object CoreQueries {
     ("q77_interval_union", q77IntervalUnion _, q77Sql),
     ("q78_pps_sample", q78PpsSample _, q78Sql),
     ("q79_constraint_audit", q79ConstraintAudit _, q79Sql),
+    ("q80_longest_streak", q80LongestStreak _, q80Sql),
   )
 }

@@ -445,6 +445,85 @@ object StreamQueries {
       |    OR click_ts + INTERVAL 3 HOUR < mx.max_ts
       |ORDER BY click_id""".stripMargin
 
+  /** st10: STREAM-STREAM FULL OUTER interval join — the streaming
+    * capstone: BOTH sides' null-padded rows ride state eviction, each
+    * under its own bound derived from the join condition. A click can
+    * match purchases in [click_ts, click_ts + 1 h] ⇒ its unmatched row
+    * emits once watermark > click_ts + 1 h (st9's rule); a purchase
+    * can match clicks in [purchase_ts − 1 h, purchase_ts] ⇒ its
+    * unmatched row emits once watermark > purchase_ts (a TIGHTER
+    * bound — the asymmetry falls directly out of the inequality
+    * directions, and the oracle states both). Output is one row per
+    * ENTITY: per-click match counts (st9's shape) unioned with
+    * per-purchase match counts, each side suppressing its young
+    * unmatched entities. Watermark base = min of the two sides'
+    * ms-truncated filtered maxima, as st9 pinned. */
+  def st10(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + interval 1 hour"""),
+      "full_outer")
+    val t = runToTable(s, joined, "append").localCheckpoint()
+    val clickSide = t.filter(col("click_id").isNotNull)
+      .groupBy(col("c_user").as("user_id"), col("click_id").as("entity_id"),
+        col("click_ts").cast("timestamp_ntz").as("event_ts"))
+      .agg(count(col("purchase_id")).as("n_matches"))
+      .withColumn("side", lit("click"))
+    val purchaseSide = t.filter(col("purchase_id").isNotNull)
+      .groupBy(col("p_user").as("user_id"), col("purchase_id").as("entity_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("event_ts"))
+      .agg(count(col("click_id")).as("n_matches"))
+      .withColumn("side", lit("purchase"))
+    clickSide.union(purchaseSide)
+      .select(col("side"), col("user_id"), col("entity_id"),
+        col("event_ts"), col("n_matches"))
+      .orderBy(col("side"), col("entity_id"))
+  }
+
+  val st10Sql: String =
+    """WITH mx AS (
+      |  SELECT LEAST(
+      |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'click' THEN ts END)),
+      |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+      |  ) AS max_ts FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |cs AS (
+      |  SELECT 'click' AS side, c.user_id, c.click_id AS entity_id,
+      |   CAST(c.click_ts AS TIMESTAMP) AS event_ts,
+      |   COUNT(p.purchase_id) AS n_matches
+      |  FROM c LEFT JOIN p
+      |    ON c.user_id = p.user_id AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      |  CROSS JOIN mx
+      |  GROUP BY c.user_id, c.click_id, c.click_ts, mx.max_ts
+      |  HAVING COUNT(p.purchase_id) > 0
+      |      OR c.click_ts + INTERVAL 3 HOUR < mx.max_ts),
+      |ps AS (
+      |  SELECT 'purchase' AS side, p.user_id, p.purchase_id AS entity_id,
+      |   CAST(p.purchase_ts AS TIMESTAMP) AS event_ts,
+      |   COUNT(c.click_id) AS n_matches
+      |  FROM p LEFT JOIN c
+      |    ON c.user_id = p.user_id AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      |  CROSS JOIN mx
+      |  GROUP BY p.user_id, p.purchase_id, p.purchase_ts, mx.max_ts
+      |  HAVING COUNT(c.click_id) > 0
+      |      OR p.purchase_ts + INTERVAL 2 HOUR < mx.max_ts)
+      |SELECT side, user_id, entity_id, event_ts, n_matches
+      |FROM (SELECT * FROM cs UNION ALL SELECT * FROM ps)
+      |ORDER BY side, entity_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -454,5 +533,6 @@ object StreamQueries {
     ("st6_stream_sessions", st6 _, st6Sql),
     ("st7_stream_dedup", st7 _, st7Sql),
     ("st8_stream_custom_state", st8 _, st8Sql),
-    ("st9_stream_outer_join", st9 _, st9Sql))
+    ("st9_stream_outer_join", st9 _, st9Sql),
+    ("st10_stream_full_outer", st10 _, st10Sql))
 }

@@ -168,6 +168,27 @@ class BfsSpec extends SparkTestBase {
       "orders_key_unique" -> 1L, "orders_price_positive" -> 1L))
   }
 
+  test("q80 longest streak equals a driver-side replay (sf0.001)") {
+    val dayNs = 86400000000000L
+    val byUser = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).distinct.sorted }
+    val expected = byUser.map { case (u, days) =>
+      val runs = days.foldLeft(List.empty[Long]) {
+        case (len :: rest, d) if days.contains(d - 1) => (len + 1) :: rest
+        case (acc, _) => 1L :: acc
+      }
+      u -> ((runs.max, days.size.toLong))
+    }
+    val got = CoreQueries.q80LongestStreak(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (longest, active) =>
+      assert(longest >= 1L && longest <= active)
+    }
+  }
+
   test("q77 merges touching intervals into one island") {
     // hand-check the island rule on a 3-event fixture via the same
     // window plan shape: t=0, t=10min (touching → merge), t=30min (gap)

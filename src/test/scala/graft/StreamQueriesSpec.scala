@@ -165,6 +165,34 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(streamed.size < all, "watermark suppressed nothing — young unmatched clicks leaked")
   }
 
+  test("st10 full outer: click side ≡ st9's entity set; purchase side evicts at its own tighter bound") {
+    val rows = StreamQueries.st10(spark, Sf0001).collect().toSeq
+    val (clickRows, purchRows) = rows.partition(_.getString(0) == "click")
+    // click side carries exactly st9's entity set (same eviction rule)
+    val st9ids = StreamQueries.st9(spark, Sf0001).collect().map(_.getLong(1)).toSet
+    assert(clickRows.map(_.getLong(2)).toSet === st9ids)
+    // purchase side: batch twin — matched purchases always, unmatched
+    // ones once purchase_ts < watermark base − 2 h
+    val ev = Tables.events(spark, Sf0001)
+    val maxOf = (t: String) => ev.filter(col("event_type") === t)
+      .agg(max(expr("(ts div 1000000) * 1000000"))).head().getLong(0)
+    val base = math.min(maxOf("click"), maxOf("purchase"))
+    val cutoff = base - 2L * 3600L * 1000000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("pid"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val expected = purchases.join(clicks,
+        col("p_user") === col("c_user") && col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + lit(3600L * 1000000000L), "left_outer")
+      .groupBy(col("pid"), col("p_ts"))
+      .agg(count(col("c_ts")).as("n"))
+      .filter(col("n") > 0 || col("p_ts") < lit(cutoff))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(purchRows.map(r => r.getLong(2) -> r.getLong(4)).toMap === expected)
+    assert(clickRows.nonEmpty && purchRows.nonEmpty)
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq
