@@ -34,14 +34,17 @@ object ScaleBench {
       .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT + codegen caches, so x1's first cell isn't taxed
-    try SparkEntry.queries(names.head)(spark, points.head._2).count()
-    catch { case _: Throwable => () }
     // Non-registry components measurable at scale (SURVEY §2 rows with
     // no oracle-able registry binding — a convergence loop's round
     // count is data-dependent, so it lives here, not in Verify/Bench).
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("pr_loop" -> ((s, d) => graft.queries.CoreQueries.pagerankLoop(s, d)))
+    // warm-up: JIT + codegen caches, so x1's first cell isn't taxed —
+    // resolved through the same registry-or-extras lookup as the timed
+    // cells, or an extras-first run would silently skip its warm-up
+    try SparkEntry.queries.getOrElse(names.head, extras(names.head))(
+      spark, points.head._2).count()
+    catch { case _: Throwable => () }
     val rows = for (name <- names; (label, dir) <- points) yield {
       val fn = SparkEntry.queries.getOrElse(name, extras(name))
       // One untimed count records output-size linearity. The TIMED runs

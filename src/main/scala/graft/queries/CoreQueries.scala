@@ -2403,26 +2403,48 @@ object CoreQueries {
       Tables.customer(s, d))
 
   /** The audit over arbitrary frames (spec feeds planted-violation
-    * fixtures; the clean driver corpus must report all-zero). */
+    * fixtures; the clean driver corpus must report all-zero). Each
+    * base table is scanned ONCE for all its row-level checks: the FK
+    * flag rides a left join against the (distinct) referenced keys and
+    * every violation count is a conditional sum in the SAME aggregate
+    * that computes n_checked — no standalone count() actions, which
+    * would otherwise re-scan orders and lineitem once per label. Key
+    * uniqueness is the one check needing its own (two-phase,
+    * single-column) pass, and its n_checked = Σ group sizes rides
+    * that aggregate too. */
   def constraintAudit(o: DataFrame, li: DataFrame, c: DataFrame): DataFrame = {
-    def row(name: String, violations: DataFrame, checked: Long): DataFrame =
-      violations.agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("check_name"), col("n_violations"),
-          lit(checked).as("n_checked"))
-    val nO = o.count(); val nLi = li.count(); val nC = c.count()
-    val fkOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
-    val fkLine = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
-    val posPrice = o.filter(col("o_totalprice") <= 0)
-    val qtyRange = li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
-    val nullDate = li.filter(col("l_shipdate").isNull)
-    val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-    row("lineitem_orderkey_fk", fkLine, nLi)
-      .union(row("lineitem_qty_range", qtyRange, nLi))
-      .union(row("lineitem_shipdate_null", nullDate, nLi))
-      .union(row("orders_custkey_fk", fkOrders, nO))
-      .union(row("orders_key_unique", dupKeys, nO))
-      .union(row("orders_price_positive", posPrice, nO))
+    def rows3(agg: DataFrame, stack: String): DataFrame =
+      agg.selectExpr(s"stack($stack) AS (check_name, n_violations, n_checked)")
+        .select(col("check_name"), col("n_violations"), col("n_checked"))
+    val liAgg = li
+      .join(o.select(col("o_orderkey").as("fk_ok")).distinct(),
+        li("l_orderkey") === col("fk_ok"), "left_outer")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("fk_ok").isNull, 1L).otherwise(0L)), lit(0L)).as("fk"),
+        coalesce(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)), lit(0L)).as("qty"),
+        coalesce(sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nulldate"))
+    val oAgg = o
+      .join(c.select(col("c_custkey").as("fk_ck")).distinct(),
+        o("o_custkey") === col("fk_ck"), "left_outer")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("fk_ck").isNull, 1L).otherwise(0L)), lit(0L)).as("fk"),
+        coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L))
+          .as("price"))
+    val dupRow = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("nk"))
+      .agg(coalesce(sum(when(col("nk") > 1, 1L).otherwise(0L)), lit(0L)).as("dups"),
+        coalesce(sum(col("nk")), lit(0L)).as("n"))
+      .select(lit("orders_key_unique").as("check_name"),
+        col("dups").as("n_violations"), col("n").as("n_checked"))
+    rows3(liAgg,
+      """3, 'lineitem_orderkey_fk', fk, n,
+        | 'lineitem_qty_range', qty, n,
+        | 'lineitem_shipdate_null', nulldate, n""".stripMargin)
+      .union(rows3(oAgg,
+        """2, 'orders_custkey_fk', fk, n,
+          | 'orders_price_positive', price, n""".stripMargin))
+      .union(dupRow)
       .orderBy(col("check_name"))
   }
 

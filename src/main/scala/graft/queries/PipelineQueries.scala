@@ -186,12 +186,17 @@ object PipelineQueries {
       |GROUP BY group_id
       |ORDER BY group_id""".stripMargin
 
-  /** dd9: the nightly-ingest split — a deterministic ~1/16 of doc_ids
+  /** The nightly-ingest split rule — a deterministic ~1/16 of doc_ids
     * (md5 first hex digit '0') plays the incoming delta batch, the
-    * rest the standing corpus. Same reproducibility trick as q32. */
+    * rest the standing corpus (q32's reproducibility trick). ONE
+    * definition shared by dd9, dd10 and prebuildLayouts: the cache key
+    * of the 'nondelta' dup-groups index does not encode this predicate,
+    * so a drift between the sites would silently dedup against the
+    * wrong standing corpus. */
+  private def isDeltaDoc = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+
   def dd9(s: SparkSession, d: String): DataFrame =
-    Dedup.incrementalDedup(Tables.documents(s, d), 1, JaccardThreshold,
-      substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+    Dedup.incrementalDedup(Tables.documents(s, d), 1, JaccardThreshold, isDeltaDoc)
 
   /** Naive cross-split all-pairs in DuckDB (quadratic fine at oracle SF). */
   val dd9Sql: String =
@@ -217,9 +222,8 @@ object PipelineQueries {
     * a full dd6 recompute, so it shares dd6's oracle SQL. */
   def dd10(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isDelta = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-    val indexLabels = cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDelta))
-    Dedup.incrementalDupGroups(docs, 1, JaccardThreshold, isDelta, indexLabels)
+    val indexLabels = cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc))
+    Dedup.incrementalDupGroups(docs, 1, JaccardThreshold, isDeltaDoc, indexLabels)
   }
 
   /** dd11: asymmetric containment |A∩B|/|A| ≥ τ — catches documents
@@ -338,9 +342,8 @@ object PipelineQueries {
     * round-trip copies (q23/q26/q53), and q65's z-order layout. */
   def prebuildLayouts(s: SparkSession, d: String): Unit = {
     val docs = Tables.documents(s, d)
-    val isDelta = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
     cachedGroupsIndex(s, d, "full", docs).count()
-    cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDelta)).count()
+    cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count()
     Seq("ivf", "pq", "ivfpq", "lsh").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()

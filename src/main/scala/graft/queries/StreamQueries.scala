@@ -210,15 +210,24 @@ object StreamQueries {
     * both rows are present (the watermark evicts state, it never
     * suppresses an inner match), so the committed table equals the
     * batch join and the oracle is that join stated in SQL. */
-  def st5(s: SparkSession, d: String): DataFrame = {
-    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+  /** The watermarked click/purchase streams shared VERBATIM by
+    * st5/st9/st10 — st9's oracle ties its eviction contract to st5's
+    * pinned semantics, so the three joins must never drift apart. */
+  private def clickStream(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d).filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(expr("ts div 1000")).as("click_ts"))
       .withWatermark("click_ts", "2 hours")
-    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+
+  private def purchaseStream(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d).filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         timestamp_micros(expr("ts div 1000")).as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "2 hours")
+
+  def st5(s: SparkSession, d: String): DataFrame = {
+    val clicks = clickStream(s, d)
+    val purchases = purchaseStream(s, d)
     val joined = clicks.join(purchases,
       expr("""c_user = p_user AND purchase_ts >= click_ts
               AND purchase_ts <= click_ts + interval 1 hour"""))
@@ -229,11 +238,19 @@ object StreamQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  // events.ts carries sub-microsecond nanoseconds in the parquet, but
+  // the streaming side compares MICROSECOND-truncated timestamps
+  // (timestamp_micros(ts div 1000)) — so the oracle truncates to µs
+  // FIRST (make_timestamp(epoch_us(ts))) or a boundary pair landing
+  // within 1 µs of the horizon would flip the hash gate data-
+  // dependently (st4's ms lesson, one unit down)
   val st5Sql: String =
-    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-      | CAST(c.ts AS TIMESTAMP) AS click_ts,
-      | CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
-      |FROM events c JOIN events p
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |   make_timestamp(epoch_us(ts)) AS ts FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      | c.ts AS click_ts, p.ts AS purchase_ts, p.value
+      |FROM e c JOIN e p
       |  ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
@@ -266,15 +283,21 @@ object StreamQueries {
       .orderBy(col("user_id"), col("start_ts"))
   }
 
+  // µs-truncating ev CTE: same rationale as st5Sql — session_window
+  // computes on microsecond timestamps, so the strict gap rule and
+  // the watermark cutoff must too
   val st6Sql: String =
-    """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value,
+      |   make_timestamp(epoch_us(ts)) AS ts FROM events),
+      |mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM ev),
       |e AS (
       |  SELECT user_id, ts, event_id, value,
       |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |        >= INTERVAL 30 MINUTE
       |    THEN 1 ELSE 0 END AS new_s
-      |  FROM events),
+      |  FROM ev),
       |sess AS (
       |  SELECT user_id, ts, value,
       |   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -394,14 +417,8 @@ object StreamQueries {
     * are COUNTED not joined row-wise on the null side (n_purchases +
     * exact total), keeping the output one row per click. */
   def st9(s: SparkSession, d: String): DataFrame = {
-    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        timestamp_micros(expr("ts div 1000")).as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        timestamp_micros(expr("ts div 1000")).as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", "2 hours")
+    val clicks = clickStream(s, d)
+    val purchases = purchaseStream(s, d)
     val joined = clicks.join(purchases,
       expr("""c_user = p_user AND purchase_ts >= click_ts
               AND purchase_ts <= click_ts + interval 1 hour"""),
@@ -421,15 +438,18 @@ object StreamQueries {
   // unmatched click emits once watermark (base − 2 h) passes
   // click_ts + 1 h ⇒ click_ts + 3 h < base
   val st9Sql: String =
-    """WITH mx AS (
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |   make_timestamp(epoch_us(ts)) AS ts FROM events),
+      |mx AS (
       |  SELECT LEAST(
       |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'click' THEN ts END)),
       |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'purchase' THEN ts END))
-      |  ) AS max_ts FROM events),
+      |  ) AS max_ts FROM ev),
       |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
-      |      FROM events WHERE event_type = 'click'),
+      |      FROM ev WHERE event_type = 'click'),
       |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
-      |      FROM events WHERE event_type = 'purchase'),
+      |      FROM ev WHERE event_type = 'purchase'),
       |j AS (
       |  SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.value
       |  FROM c LEFT JOIN p
@@ -459,19 +479,15 @@ object StreamQueries {
     * unmatched entities. Watermark base = min of the two sides'
     * ms-truncated filtered maxima, as st9 pinned. */
   def st10(s: SparkSession, d: String): DataFrame = {
-    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        timestamp_micros(expr("ts div 1000")).as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        timestamp_micros(expr("ts div 1000")).as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", "2 hours")
+    val clicks = clickStream(s, d)
+    val purchases = purchaseStream(s, d)
     val joined = clicks.join(purchases,
       expr("""c_user = p_user AND purchase_ts >= click_ts
               AND purchase_ts <= click_ts + interval 1 hour"""),
       "full_outer")
-    val t = runToTable(s, joined, "append").localCheckpoint()
+    // runToTable already returns a localCheckpointed snapshot — both
+    // per-side aggregations below read that one materialization
+    val t = runToTable(s, joined, "append")
     val clickSide = t.filter(col("click_id").isNotNull)
       .groupBy(col("c_user").as("user_id"), col("click_id").as("entity_id"),
         col("click_ts").cast("timestamp_ntz").as("event_ts"))
@@ -489,15 +505,18 @@ object StreamQueries {
   }
 
   val st10Sql: String =
-    """WITH mx AS (
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |   make_timestamp(epoch_us(ts)) AS ts FROM events),
+      |mx AS (
       |  SELECT LEAST(
       |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'click' THEN ts END)),
       |    date_trunc('milliseconds', MAX(CASE WHEN event_type = 'purchase' THEN ts END))
-      |  ) AS max_ts FROM events),
+      |  ) AS max_ts FROM ev),
       |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
-      |      FROM events WHERE event_type = 'click'),
+      |      FROM ev WHERE event_type = 'click'),
       |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
-      |      FROM events WHERE event_type = 'purchase'),
+      |      FROM ev WHERE event_type = 'purchase'),
       |cs AS (
       |  SELECT 'click' AS side, c.user_id, c.click_id AS entity_id,
       |   CAST(c.click_ts AS TIMESTAMP) AS event_ts,

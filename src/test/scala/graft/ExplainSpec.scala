@@ -530,10 +530,15 @@ class ExplainSpec extends SparkTestBase {
       s"fact window must partition by bkt:\n${p.take(3000)}")
   }
 
-  test("q79 audit: FK checks are anti-joins, never nested loops or cartesians") {
+  test("q79 audit: FK flags ride outer equi-joins; one aggregate per base-table pass") {
     val p = plan(CoreQueries.q79ConstraintAudit(spark, Sf0001))
-    assert(p.contains("LeftAnti"), s"FK checks must anti-join:\n${p.take(3000)}")
-    assert(!p.contains("CartesianProduct"), s"audit degenerated:\n${p.take(3000)}")
+    // each base table is scanned once for all its row-level checks: the
+    // FK flag is a left-outer equi-join and every violation count is a
+    // conditional sum in the same aggregate as n_checked
+    assert(p.contains("LeftOuter"), s"FK checks must ride outer joins:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audit degenerated:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"audit aggregates must map-side combine:\n${p.take(3000)}")
   }
 
   test("q77 interval union: both windows and the island groupBy reuse ONE user_id shuffle") {
