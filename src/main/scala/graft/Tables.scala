@@ -69,12 +69,13 @@ object Tables {
     val f = new java.io.File(s"$dir/$tableName.parquet")
     val dirTag = dir.replaceAll("[^A-Za-z0-9.-]", "_").stripPrefix("_")
     // the readable tag is LOSSY (distinct dirs can sanitize alike, e.g.
-    // `a/b_c` vs `a_b/c`), so a short digest of the RAW path rides
-    // along — two different directories can never share a key even
-    // when their source files match on (length, mtime)
+    // `a/b_c` vs `a_b/c`), so the FULL 128-bit digest of the raw path
+    // rides along — consistent with this key's own rule that truncated
+    // hashes are unacceptable where a collision silently serves a
+    // stale layout
     val dirHash = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
     val p = if (params.isEmpty) "" else s"_$params"
     s"${dirTag}_${dirHash}_${f.length}_${f.lastModified}$p"

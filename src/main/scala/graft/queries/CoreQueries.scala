@@ -2415,7 +2415,6 @@ object CoreQueries {
   def constraintAudit(o: DataFrame, li: DataFrame, c: DataFrame): DataFrame = {
     def rows3(agg: DataFrame, stack: String): DataFrame =
       agg.selectExpr(s"stack($stack) AS (check_name, n_violations, n_checked)")
-        .select(col("check_name"), col("n_violations"), col("n_checked"))
     val liAgg = li
       .join(o.select(col("o_orderkey").as("fk_ok")).distinct(),
         li("l_orderkey") === col("fk_ok"), "left_outer")

@@ -56,10 +56,10 @@ class StreamQueriesSpec extends SparkTestBase {
     val ev = Tables.events(spark, Sf0001)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
+        expr("(ts div 1000) * 1000").as("c_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"), col("value"))
+        expr("(ts div 1000) * 1000").as("p_ts"), col("value"))
     val batch = clicks.join(purchases,
         col("c_user") === col("p_user") && col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + lit(3600L * 1000000000L))
@@ -80,7 +80,11 @@ class StreamQueriesSpec extends SparkTestBase {
     // gap after its predecessor starts a NEW session
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapNs = 1800L * 1000000000L
+    // session_window computes on µs-truncated event time — the gap
+    // rule must compare at the same granularity (the oracle's
+    // make_timestamp(epoch_us) fix, applied to the batch twin)
     val sessions = Tables.events(spark, Sf0001)
+      .withColumn("ts", expr("(ts div 1000) * 1000"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_s", when(col("prev_ts").isNull ||
         col("ts") - col("prev_ts") >= lit(gapNs), 1L).otherwise(0L))
@@ -136,9 +140,9 @@ class StreamQueriesSpec extends SparkTestBase {
     val streamed = StreamQueries.st9(spark, Sf0001).collect().toSeq
     val ev = Tables.events(spark, Sf0001)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .select(col("user_id"), col("event_id").as("click_id"), expr("(ts div 1000) * 1000").as("c_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .select(col("user_id").as("p_user"), expr("(ts div 1000) * 1000").as("p_ts"), col("value"))
     val joined = clicks.join(purchases,
         col("user_id") === col("p_user") && col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + lit(3600L * 1000000000L), "left_outer")
@@ -179,9 +183,9 @@ class StreamQueriesSpec extends SparkTestBase {
     val base = math.min(maxOf("click"), maxOf("purchase"))
     val cutoff = base - 2L * 3600L * 1000000000L
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("pid"), col("ts").as("p_ts"))
+      .select(col("user_id").as("p_user"), col("event_id").as("pid"), expr("(ts div 1000) * 1000").as("p_ts"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .select(col("user_id").as("c_user"), expr("(ts div 1000) * 1000").as("c_ts"))
     val expected = purchases.join(clicks,
         col("p_user") === col("c_user") && col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + lit(3600L * 1000000000L), "left_outer")
