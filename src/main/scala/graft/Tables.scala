@@ -80,4 +80,45 @@ object Tables {
     val p = if (params.isEmpty) "" else s"_$params"
     s"${dirTag}_${dirHash}_${f.length}_${f.lastModified}$p"
   }
+
+  /** Atomic publication for write-once derived layouts: `build` writes
+    * the complete index into a session-unique temp directory, which is
+    * then RENAMED into `path` in one filesystem move. Readers therefore
+    * never observe a partially-written index, and two concurrent
+    * sessions building the same layout race to a single winner — the
+    * loser's temp dir is discarded — instead of interleaving overwrite
+    * writes into one shared directory (the check-then-overwrite race
+    * ADVICE r6 flagged). Returns true when `path` exists on exit
+    * (published by us or a concurrent winner). The move is same-volume
+    * (temp sibling of the target), so ATOMIC_MOVE is a rename. */
+  def publishLayout(path: String)(build: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path)
+    if (Files.exists(target)) return
+    val tmp = path + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+    build(tmp)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    try Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      // lost the race — a complete index is already at `path`; drop ours
+      deleteRecursively(new java.io.File(tmp))
+      if (!Files.exists(target))
+        throw new IllegalStateException(s"layout publish failed for $path")
+    }
+  }
+
+  /** Completeness check for a published layout. `marker` is the
+    * build's completeness witness (_SUCCESS for a single Spark write,
+    * _done for multi-part builds). A directory WITHOUT its marker is a
+    * partial remnant of a crashed pre-atomic-convention build — it is
+    * removed so [[publishLayout]] can rebuild, never silently served. */
+  def layoutReady(path: String, marker: String = "_SUCCESS"): Boolean = {
+    if (new java.io.File(s"$path/$marker").exists()) true
+    else { deleteRecursively(new java.io.File(path)); false }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 }

@@ -271,6 +271,79 @@ object Dedup {
     verifyJaccard(cand, sh, threshold, None)
   }
 
+  /** Materialized shingle index (round 7) — the corpus-static stage of
+    * dd2/dd3, written once per corpus version and probed per run: the
+    * last per-run recomputation in the dedup family now that groups/
+    * ANN/graph all ride write-once indexes. Layout under `path`:
+    *   sh/    — (doc_id, shingles) with each doc's distinct shingles
+    *            sorted by (GLOBAL df ASC, shingle ASC): under that
+    *            total order the PPJoin prefix for ANY threshold t is
+    *            just slice(shingles, 1, n − ⌊t·n⌋ + 1) — the probe
+    *            needs no df table, no join, no window. One index
+    *            serves every threshold (prefix filtering is correct
+    *            under any fixed global order — the same argument as
+    *            dd9's index-side-df ordering).
+    *   masks/ — (doc_id, comp, mask), present iff the vocabulary
+    *            probe admitted the exact-bitmask path at build time;
+    *            probes then run the popcount pair machinery with zero
+    *            per-run encoding work.
+    * Probes dispatch on which representation was materialized, so the
+    * inline operators' adaptive behavior is preserved exactly. */
+  def shingleWriteIndex(docs: DataFrame, n: Int, path: String): Unit = {
+    val sh = withShingles(docs, n).cache()
+    smallVocabMasks(sh).foreach(
+      _.write.mode("overwrite").parquet(s"$path/masks"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    inv.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)")
+        .as("shingles"))
+      .write.mode("overwrite").parquet(s"$path/sh")
+    sh.unpersist(); ()
+  }
+
+  /** dd2 probing a pre-built shingle index: candidates come straight
+    * off the stored representation (mask banding, or prefix-by-slice
+    * over the df-sorted arrays); output ≡ inline ngramJaccard
+    * (DedupSpec pins both paths). */
+  def ngramJaccardProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double): DataFrame = {
+    val pairs =
+      if (new java.io.File(s"$path/masks").exists())
+        jaccardByMask(spark.read.parquet(s"$path/masks"), threshold)
+      else ngramJaccardPrefixSorted(spark.read.parquet(s"$path/sh"), threshold)
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dd3 probing the same index — the mask path is shared with dd2
+    * (tiny vocabularies make exact popcounts strictly dominate LSH,
+    * see minhashLsh); the large-vocab path runs MinHash/LSH off the
+    * stored arrays, skipping tokenize + distinct. */
+  def minhashLshProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double): DataFrame = {
+    val pairs =
+      if (new java.io.File(s"$path/masks").exists())
+        jaccardByMask(spark.read.parquet(s"$path/masks"), threshold)
+      else minhashLshPath(spark.read.parquet(s"$path/sh"), threshold)
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Prefix path over index arrays already in global-df order: the
+    * prefix is a SLICE, not a df-join + window. Same floor form as
+    * ngramJaccardPrefix (boundary-exact at J = t). */
+  private def ngramJaccardPrefixSorted(sh: DataFrame, threshold: Double): DataFrame = {
+    val n = size(col("shingles"))
+    val pfxLen = (n - floor(n * lit(threshold)) + lit(1)).cast("int")
+    val prefix = sh.select(col("doc_id"),
+      explode(slice(col("shingles"), lit(1), pfxLen)).as("sh"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold, None)
+  }
+
   /** dd11: containment (near-superset) pairs — the ASYMMETRIC dedup
     * relation Jaccard misses: C(A,B) = |A∩B| / |A| ≥ τ says A is
     * (nearly) embedded in B, even when B is far larger — quoted
@@ -785,15 +858,28 @@ object Dedup {
     * Scale design: two shuffles, both keyed on the span — (1) groupBy
     * span counting distinct docs (per-doc spans are pre-distincted, so
     * count(*) IS the doc frequency; partial-agg'd map-side), (2) the
-    * duplicated-span set semi-joins back against per-doc spans. At
-    * 100 TB the span key becomes xxhash64(span) (8-byte shuffle rows;
-    * the string key is kept so the DuckDB oracle replays the join
-    * exactly), and ubiquitous spans (df ≫ 2) can be capped with a
-    * count-min pre-filter — neither changes the plan shape. Never
-    * all-pairs: cost is O(total spans), the same as one token scan. */
-  def dupSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    * duplicated-span set semi-joins back against per-doc spans. Never
+    * all-pairs: cost is O(total spans), the same as one token scan.
+    *
+    * Shuffle key: by default the span string is replaced map-side by
+    * xxhash64(span) — 8-byte shuffle rows instead of the ~(n×7)-byte
+    * 10-word text, ~9× less shuffle volume on both exchanges; the
+    * string never leaves the scan stage. Counts are identical unless
+    * two DISTINCT spans collide in 64 bits: for a corpus with S
+    * distinct spans the expected number of colliding pairs is
+    * ≈ S²/2⁶⁵ (birthday bound) — at S = 10¹⁰ spans (≈ 100 TB of text)
+    * that is ~5×10⁻², i.e. odds-on ZERO collisions corpus-wide, and a
+    * single collision only perturbs two docs' counts by one. The
+    * string-keyed form stays available (`hashKeys = false`) as the
+    * oracle-exact reference; DedupSpec pins hashed ≡ string-keyed on
+    * the driver corpus. */
+  def dupSpans(docs: DataFrame, n: Int = 10, hashKeys: Boolean = true): DataFrame = {
     val sh = withShingles(docs, n) // distinct n-gram spans per doc
+    // explode first (generators can't nest), hash in the same stage:
+    // the string dies before the exchange either way.
+    val spanKey = if (hashKeys) xxhash64(col("span")) else col("span")
     val perDoc = sh.select(col("doc_id"), explode(col("shingles")).as("span"))
+      .select(col("doc_id"), spanKey.as("span"))
     val dup = perDoc.groupBy(col("span")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("span"))
     val hits = perDoc.join(dup, Seq("span"), "left_semi")

@@ -1814,8 +1814,8 @@ object CoreQueries {
   def q65ZorderBox(s: SparkSession, d: String): DataFrame = {
     import graft.sources.ZOrderLayout
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${Tables.layoutKey(d, "lineitem")}/lineitem"
-    if (!new java.io.File(s"$path/data/_SUCCESS").exists())
-      ZOrderLayout.writeZOrdered(Tables.lineitem(s, d), "l_partkey", "l_suppkey", path)
+    if (!Tables.layoutReady(path, "data/_SUCCESS")) Tables.publishLayout(path)(tmp =>
+      ZOrderLayout.writeZOrdered(Tables.lineitem(s, d), "l_partkey", "l_suppkey", tmp))
     val m = ZOrderLayout.readMeta(s, path)
     // box = [min + span/8, min + span/4] on each dim: SF-independent
     // shape; true max from the data (meta holds bucket widths, not max)
@@ -2159,7 +2159,7 @@ object CoreQueries {
   def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_copurchase_${Tables.layoutKey(d, "lineitem")}/edges"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!Tables.layoutReady(path)) Tables.publishLayout(path) { tmp =>
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
         .filter(col("a.l_partkey") < col("b.l_partkey"))
@@ -2167,7 +2167,7 @@ object CoreQueries {
           col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
   }

@@ -25,8 +25,26 @@ object PipelineQueries {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** Build-if-missing materialized shingle index (round 7) — dd2/dd3's
+    * corpus-static tokenize → shingle → df-order / bitmap-encode stage,
+    * same write-once convention as [[cachedGroupsIndex]]. Per-run cost
+    * becomes candidate generation + verification off the at-rest
+    * representation; the encode pass is amortized infrastructure
+    * rebuilt on corpus refresh. Probe ≡ inline is spec-asserted for
+    * both representations (DedupSpec). */
+  private def cachedShingleIndex(s: SparkSession, d: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_shidx_${Tables.layoutKey(d, "documents", "n1")}"
+    if (!Tables.layoutReady(path, "_done"))
+      Tables.publishLayout(path) { tmp =>
+        Dedup.shingleWriteIndex(Tables.documents(s, d), 1, tmp)
+        new java.io.File(s"$tmp/_done").createNewFile(); ()
+      }
+    path
+  }
+
   def dd2(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(s, d), 1, JaccardThreshold)
+    Dedup.ngramJaccardProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
 
   /** Exact all-pairs Jaccard in DuckDB (quadratic is fine at oracle SF). */
   val ddJaccardSql: String =
@@ -46,7 +64,7 @@ object PipelineQueries {
     * (miss probability < 4e-8 per true pair at s ≥ 0.9), so it shares
     * dd2's oracle. */
   def dd3(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(s, d), JaccardThreshold)
+    Dedup.minhashLshProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
 
   /** dd6: transitive duplicate groups over the dd2 near-dup graph.
     * Composes on the UNORDERED pair path — the edge set feeds a join,
@@ -92,10 +110,10 @@ object PipelineQueries {
       docs: => DataFrame): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/$variant"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!Tables.layoutReady(path)) {
       val dset = docs
-      Dedup.dupGroupsWriteIndex(dset,
-        Dedup.ngramJaccardPairs(dset, 1, JaccardThreshold), path)
+      Tables.publishLayout(path)(tmp => Dedup.dupGroupsWriteIndex(dset,
+        Dedup.ngramJaccardPairs(dset, 1, JaccardThreshold), tmp))
     }
     Dedup.dupGroupsReadIndex(s, path)
   }
@@ -318,15 +336,17 @@ object PipelineQueries {
     // ksub 16, 2 Lloyd iters over EmbDim dims — bump on any change
     val path = s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v1d$EmbDim")}/$variant"
-    if (!new java.io.File(s"$path/_done").exists()) {
+    if (!Tables.layoutReady(path, "_done")) {
       val emb = Tables.embeddings(s, d)
-      variant match {
-        case "ivf"   => Similarity.ivfWriteIndex(emb, path)
-        case "pq"    => Similarity.pqWriteIndex(emb, path, EmbDim)
-        case "ivfpq" => Similarity.ivfPqWriteIndex(emb, path, EmbDim)
-        case "lsh"   => Similarity.lshWriteIndex(emb, path, EmbDim)
+      Tables.publishLayout(path) { tmp =>
+        variant match {
+          case "ivf"   => Similarity.ivfWriteIndex(emb, tmp)
+          case "pq"    => Similarity.pqWriteIndex(emb, tmp, EmbDim)
+          case "ivfpq" => Similarity.ivfPqWriteIndex(emb, tmp, EmbDim)
+          case "lsh"   => Similarity.lshWriteIndex(emb, tmp, EmbDim)
+        }
+        new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
-      new java.io.File(s"$path/_done").createNewFile()
     }
     path
   }
@@ -344,6 +364,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     cachedGroupsIndex(s, d, "full", docs).count()
     cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count()
+    cachedShingleIndex(s, d)
     Seq("ivf", "pq", "ivfpq", "lsh").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()

@@ -115,8 +115,8 @@ object AvroIngest {
     * DuckDB oracle over the parquet original must hash-match. */
   def supplierAvro(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_${graft.Tables.layoutKey(dir, "supplier")}/supplier"
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
-      writeAvro(Tables.supplier(spark, dir), out)
+    if (!graft.Tables.layoutReady(out)) graft.Tables.publishLayout(out)(tmp =>
+      writeAvro(Tables.supplier(spark, dir), tmp))
     avro(spark, out, supplierSchema)
   }
 }

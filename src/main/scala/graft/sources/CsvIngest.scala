@@ -45,8 +45,8 @@ object CsvIngest {
     * bits. */
   def customerCsv(spark: SparkSession, dir: String): DataFrame = {
     val out = csvDir(dir)
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
-      Tables.customer(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
+    if (!Tables.layoutReady(out)) Tables.publishLayout(out)(tmp =>
+      Tables.customer(spark, dir).write.mode("overwrite").option("header", "true").csv(tmp))
     csv(spark, out, customerSchema)
   }
 
@@ -67,8 +67,8 @@ object CsvIngest {
   def documentsJson(spark: SparkSession, dir: String): DataFrame = {
     // same size/mtime keying as csvDir — stale-serve prevention
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${Tables.layoutKey(dir, "documents")}/documents"
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
-      Tables.documents(spark, dir).write.mode("overwrite").json(out)
+    if (!Tables.layoutReady(out)) Tables.publishLayout(out)(tmp =>
+      Tables.documents(spark, dir).write.mode("overwrite").json(tmp))
     jsonLines(spark, out, documentsSchema)
   }
 }

@@ -229,12 +229,63 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L)._2 === 0L)
   }
 
+  test("dd8 hashed span keys ≡ string span keys on the driver corpus") {
+    // The production path shuffles xxhash64(span) (8-byte keys); the
+    // string-keyed form is the oracle-exact reference. Identical output
+    // unless two distinct spans collide in 64 bits — birthday-bounded
+    // at ~S²/2⁶⁵ expected collisions corpus-wide (see dupSpans doc).
+    val t = Tables.documents(spark, Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val hashed = rows(Dedup.dupSpans(t, n = 10, hashKeys = true))
+    val exact = rows(Dedup.dupSpans(t, n = 10, hashKeys = false))
+    assert(hashed === exact)
+    assert(hashed.exists(_._3 > 0L)) // the corpus does contain dup spans
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = Dedup.minhashLsh(t, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
     assert(a.nonEmpty)
+  }
+
+  test("materialized shingle index: probe ≡ inline dd2/dd3 (mask path, driver corpus)") {
+    // The driver corpus is tiny-vocab → the index materializes masks/;
+    // both probes must reproduce the inline adaptive output exactly.
+    val t = Tables.documents(spark, Sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    Dedup.shingleWriteIndex(t, 1, idx)
+    assert(new java.io.File(s"$idx/masks").exists(), "tiny vocab must take the mask representation")
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(triples(Dedup.ngramJaccardProbe(spark, idx, 0.9)) ===
+      triples(Dedup.ngramJaccard(t, 1, 0.9)))
+    assert(triples(Dedup.minhashLshProbe(spark, idx, 0.9)) ===
+      triples(Dedup.minhashLsh(t, 0.9)))
+    assert(triples(Dedup.ngramJaccardProbe(spark, idx, 0.9)).nonEmpty)
+  }
+
+  test("materialized shingle index: probe ≡ inline dd2/dd3 (prefix/LSH path, large vocab)") {
+    import spark.implicits._
+    // > 64 distinct tokens per doc forces the large-vocab exit: the
+    // index stores df-sorted arrays (no masks/), dd2 probes by prefix
+    // slice, dd3 by MinHash/LSH — all three must agree with inline.
+    def toks(i: Int): Seq[String] = (0 until 80).map(j => s"w${(13 * i + j) % 6000}")
+    val rows = (0 until 40).map(i => (i.toLong, toks(i).mkString(" "))) ++
+      (0 until 40).map(i => ((500 + i).toLong, (toks(i).drop(2) ++ Seq(s"x$i", s"y$i")).mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-shidx-lv").toString
+    Dedup.shingleWriteIndex(docs, 1, idx)
+    assert(!new java.io.File(s"$idx/masks").exists(), "large vocab must store sorted arrays only")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline2 = pairs(Dedup.ngramJaccard(docs, 1, 0.9))
+    assert(pairs(Dedup.ngramJaccardProbe(spark, idx, 0.9)) === inline2)
+    assert(pairs(Dedup.minhashLshProbe(spark, idx, 0.9)) ===
+      pairs(Dedup.minhashLsh(docs, 0.9)))
+    assert(inline2.nonEmpty) // the planted 78/82-token overlaps qualify
   }
 
   test("materialized dup-groups index: probe ≡ inline dd7 on the driver corpus") {
