@@ -2508,6 +2508,55 @@ object CoreQueries {
       | CAST(SUM(len) AS BIGINT) AS n_active_days
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q81: deterministic seeded corpus shuffle — the reproducible
+    * training-order permutation every pretraining run applies after
+    * curation (the last member of the sampling/packing family: q32
+    * holdout, q38 strata, q78 PPS, tx12 pack, tx19 mixture — this one
+    * ORDERS the kept corpus). The permutation key is md5(seed ‖ ':' ‖
+    * doc_id): change the seed, get an independent order; rerun the
+    * same seed, get bit-identical batches on any cluster size.
+    *
+    * The global position is NEVER a single-partition sort: the key's
+    * leading hex byte is its most-significant range, so bucketing on
+    * it makes bucket-order concatenation ≡ global key order — q78's
+    * distributed-prefix-sum recipe applied to row COUNTS. Per-bucket
+    * counts aggregate to a 256-row broadcast offset prefix; each row's
+    * position is its bucket offset + its rank within the
+    * bucket-partitioned window. At 100 TB this is one hash shuffle on
+    * bkt (≈ corpus/256 per reducer, AQE-splittable) + a KB-sized
+    * prefix — the physical write order for training shards falls out
+    * of writing the buckets in key order. The oracle states the naive
+    * global row_number(), which is the same coordinate. */
+  def q81CorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val seed = 42
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("skey"))
+    val b = keyed.withColumn("bkt",
+      expr("conv(substring(skey, 1, 2), 16, 10)").cast("long"))
+    val offsets = b.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wInBkt = Window.partitionBy(col("bkt")).orderBy(col("skey"), col("doc_id"))
+    b.join(broadcast(offsets), "bkt")
+      .withColumn("pos", col("off") + row_number().over(wInBkt))
+      .select(col("pos"), col("doc_id"), col("skey"))
+      .orderBy(col("pos"))
+  }
+
+  /** Same md5 text in DuckDB (lowercase hex in both engines — the
+    * q32/q38 sampling convention); the naive global window states the
+    * coordinate the distributed plan computes. */
+  val q81Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS pos,
+      | doc_id, skey
+      |FROM k ORDER BY pos""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2581,5 +2630,6 @@ object CoreQueries {
     ("q78_pps_sample", q78PpsSample _, q78Sql),
     ("q79_constraint_audit", q79ConstraintAudit _, q79Sql),
     ("q80_longest_streak", q80LongestStreak _, q80Sql),
+    ("q81_corpus_shuffle", q81CorpusShuffle _, q81Sql),
   )
 }

@@ -290,6 +290,22 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(out.values.map(_._2).sum > 0L)
   }
 
+  test("q81 corpus shuffle: exact permutation, seed-keyed, JVM md5 reference order") {
+    val out = CoreQueries.q81CorpusShuffle(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = Tables.documents(spark, Sf0001).count()
+    // positions are exactly 1..n — a bijection, no gaps or dups
+    assert(out.map(_._1).toSeq === (1L to n).toSeq)
+    // the order is the md5(seed:doc_id) order computed independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref = out.map(_._2).sorted.map(id => (key(id), id)).sorted.map(_._2)
+    assert(out.sortBy(_._1).map(_._2).toSeq === ref.toSeq)
+    // stored key column matches the JVM digest (both lowercase hex)
+    out.take(20).foreach { case (_, id, k) => assert(k === key(id)) }
+  }
+
   test("q56 MAD outliers equal a JVM median/MAD reference per group") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

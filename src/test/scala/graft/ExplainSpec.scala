@@ -530,6 +530,19 @@ class ExplainSpec extends SparkTestBase {
       s"fact window must partition by bkt:\n${p.take(3000)}")
   }
 
+  test("q81 corpus shuffle: permutation coordinate rides a bucket-partitioned window, not a global sort") {
+    val df = CoreQueries.q81CorpusShuffle(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one SinglePartition exchange allowed: the 256-row bucket-offset
+    // prefix. A second means the corpus-wide row_number degenerated to
+    // the naive one-partition global-order window.
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1, s"corpus permutation collapsed to one partition:\n${p.take(3000)}")
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"position window must partition by bkt:\n${p.take(3000)}")
+  }
+
   test("q79 audit: FK flags ride outer equi-joins; one aggregate per base-table pass") {
     val p = plan(CoreQueries.q79ConstraintAudit(spark, Sf0001))
     // each base table is scanned once for all its row-level checks: the
