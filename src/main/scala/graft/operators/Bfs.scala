@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * one equi-join (frontier ⋈ edges on src) + one distinct + one
   * left-anti join against the visited set — all shuffles on the node
   * key, so AQE handles hub skew as in q73/q74. Each round's frontier
-  * and the growing visited set are localCheckpointed: lineage stays
+  * and the visited union are localCheckpointed: lineage stays
   * one-round deep (an unrolled k-round plan doubles per round), and
   * per-round cost is O(|frontier| · avg-degree + |visited|), never
-  * O(|E| · rounds).
+  * O(|E| · rounds). Superseded snapshots are unpersisted once the
+  * round's union is materialized, so live executor storage is two
+  * snapshots, independent of round count.
   *
   * Scale shape: at 100 TB you don't run unbounded BFS — components
   * (dd6) answers global reachability; what a pipeline asks per query
@@ -38,26 +40,42 @@ object Bfs {
     * earliest round that reaches it and is anti-joined away after. */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    // snapshot edges once: every round re-reads them, and an upstream
-    // candidate-generation plan (e.g. a co-occurrence self-join) must
-    // not re-execute per round (q73's rule)
+    val sc = edges.sparkSession.sparkContext
+    // Eager localCheckpoint, returning the snapshot's persisted RDD
+    // handles (diff of the persistent-RDD registry around the call —
+    // sound here because operator loops run their rounds sequentially)
+    // so superseded rounds can be freed: without explicit unpersist,
+    // executor storage and block-manager entries grow with round
+    // count, harmless at radius 4 but waste at deep radii.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var (visited, vRdds) = checkpointTracked(
+      seeds.select(col("node")).distinct().withColumn("hops", lit(0)))
     var frontier = visited
+    // round-0 frontier shares visited's snapshot — no separate handle
+    var fRdds: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     var d = 0
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
-      val next = frontier.select(col("node").as("src"))
-        .join(e, "src")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("hops", lit(d))
-        .localCheckpoint(true)
-      // union of already-materialized snapshots: lineage is a flat
-      // k-way union of checkpoint scans, no recursive recompute
-      visited = visited.union(next)
-      frontier = next
+      val (next, nRdds) = checkpointTracked(
+        frontier.select(col("node").as("src"))
+          .join(e, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("hops", lit(d)))
+      // re-checkpoint the union each round (one O(|visited|) pass —
+      // the same order as the anti-join above), so the result is TWO
+      // live snapshots (visited + frontier), not one per round; only
+      // then are the previous round's snapshots safe to free (a local
+      // checkpoint is unrecoverable once unpersisted)
+      val (newVisited, nvRdds) = checkpointTracked(visited.union(next))
+      (vRdds ++ fRdds).foreach(_.unpersist(false))
+      visited = newVisited; vRdds = nvRdds
+      frontier = next; fRdds = nRdds
     }
     visited
   }

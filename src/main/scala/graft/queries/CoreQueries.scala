@@ -2156,17 +2156,38 @@ object CoreQueries {
     * infrastructure rebuilt on corpus refresh, not recomputed per
     * query — the same cost shape as the dup-groups and ANN indexes;
     * Bench's layout phase pre-builds it so query times measure probes. */
+  /** Heavy-order guard for the co-purchase build: the per-order
+    * self-join makes O(k²) pairs for a k-item order — invisible on
+    * TPC-H (k ≤ 7) but quadratic on a real basket corpus where one
+    * thousand-item wholesale order alone would emit ~500k pairs and a
+    * single skewed reducer. Orders keep at most this many DISTINCT
+    * parts (deterministic lowest-partkey selection, so the build is
+    * reproducible); per-order work is then bounded by cap² no matter
+    * the corpus. The bias is confined to parts truncated from
+    * mega-orders — the weakest co-purchase signal there is, since a
+    * basket of thousands bundles everything with everything. Capped ≡
+    * uncapped on the driver corpus is spec-pinned (TrianglesSpec). */
+  private val MaxOrderItems = 64
+
+  /** The edge build itself, over any (l_orderkey, l_partkey) frame —
+    * exposed for the cap spec. */
+  private[graft] def copurchaseEdgesFrom(li0: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    val li = li0.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+  }
+
   def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem")}/edges"
+      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap$MaxOrderItems")}/edges"
     if (!Tables.layoutReady(path)) Tables.publishLayout(path) { tmp =>
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_orderkey").as("ok"),
-          col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      copurchaseEdgesFrom(Tables.lineitem(s, d), MaxOrderItems)
         .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)

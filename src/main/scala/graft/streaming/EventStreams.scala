@@ -21,6 +21,8 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
   case class ClosedSession(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
+  case class UserEpoch(user_id: Long, n_events: Long, total_micros: Long,
+    first_ts: Long, last_ts: Long)
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. Works on
     * any streaming DataFrame with (ts, event_type, value). */
@@ -257,6 +259,56 @@ object EventStreams {
                   else GroupStateTimeout.NoTimeout()
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(update)
+  }
+
+  /** st8's custom-state running totals WITH idle-state retirement —
+    * the live-deployment form st8's own scaladoc calls for: per-user
+    * GroupState (n, total_micros, first, last) plus an
+    * EventTimeTimeout armed at last-seen + idle gap (closedSessions'
+    * eviction pattern applied to arbitrary custom state). Once the
+    * watermark proves the user idle, the accumulated totals emit as
+    * one "activity epoch" row and the state is REMOVED — store size is
+    * O(users active within idle+delay), never O(users ever seen), the
+    * bounded-state requirement at 100 TB of events. A user returning
+    * after retirement re-opens cleanly: any post-retirement event is
+    * on-time by construction (the watermark only passed last + idle,
+    * so a LATER event is fresh) and starts a new epoch from zero;
+    * whole-lifetime totals at bounded state are q40's incremental
+    * batch aggregate's job, not a streaming store's. Values in exact
+    * integer micro-units (st8's convention) so epoch rows are
+    * bit-deterministic under any batch split. */
+  def userTotalsRetiring(events: Dataset[Event], idleMinutes: Int = 60,
+      delay: String = "10 minutes"): Dataset[UserEpoch] = {
+    import events.sparkSession.implicits._
+    val idleMs = idleMinutes.toLong * 60L * 1000L
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[(Long, Long, Long, Long)]): Iterator[UserEpoch] = {
+      if (state.hasTimedOut) {
+        // watermark passed last-seen + idle: the epoch is complete
+        val out = state.getOption.map { case (n, tot, first, last) =>
+          UserEpoch(userId, n, tot, first, last) }
+        state.remove()
+        return out.iterator
+      }
+      var (n, tot, first, last) =
+        state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+      evs.foreach { e =>
+        n += 1; tot += math.round(e.value * 1e6)
+        val t = e.ts.getTime
+        first = math.min(first, t); last = math.max(last, t)
+      }
+      state.update((n, tot, first, last))
+      // never arm in the past (see closedSessions)
+      state.setTimeoutTimestamp(
+        math.max(last + idleMs, state.getCurrentWatermarkMs() + 1L))
+      Iterator.empty
+    }
+
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
   }
 
   /** Session aggregation via Spark's NATIVE session_window — the

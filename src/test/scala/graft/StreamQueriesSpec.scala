@@ -197,6 +197,72 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(clickRows.nonEmpty && purchRows.nonEmpty)
   }
 
+  test("st9/st10 eviction boundary: an entity exactly ON its bound is suppressed, 1 ms inside emits") {
+    // The oracles encode the null-row eviction rules with STRICT '<'
+    // against the ms-truncated watermark base (click: click_ts + 3 h <
+    // base; purchase: purchase_ts + 2 h < base). SURVEY admits the
+    // strictness was pinned empirically on driver datasets — this
+    // fixture plants one unmatched entity EXACTLY on each bound and one
+    // 1 ms inside it, pinning the strictness against the engine itself:
+    // a dataset whose max lands precisely on an entity's horizon can
+    // never flip the hash gate.
+    import spark.implicits._
+    val H = 3600000000L // µs per hour
+    val B = 1577836800000000L // 2020-01-01 00:00:00 UTC, ms-aligned µs
+    val rows = Seq(
+      // (event_id, µs, user_id, type, value) — base = min side max = B+3H
+      (1L, B, 1L, "click", 0.0),               // exactly on click bound (B+3H ≮ base) → suppressed
+      (2L, B - 1000L, 2L, "click", 0.0),       // 1 ms inside → emitted unmatched
+      (3L, B + 4 * H, 3L, "click", 0.0),       // young unmatched (sets click max) → suppressed
+      (4L, B + 3 * H, 4L, "purchase", 1.0),    // sets purchase max; young unmatched purchase
+      (5L, B + H, 5L, "click", 0.0),           // matched click
+      (6L, B + H + 1800000000L, 5L, "purchase", 2.5), // its match, 30 min later
+      (7L, B + H, 6L, "purchase", 1.0),        // exactly on purchase bound (base − 2H) → suppressed
+      (8L, B + H - 1000L, 7L, "purchase", 1.0)) // 1 ms inside → emitted unmatched
+    val dir = java.nio.file.Files.createTempDirectory("graft-stboundary").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val st9 = StreamQueries.st9(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4))).toSeq
+    assert(st9 === Seq((2L, 0L, 0.0), (5L, 1L, 2.5)))
+    val st10 = StreamQueries.st10(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(st10 === Seq(("click", 2L, 0L), ("click", 5L, 1L),
+      ("purchase", 6L, 1L), ("purchase", 8L, 0L)))
+  }
+
+  test("st3/st5/st6/st8 under RocksDBStateStoreProvider ≡ default-provider outputs") {
+    // The 100 TB deployment config keeps streaming state in RocksDB
+    // (state outgrows the heap); this pins that every hard state shape
+    // — the custom graft_bitmap TypedImperativeAggregate (st3),
+    // stream-stream join buffers (st5), session_window merge state
+    // (st6) and flatMapGroupsWithState tuple state (st8) — serializes
+    // through the RocksDB provider with output identical to the
+    // default HDFS-backed store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    def runAll(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      StreamQueries.st3(spark, Sf0001).collect().toSeq,
+      StreamQueries.st5(spark, Sf0001).collect().toSeq,
+      StreamQueries.st6(spark, Sf0001).collect().toSeq,
+      StreamQueries.st8(spark, Sf0001).collect().toSeq)
+    val base = runAll()
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = runAll()
+      base.zip(rocks).zipWithIndex.foreach { case ((b, r), i) =>
+        assert(r === b, s"query ${Seq("st3", "st5", "st6", "st8")(i)} diverges under RocksDB")
+      }
+      assert(base.forall(_.nonEmpty))
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{ClosedSession, Event, SessionUpdate}
+import graft.streaming.EventStreams.{ClosedSession, Event, SessionUpdate, UserEpoch}
 
 /** §2.F Structured Streaming specs: memory source → memory sink,
   * asserting batch-equivalent semantics (SURVEY.md §2.F). */
@@ -217,6 +217,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     val got = spark.table("evict").as[ClosedSession].collect().toSet
     assert(got === Set(ClosedSession(1L, ts(1000).getTime, ts(1010).getTime, 2L)))
+  }
+
+  test("idle custom state retires via event-time timeout; a returning user re-opens cleanly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // idle gap 30 min, watermark delay 10 min
+    val q = EventStreams.userTotalsRetiring(source.toDS(), 30, "10 minutes")
+      .writeStream.format("memory").queryName("retire")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1's first activity epoch: 2 events at 1000/1010 min
+      source.addData(Event(1, ts(1000), 1, "a", 3.0), Event(2, ts(1010), 1, "a", 2.0))
+      q.processAllAvailable()
+      // user 9 at 1100 pushes the watermark to 1090 > 1010+30=1040 →
+      // user 1 is provably idle; extra batch lets the timeout fire
+      source.addData(Event(3, ts(1100), 9, "b", 1.0))
+      q.processAllAvailable()
+      source.addData(Event(4, ts(1101), 9, "b", 1.0))
+      q.processAllAvailable()
+      // user 1's key has LEFT the store: only user 9's row remains
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 1L)
+      // user 1 RETURNS at 1200 (on-time: watermark is 1091) → a fresh
+      // epoch starting from zero, not a resurrected counter
+      source.addData(Event(5, ts(1200), 1, "a", 7.0))
+      q.processAllAvailable()
+      // advance the watermark past 1200+30 → the second epoch retires
+      source.addData(Event(6, ts(1300), 9, "b", 1.0))
+      q.processAllAvailable()
+      source.addData(Event(7, ts(1301), 9, "b", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("retire").as[UserEpoch].collect()
+      .filter(_.user_id == 1L).sortBy(_.first_ts)
+    assert(got.toSeq === Seq(
+      UserEpoch(1L, 2L, 5000000L, ts(1000).getTime, ts(1010).getTime),
+      UserEpoch(1L, 1L, 7000000L, ts(1200).getTime, ts(1200).getTime)))
   }
 
   test("stream-stream interval join attributes purchases to preceding clicks") {

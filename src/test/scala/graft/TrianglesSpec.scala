@@ -31,6 +31,24 @@ class TrianglesSpec extends SparkTestBase {
     assert(got.values.sum % 3 === 0)
   }
 
+  test("co-purchase cap: capped build ≡ uncapped on the driver corpus; a mega-order truncates to cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // TPC-H orders hold ≤ 7 parts, far under the 64-part cap, so the
+    // guarded build must be IDENTICAL to the unguarded one
+    val li = Tables.lineitem(spark, Sf0001)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(edges(CoreQueries.copurchaseEdgesFrom(li, 64)) ===
+      edges(CoreQueries.copurchaseEdgesFrom(li, Int.MaxValue)))
+    // a planted 200-item wholesale order truncates deterministically to
+    // its 10 LOWEST partkeys → exactly C(10,2) pairs, not C(200,2)
+    val mega = (1L to 200L).map(p => (9999L, p)).toDF("l_orderkey", "l_partkey")
+    val capped = edges(CoreQueries.copurchaseEdgesFrom(mega, 10))
+    assert(capped.length === 45)
+    assert(capped.forall { case (u, v, c) => u <= 10L && v <= 10L && c == 1L })
+  }
+
   test("skewed hub: counts exact AND degree orientation caps the hub's out-degree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
