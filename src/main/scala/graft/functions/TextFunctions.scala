@@ -886,6 +886,46 @@ object TextFunctions {
       |FROM tr t LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** tx21: lexical-diversity profile per source — type-token ratio and
+    * token Gini impurity (1 − Σp², the log-free diversity twin of
+    * entropy: 0 = one token repeated, → 1 = uniform over a large
+    * vocabulary), the mixture-health signal a curation pipeline tracks
+    * per source alongside tx13's distinctive terms. Everything is
+    * exact integer counts until ONE shared IEEE tree (n_types/n_tokens
+    * and 1 − Σc²/N² — single divides of exact int64), so the oracle
+    * hashes bit-exactly. Plan: one token explode → (source, token)
+    * partial-agg'd count table → per-source aggregate; shuffle is
+    * O(tokens) then O(vocab × sources). At 100 TB Σc² and N² outgrow
+    * int64 (N > ~3·10⁹ tokens per source) — widen those two products
+    * to DECIMAL(38,0); the tree shape is unchanged. */
+  def diversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(tokensExpr)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (lit(1.0) - col("sum_c2").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
+      .orderBy(col("source"))
+
+  val diversitySql: String =
+    """WITH c AS (
+      | SELECT source, tok, COUNT(*) AS c FROM (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents)
+      | GROUP BY source, tok),
+      |a AS (
+      | SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      | FROM c GROUP BY source)
+      |SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+      | CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+      | 1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS gini
+      |FROM a ORDER BY source""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

@@ -2578,6 +2578,79 @@ object CoreQueries {
       | doc_id, skey
       |FROM k ORDER BY pos""".stripMargin
 
+  /** q82: rolling z-score anomaly detection — each (event_type, day)'s
+    * total scored against its own trailing 7-day window (q35's moving
+    * average extended to second moments: mean AND variance per frame,
+    * the monitoring primitive behind "today's volume is 3σ off
+    * trend"). The RANGE frame over the integer day index handles
+    * calendar gaps (6 PRECEDING means six calendar days, not six
+    * rows). Bit-exact cross-engine: daily totals and both window
+    * power sums Σv, Σv² accumulate in DECIMAL (order-independent),
+    * convert once via the string hop (a direct decimal→double cast
+    * double-rounds past ~16 significant digits — q54's lesson), and
+    * mean/std/z come from ONE fixed IEEE tree stated identically in
+    * both engines; greatest(·,0) guards the catastrophic-cancellation
+    * corner where var underflows to −ε. z is NULL until the frame has
+    * ≥ 4 days and a positive spread — a 1-day-old series has no trend
+    * to deviate from. Plan: one partial-agg'd scan to |types|×|days|
+    * rows, one window over the tiny aggregate — the fact table is
+    * never window-sorted. */
+  def q82RollingZscore(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(sum(col("value").cast("double").cast(DecimalType(18, 6))).as("v_dec"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v_dec")).over(w))
+      .withColumn("s2", sum(col("v_dec") * col("v_dec")).over(w))
+      .selectExpr("event_type", "day",
+        "cast(cast(v_dec as string) as double) as day_value", "n7",
+        "cast(cast(s1 as string) as double) as s1d",
+        "cast(cast(s2 as string) as double) as s2d")
+      .selectExpr("event_type", "day", "day_value", "n7",
+        "s1d / n7 as mean7",
+        "sqrt(greatest(s2d / n7 - (s1d / n7) * (s1d / n7), 0.0)) as std7")
+      .selectExpr("event_type", "day", "day_value", "n7", "mean7", "std7",
+        "case when n7 >= 4 and std7 > 0.0 then (day_value - mean7) / std7 end as z")
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > 2.0, lit(false)))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q82Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |   SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS v_dec
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT event_type, day, v_dec,
+      |   COUNT(*) OVER w AS n7, SUM(v_dec) OVER w AS s1,
+      |   SUM(v_dec * v_dec) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |hop AS (
+      |  SELECT event_type, day,
+      |   CAST(CAST(v_dec AS VARCHAR) AS DOUBLE) AS day_value,
+      |   CAST(n7 AS BIGINT) AS n7,
+      |   CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+      |   CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+      |  FROM win),
+      |m AS (
+      |  SELECT event_type, day, day_value, n7,
+      |   s1d / n7 AS mean7,
+      |   sqrt(greatest(s2d / n7 - (s1d / n7) * (s1d / n7), 0.0)) AS std7
+      |  FROM hop)
+      |SELECT event_type, day, day_value, n7, mean7, std7,
+      | CASE WHEN n7 >= 4 AND std7 > 0.0 THEN (day_value - mean7) / std7 END AS z,
+      | coalesce(abs(CASE WHEN n7 >= 4 AND std7 > 0.0
+      |                   THEN (day_value - mean7) / std7 END) > 2.0,
+      |          FALSE) AS is_anomaly
+      |FROM m ORDER BY event_type, day""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2652,5 +2725,6 @@ object CoreQueries {
     ("q79_constraint_audit", q79ConstraintAudit _, q79Sql),
     ("q80_longest_streak", q80LongestStreak _, q80Sql),
     ("q81_corpus_shuffle", q81CorpusShuffle _, q81Sql),
+    ("q82_rolling_zscore", q82RollingZscore _, q82Sql),
   )
 }

@@ -552,6 +552,7 @@ object PipelineQueries {
   def tx18(s: SparkSession, d: String): DataFrame = TextFunctions.domainCap(Tables.documents(s, d))
   def tx19(s: SparkSession, d: String): DataFrame = TextFunctions.mixtureSample(Tables.documents(s, d))
   def tx20(s: SparkSession, d: String): DataFrame = TextFunctions.decontaminate(Tables.documents(s, d))
+  def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -613,6 +614,7 @@ object PipelineQueries {
     ("tx18_domain_cap", tx18 _, TextFunctions.domainCapSql(2)),
     ("tx19_mixture_sample", tx19 _, TextFunctions.mixtureSampleSql),
     ("tx20_decontaminate", tx20 _, TextFunctions.decontaminateSql(8)),
+    ("tx21_diversity", tx21 _, TextFunctions.diversitySql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

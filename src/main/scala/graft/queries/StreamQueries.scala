@@ -543,6 +543,56 @@ object StreamQueries {
       |FROM (SELECT * FROM cs UNION ALL SELECT * FROM ps)
       |ORDER BY side, entity_id""".stripMargin
 
+  /** st11: CHAINED time-window aggregations in ONE streaming query —
+    * multiple stateful operators in a pipeline (an hour-grain
+    * aggregate feeding a day-grain rollup through `window_time`), the
+    * incremental OLAP-rollup shape. The engine plans TWO streaming
+    * aggregation state stores: the hourly one emits a closed hour
+    * downstream, the daily one emits a day once the shared watermark
+    * passes its end — so the committed table is the closed days, and
+    * the oracle states the composed eviction rule (day_end ≤
+    * ms-truncated max(ts) − 2 h — st4's rule with the window widened,
+    * because ONE watermark drives eviction through both operators).
+    * Exactness: the hourly value total stays DECIMAL through the
+    * chain — re-aggregating the hourly DOUBLEs would re-order IEEE
+    * addition — and casts to double once on the day row (magnitudes
+    * stay under 16 significant digits, q54's direct-cast bound).
+    * Scale: state is O(open hours) + O(open days) per type — grain
+    * cardinality, never events; this is how a 100 TB pipeline gets
+    * hour AND day marts from one pass instead of two jobs re-reading
+    * the fact stream. */
+  def st11(s: SparkSession, d: String): DataFrame = {
+    val hourly = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value"))
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 hour").as("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("double").cast(DecimalType(18, 6))).as("hour_value"))
+    val daily = hourly
+      .groupBy(window(window_time(col("hw")), "1 day").as("dw"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_hours"),
+        sum(col("hour_value")).cast("double").as("total_value"))
+    runToTable(s, daily, "append")
+      .select(col("dw.start").cast("timestamp_ntz").as("day_start"),
+        col("event_type"), col("n_events"), col("n_hours"), col("total_value"))
+      .orderBy(col("day_start"), col("event_type"))
+  }
+
+  val st11Sql: String =
+    """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS hw, event_type,
+      |   COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS hv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(date_trunc('day', hw) AS TIMESTAMP) AS day_start, event_type,
+      | CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_hours,
+      | CAST(SUM(hv) AS DOUBLE) AS total_value
+      |FROM h, mx
+      |WHERE date_trunc('day', hw) + INTERVAL 1 DAY <= mx.max_ts - INTERVAL 2 HOUR
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -553,5 +603,6 @@ object StreamQueries {
     ("st7_stream_dedup", st7 _, st7Sql),
     ("st8_stream_custom_state", st8 _, st8Sql),
     ("st9_stream_outer_join", st9 _, st9Sql),
-    ("st10_stream_full_outer", st10 _, st10Sql))
+    ("st10_stream_full_outer", st10 _, st10Sql),
+    ("st11_stream_two_level", st11 _, st11Sql))
 }

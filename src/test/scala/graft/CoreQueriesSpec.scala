@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.queries.CoreQueries
 
@@ -304,6 +304,42 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(out.sortBy(_._1).map(_._2).toSeq === ref.toSeq)
     // stored key column matches the JVM digest (both lowercase hex)
     out.take(20).foreach { case (_, id, k) => assert(k === key(id)) }
+  }
+
+  test("q82 rolling z-score equals a JVM replay of the decimal sums + IEEE tree") {
+    val dayNs = 86400000000000L
+    val raw = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // daily DECIMAL(18,6) totals, exactly as the plan accumulates them
+    val daily = raw.groupBy(t => (t._1, t._2)).map { case ((ty, day), rows) =>
+      val s = rows.map(t => BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+      (ty, day, s)
+    }.toSeq
+    val ref = daily.groupBy(_._1).flatMap { case (ty, ds) =>
+      val byDay = ds.map(t => t._2 -> t._3).toMap
+      byDay.keys.toSeq.sorted.map { day =>
+        val frame = (day - 6 to day).flatMap(byDay.get)
+        val n = frame.size.toLong
+        val s1d = frame.sum.toString.toDouble
+        val s2d = frame.map(v => v * v).sum.toString.toDouble
+        val vd = byDay(day).toString.toDouble
+        val mean = s1d / n
+        val std = math.sqrt(math.max(s2d / n - mean * mean, 0.0))
+        val z = if (n >= 4 && std > 0.0) Some((vd - mean) / std) else None
+        ((ty, day), (vd, n, mean, std, z))
+      }
+    }
+    val got = CoreQueries.q82RollingZscore(spark, Sf0001).collect().map { r =>
+      ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (k, e) => assert(got(k) === e, s"cell $k") }
+    // the frame warms up: early days carry no z, mature days do
+    assert(got.values.exists(_._5.isDefined) && got.values.exists(_._5.isEmpty))
   }
 
   test("q56 MAD outliers equal a JVM median/MAD reference per group") {

@@ -197,6 +197,32 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(clickRows.nonEmpty && purchRows.nonEmpty)
   }
 
+  test("st11 chained rollup = batch day-grain totals minus the days the watermark holds open") {
+    val streamed = StreamQueries.st11(spark, Sf0001).collect().toSeq
+    val maxTs = Tables.events(spark, Sf0001)
+      .agg(max(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+      .head().getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.truncatedTo(java.time.temporal.ChronoUnit.MILLIS).minusHours(2)
+    val batch = Tables.events(spark, Sf0001)
+      .select(date_trunc("hour",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")).as("hw"),
+        col("event_type"), col("value"))
+      .groupBy(col("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("double").cast(DecimalType(18, 6))).as("hv"))
+      .groupBy(date_trunc("day", col("hw")).cast("timestamp_ntz").as("day_start"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"),
+        sum(col("hv")).cast("double").as("total_value"))
+      .orderBy(col("day_start"), col("event_type"))
+      .collect().toSeq
+    val expected = batch.filter(
+      _.getAs[java.time.LocalDateTime]("day_start").plusDays(1).compareTo(cutoff) <= 0)
+    assert(streamed === expected)
+    assert(streamed.nonEmpty && streamed.size < batch.size,
+      "watermark suppressed nothing — the open tail day leaked")
+  }
+
   test("st9/st10 eviction boundary: an entity exactly ON its bound is suppressed, 1 ms inside emits") {
     // The oracles encode the null-row eviction rules with STRICT '<'
     // against the ms-truncated watermark base (click: click_ts + 3 h <
