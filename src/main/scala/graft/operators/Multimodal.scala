@@ -289,4 +289,64 @@ object Multimodal {
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
     intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val ChunkWindow = 16
+  val ChunkDivisor = 64 // boundary probability 1/64 per position → mean chunk ≈ 64 B
+
+  /** mm6 machinery: CONTENT-DEFINED chunking of a binary blob — the
+    * rolling-hash boundary rule behind rsync/LBFS/FastCDC, and the
+    * chunk-level twin of dd8's span dedup for media payloads: a cut
+    * falls wherever the hash of the trailing [[ChunkWindow]]-byte
+    * window ≡ 0 (mod [[ChunkDivisor]]), so boundaries depend only on
+    * LOCAL bytes. Insert or delete bytes anywhere and every chunk
+    * outside the edit's neighborhood re-aligns identically — the
+    * property that lets a 100 TB blob store dedup re-wrapped /
+    * re-muxed media at chunk granularity where whole-blob digests see
+    * nothing (spec pins this shift resilience; fixed-size framing
+    * (mm3) shifts EVERY downstream frame on a 1-byte insertion).
+    * Chunk identity is xxhash64 of the chunk bytes — 8-byte keys on
+    * every shuffle from day one (dd8's round-7 lesson), collisions
+    * birthday-bounded ≈ S²/2⁶⁵. Chunking is map-side HOF arithmetic
+    * in the scan stage: no UDF, no shuffle until the chunk-frequency
+    * count. */
+  def cdcChunkHashes(docs: DataFrame): DataFrame = {
+    val W = ChunkWindow; val D = ChunkDivisor
+    val blobs = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .filter(expr("octet_length(blob) > 0"))
+    // CASE guard: sequence(W, len) DESCENDS when len < W (withShingles'
+    // lesson); short blobs still form one whole-blob chunk via the cuts
+    val bounds = s"CASE WHEN octet_length(blob) >= $W THEN " +
+      s"filter(transform(sequence($W, octet_length(blob)), " +
+      s"i -> IF(pmod(xxhash64(substring(blob, i - ${W - 1}, $W)), $D) = 0, i, -1)), " +
+      s"x -> x > 0) ELSE CAST(array() AS array<int>) END"
+    blobs
+      .withColumn("cuts", expr(
+        s"array_sort(array_distinct(concat(array(0), $bounds, array(octet_length(blob)))))"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(cuts) - 1), " +
+          "j -> xxhash64(substring(blob, element_at(cuts, j) + 1, " +
+          "element_at(cuts, j + 1) - element_at(cuts, j)))))").as("chunks"))
+  }
+
+  /** mm6: per-blob duplicated-chunk statistics — how much of each blob
+    * is chunk-level shared with ≥ 1 other blob (dd8's two-shuffle
+    * df ≥ 2 + semi-join shape applied to the CDC chunk hashes).
+    * Rows-gated: the boundaries ride Spark's xxhash64, which no
+    * oracle engine reproduces (mm2 policy); MultimodalSpec plants a
+    * shared passage and an edit-shifted twin instead. */
+  def cdcChunkStats(docs: DataFrame): DataFrame = {
+    val ch = cdcChunkHashes(docs)
+    val perDoc = ch.select(col("doc_id"), explode(col("chunks")).as("ch"))
+    val dup = perDoc.groupBy(col("ch")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("ch"))
+    val hits = perDoc.join(dup, Seq("ch"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_chunks"))
+    ch.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_ratio",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
 }

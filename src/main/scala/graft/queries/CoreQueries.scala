@@ -2651,6 +2651,74 @@ object CoreQueries {
       |          FALSE) AS is_anomaly
       |FROM m ORDER BY event_type, day""".stripMargin
 
+  /** q83: EXACT weighted median per group (revenue-weighted "typical
+    * price" — the weighted tier of the quantile family: q14 exact
+    * unweighted, q37/q67 sketched; a weighted median is what "half the
+    * QUANTITY trades at or below this price" means). Lower weighted
+    * median: smallest value v with cumweight(≤ v) ≥ ⌈W/2⌉, integer
+    * cent values × integer weights ⇒ bit-exact.
+    *
+    * The naive plan is a per-group ORDER BY value window over the FACT
+    * table — with few groups that is a handful of giant sorted
+    * partitions (the q78 cliff, per-group). Instead, two-phase domain
+    * bucketing: (1) one partial-agg'd scan to (group, value-bucket)
+    * weight sums — a DOMAIN-sized aggregate, independent of row count
+    * — whose per-group running total locates the one bucket containing
+    * the crossing; (2) a second scan prunes to rows IN that bucket per
+    * group (broadcast semi-join filter), and the exact crossing walks
+    * the tiny within-bucket value ladder. No fact-table sort at any
+    * point; every window rides domain-bounded aggregates. */
+  def q83WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val BucketCents = 16384L
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      expr("cast(round(l_extendedprice * 100) as long)").as("v"),
+      expr("cast(l_quantity as long)").as("wt"))
+    val bucketed = base.withColumn("bkt", expr(s"v div $BucketCents"))
+    val bsum = bucketed.groupBy(col("grp"), col("bkt")).agg(sum(col("wt")).as("bw"))
+    val wg = Window.partitionBy(col("grp"))
+    val wc = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+    // target = the first bucket whose running weight reaches ⌈W/2⌉;
+    // off = weight strictly below it — all on the domain aggregate
+    val marked = bsum
+      .withColumn("tw", sum(col("bw")).over(wg))
+      .withColumn("cw", sum(col("bw")).over(wc))
+      .withColumn("target", expr("(tw + 1) div 2"))
+      .filter(col("cw") >= col("target"))
+      .groupBy(col("grp"))
+      .agg(min_by(struct(col("bkt"), (col("cw") - col("bw")).as("off"),
+        col("target"), col("tw")), col("bkt")).as("t"))
+      .select(col("grp"), col("t.bkt").as("bkt"), col("t.off").as("off"),
+        col("t.target").as("target"), col("t.tw").as("tw"))
+    val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
+    bucketed.join(broadcast(marked), Seq("grp", "bkt"))
+      .groupBy(col("grp"), col("v"), col("off"), col("target"), col("tw"))
+      .agg(sum(col("wt")).as("wsum"))
+      .withColumn("cum", col("off") + sum(col("wsum")).over(wv))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("grp"))
+      .agg(min(col("v")).as("median_cents"), max(col("tw")).as("total_weight"))
+      .orderBy(col("grp"))
+  }
+
+  /** The naive global-window statement of the same crossing. */
+  val q83Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag AS grp,
+      |   CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |   CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem),
+      |c AS (SELECT grp, v, CAST(SUM(wt) AS BIGINT) AS wv FROM w GROUP BY grp, v),
+      |t AS (SELECT grp, CAST(SUM(wv) AS BIGINT) AS tw FROM c GROUP BY grp),
+      |cum AS (
+      |  SELECT grp, v, CAST(SUM(wv) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cw
+      |  FROM c)
+      |SELECT cum.grp AS grp, MIN(v) AS median_cents, MAX(t.tw) AS total_weight
+      |FROM cum JOIN t ON cum.grp = t.grp
+      |WHERE cw >= (t.tw + 1) // 2
+      |GROUP BY cum.grp
+      |ORDER BY grp""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2726,5 +2794,6 @@ object CoreQueries {
     ("q80_longest_streak", q80LongestStreak _, q80Sql),
     ("q81_corpus_shuffle", q81CorpusShuffle _, q81Sql),
     ("q82_rolling_zscore", q82RollingZscore _, q82Sql),
+    ("q83_weighted_median", q83WeightedMedian _, q83Sql),
   )
 }

@@ -570,6 +570,13 @@ object PipelineQueries {
     Multimodal.phashNearDup(docs.unionByName(Multimodal.reencodeStub(docs)))
   }
 
+  /** mm6: content-defined chunk dedup stats over the blob corpus —
+    * chunk boundaries are engine-specific rolling hashes (mm2 policy ⇒
+    * rows + spec gate; MultimodalSpec pins shift resilience and a
+    * planted shared passage). */
+  def mm6(s: SparkSession, d: String): DataFrame =
+    Multimodal.cdcChunkStats(Tables.documents(s, d))
+
   /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dd1_exact", dd1 _, dd1Sql),
@@ -620,5 +627,6 @@ object PipelineQueries {
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
     ("mm4_resize_stub", mm4 _, Multimodal.resizeStubSql(Multimodal.ResizeTarget)),
     ("mm5_phash_neardup", mm5 _, null),
+    ("mm6_cdc_chunks", mm6 _, null),
   )
 }

@@ -342,6 +342,29 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(got.values.exists(_._5.isDefined) && got.values.exists(_._5.isEmpty))
   }
 
+  test("q83 weighted median equals a JVM replay of the crossing rule") {
+    val raw = Tables.lineitem(spark, Sf0001)
+      .selectExpr("l_returnflag AS grp",
+        "cast(round(l_extendedprice * 100) as long) AS v",
+        "cast(l_quantity as long) AS wt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = raw.groupBy(_._1).map { case (g, rows) =>
+      val total = rows.map(_._3).sum
+      val target = (total + 1) / 2
+      val sorted = rows.groupBy(_._2).map { case (v, rs) => v -> rs.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.collectFirst {
+        case (v, w) if { cum += w; cum >= target } => v
+      }.get
+      g -> ((med, total))
+    }
+    val got = CoreQueries.q83WeightedMedian(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
   test("q56 MAD outliers equal a JVM median/MAD reference per group") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

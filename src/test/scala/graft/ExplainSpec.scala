@@ -543,6 +543,42 @@ class ExplainSpec extends SparkTestBase {
       s"position window must partition by bkt:\n${p.take(3000)}")
   }
 
+  test("q82 z-score: window rides the types×days aggregate, fact table never window-sorted") {
+    val p = plan(CoreQueries.q82RollingZscore(spark, Sf0001))
+    // the window must partition by event_type (over the aggregate) —
+    // a global or fact-table window would be the naive cumulative form
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"z-score window must partition by event_type:\n${p.take(3000)}")
+    // the daily collapse partial-aggs map-side before its exchange
+    assert(p.contains("partial"), s"daily totals must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dd2 index probe re-tokenizes nothing: the scan reads the materialized representation") {
+    // build-if-missing, then the probe plan must contain no regexp
+    // tokenization — the whole tokenize/df-order stage is amortized
+    // into the write-once shingle index
+    val df = graft.queries.PipelineQueries.dd2(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("regexp_extract_all"),
+      s"dd2 probe re-tokenized the corpus:\n${p.take(3000)}")
+  }
+
+  test("q83 weighted median: bucket pruning broadcasts; no global-order fact window") {
+    val df = CoreQueries.q83WeightedMedian(spark, Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the crossing bucket reaches the fact scan as a broadcast join,
+    // and every window partitions by grp over domain-bounded aggregates
+    assert(p.contains("BroadcastHashJoin"), s"bucket prune must broadcast:\n${p.take(3000)}")
+    assert(p.contains("windowspecdefinition(grp"),
+      s"crossing windows must partition by grp:\n${p.take(3000)}")
+    assert("Exchange SinglePartition".r.findAllIn(p).isEmpty,
+      s"weighted median collapsed to one partition:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"bucket sums must map-side combine:\n${p.take(3000)}")
+  }
+
   test("q79 audit: FK flags ride outer equi-joins; one aggregate per base-table pass") {
     val p = plan(CoreQueries.q79ConstraintAudit(spark, Sf0001))
     // each base table is scanned once for all its row-level checks: the

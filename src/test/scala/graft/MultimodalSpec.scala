@@ -143,4 +143,45 @@ class MultimodalSpec extends SparkTestBase {
     val missed = ids.filterNot(id => pairs.contains((id, id + Multimodal.ReencodeOffset)))
     assert(missed.isEmpty, s"planted re-encode pairs missed for ids: ${missed.take(10).mkString(",")}")
   }
+
+  test("mm6 CDC chunking: shift resilience — a prefix insertion preserves downstream chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val body = (1 to 120).map(i => s"word$i").mkString(" ") // ~1 KB of stable bytes
+    val docs = Seq(
+      (1L, body),
+      (2L, s"INSERTED-PREFIX-BYTES $body") // edit strictly before the body
+    ).toDF("doc_id", "text")
+    val ch = Multimodal.cdcChunkHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val shared = ch(1L) & ch(2L)
+    // content-defined boundaries re-align after the edit neighborhood:
+    // the two blobs must share most of their chunks…
+    assert(shared.size.toDouble / ch(1L).size > 0.6,
+      s"CDC failed to re-align: ${shared.size}/${ch(1L).size} shared")
+    // …which fixed-size framing structurally cannot (every frame shifts)
+    val frames = Multimodal.frameSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val f1 = frames.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = frames.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).isEmpty, "fixed frames unexpectedly aligned across the shift")
+  }
+
+  test("mm6 chunk stats: planted shared passage detected; unique doc at ratio 0") {
+    import spark.implicits._
+    val boiler = (1 to 40).map(i => s"licence$i").mkString(" ") // spans many chunks
+    val docs = Seq(
+      (1L, s"unique opening alpha beta gamma $boiler"),
+      (2L, s"different head tokens delta epsilon zeta $boiler"),
+      (3L, "entirely original content with no repetition whatsoever here")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.cdcChunkStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0, s"shared passage missed: $out")
+    assert(out(3L)._2 === 0L)
+    // determinism: a second run chunks identically
+    val again = Multimodal.cdcChunkStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again === out)
+  }
 }
