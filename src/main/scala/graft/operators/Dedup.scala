@@ -19,7 +19,17 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  private def withShingles(docs: DataFrame, n: Int): DataFrame = {
+  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+    withShinglesAll(docs, n).filter(size(col("shingles")) > 0)
+
+  /** [[withShingles]] WITHOUT the emptiness filter. The filter
+    * references the projected column, and Catalyst's filter pushdown
+    * re-inlines the whole tokenize + n-gram expression into the
+    * predicate — the expensive column is then evaluated TWICE per row
+    * (measured 2× on dd8's scan). Callers that cache the projection
+    * use this form and filter AFTER the cache barrier, where size()
+    * reads the materialized array for free. */
+  private def withShinglesAll(docs: DataFrame, n: Int): DataFrame = {
     val t = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
     val toks = expr(t)
     // CASE guard, not greatest(..., 0): sequence(1, 0) DESCENDS in
@@ -31,7 +41,6 @@ object Dedup {
         s"CASE WHEN size($t) >= $n THEN transform(sequence(1, size($t) - ${n - 1}), " +
         s"i -> concat_ws(' ', slice($t, i, $n))) ELSE CAST(array() AS array<string>) END"))
     docs.select(col("doc_id"), sh.as("shingles"))
-      .filter(size(col("shingles")) > 0)
   }
 
   /** dd1: exact duplicate groups — one shuffle keyed on the text. At
@@ -874,17 +883,28 @@ object Dedup {
     * oracle-exact reference; DedupSpec pins hashed ≡ string-keyed on
     * the driver corpus. */
   def dupSpans(docs: DataFrame, n: Int = 10, hashKeys: Boolean = true): DataFrame = {
-    val sh = withShingles(docs, n) // distinct n-gram spans per doc
-    // explode first (generators can't nest), hash in the same stage:
-    // the string dies before the exchange either way.
-    val spanKey = if (hashKeys) xxhash64(col("span")) else col("span")
-    val perDoc = sh.select(col("doc_id"), explode(col("shingles")).as("span"))
-      .select(col("doc_id"), spanKey.as("span"))
+    // Hash in the SCAN stage (map-side transform over the span array —
+    // the string never exists past this projection) and cache the one
+    // narrow (doc_id, spans) relation: three consumers read it (span
+    // frequencies, the semi-join probe, per-doc span counts), and
+    // without the cache each re-runs the tokenize + 10-gram
+    // construction — measured 3× the whole operator's cost at sf0.1.
+    // Hashed elements make the cached arrays 8 B/span, not ~70 B.
+    val spanArr =
+      if (hashKeys) expr("transform(shingles, s -> xxhash64(s))")
+      else col("shingles")
+    // cache BEFORE the emptiness filter: the predicate then reads the
+    // materialized array instead of re-inlining the n-gram expression
+    val cached = withShinglesAll(docs, n) // distinct n-gram spans per doc
+      .select(col("doc_id"), spanArr.as("spans"))
+      .cache()
+    val sh = cached.filter(size(col("spans")) > 0)
+    val perDoc = sh.select(col("doc_id"), explode(col("spans")).as("span"))
     val dup = perDoc.groupBy(col("span")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("span"))
     val hits = perDoc.join(dup, Seq("span"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
-    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_spans"))
+    sh.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
