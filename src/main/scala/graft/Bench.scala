@@ -31,13 +31,15 @@ object Bench {
       System.err.println(s"[bench] layout prebuild FAILED: ${e.getMessage}")
     }
     val layoutSec = (System.nanoTime() - tL) / 1e9
-    // SPARK_GRAFT_BENCH_REPS=N → per-query min-of-N (default 1). The
+    // SPARK_GRAFT_BENCH_REPS=N → per-query min-of-N (DEFAULT 2). The
     // container's host contention swings single samples 3–20×, which
-    // makes one-pass round-over-round numbers nearly meaningless for
-    // regression detection; min-of-N recovers the plan's intrinsic
-    // cost at N× wall-clock. Reps run back-to-back per query (not
+    // made one-pass round-over-round artifacts nearly meaningless for
+    // regression detection (round 6: two same-code passes read 147 s
+    // and 626 s); min-of-N recovers the plan's intrinsic cost at N×
+    // wall-clock, and the default applies to the driver's artifact,
+    // which sets no env. Reps run back-to-back per query (not
     // pass-by-pass) so each query's samples share one cache state.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1).max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         spark.catalog.clearCache() // operator-internal caches must not tax later queries
