@@ -2719,6 +2719,47 @@ object CoreQueries {
       |GROUP BY cum.grp
       |ORDER BY grp""".stripMargin
 
+  /** q84: incremental JOIN-view maintenance — the join-algebra leg of
+    * the IVM family (q40 maintains aggregates, q59 applies MERGE; this
+    * maintains a materialized equi-JOIN under two-sided inserts):
+    *   (O ∪ ΔO) ⋈ (C ∪ ΔC) = V ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC
+    * so refreshing the standing view V costs three DELTA-sized joins —
+    * each with one sliver side, broadcastable at real delta rates —
+    * and never re-joins base×base. The deltas are the reproducible md5
+    * split (q32's trick: orders/customers whose key hashes to a '0'
+    * first digit play the nightly batch). V itself is localCheckpointed
+    * before the union: the maintenance terms must read the view
+    * AT REST, not re-derive it through lineage (which would silently
+    * re-run the base join and void the cost claim). Oracle = the full
+    * recompute stated in SQL; bit-identical because a join of exact
+    * columns is set algebra — the three delta terms partition exactly
+    * the rows the full join adds. */
+  def q84IncrementalJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"))
+    val oDelta = substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0"
+    val cDelta = substring(md5(col("c_custkey").cast("string")), 1, 1) === "0"
+    val oBase = o.filter(!oDelta); val oNew = o.filter(oDelta)
+    val cBase = c.filter(!cDelta); val cNew = c.filter(cDelta)
+    def j(l: DataFrame, r: DataFrame) =
+      l.join(r, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+    val standing = j(oBase, cBase).localCheckpoint() // the view at rest
+    standing
+      .union(j(oNew, cBase))
+      .union(j(oBase, cNew))
+      .union(j(oNew, cNew))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q84Sql: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2795,5 +2836,6 @@ object CoreQueries {
     ("q81_corpus_shuffle", q81CorpusShuffle _, q81Sql),
     ("q82_rolling_zscore", q82RollingZscore _, q82Sql),
     ("q83_weighted_median", q83WeightedMedian _, q83Sql),
+    ("q84_incremental_join", q84IncrementalJoin _, q84Sql),
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
@@ -593,6 +594,57 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** st12: STREAMING GROUPED TOP-K — per closed day, the top-3 users
+    * by exact spend (the leaderboard/heavy-account view a monitoring
+    * pipeline keeps): a watermarked (day-window × user) DECIMAL-exact
+    * aggregation runs through streaming state (append mode — a
+    * (day, user) cell emits exactly once, when the watermark closes
+    * its day), and the rank is a presentation window on the COMMITTED
+    * table (ranking is not a streaming-state operator; the engine's
+    * job is the exact per-cell totals + the eviction contract).
+    * Deterministic tie-break (total DESC, user ASC) makes the top-3
+    * set unique ⇒ full hash gate; the oracle states st4's suppression
+    * rule at day grain plus the same rank. State is O(open days ×
+    * users active in them) — horizon-bounded, the append-mode
+    * requirement; complete-mode ranking would hold every day forever. */
+  def st12(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("user_id"), col("value"))
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    val committed = runToTable(s, agg, "append")
+    val rnk = Window.partitionBy(col("day"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    committed
+      .select(col("w.start").cast("timestamp_ntz").as("day"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .withColumn("rnk", row_number().over(rnk))
+      .filter(col("rnk") <= 3)
+      .select(col("day"), col("rnk").cast("long").as("rnk"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .orderBy(col("day"), col("rnk"))
+  }
+
+  val st12Sql: String =
+    """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
+      |cell AS (
+      |  SELECT date_trunc('day', ts) AS day, user_id,
+      |   COUNT(*) AS n_events,
+      |   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  FROM events, mx
+      |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx.max_ts - INTERVAL 2 HOUR
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT CAST(day AS TIMESTAMP) AS day, user_id, n_events, total_value,
+      |   row_number() OVER (PARTITION BY day
+      |                      ORDER BY total_value DESC, user_id) AS rnk
+      |  FROM cell)
+      |SELECT day, CAST(rnk AS BIGINT) AS rnk, user_id, n_events, total_value
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY day, rnk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -604,5 +656,6 @@ object StreamQueries {
     ("st8_stream_custom_state", st8 _, st8Sql),
     ("st9_stream_outer_join", st9 _, st9Sql),
     ("st10_stream_full_outer", st10 _, st10Sql),
-    ("st11_stream_two_level", st11 _, st11Sql))
+    ("st11_stream_two_level", st11 _, st11Sql),
+    ("st12_stream_topk", st12 _, st12Sql))
 }

@@ -365,6 +365,28 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q84 delta-join terms partition the view delta: disjoint, complete, duplicate-free") {
+    val out = CoreQueries.q84IncrementalJoin(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicates: the three maintenance terms must not overlap the
+    // standing view or each other (each row has exactly one (Δ?, Δ?)
+    // signature, so the union is a partition)
+    assert(out.length === out.distinct.length)
+    // completeness: equals the full recompute
+    val full = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq === full.sorted.toSeq)
+    // the delta split is live: both sides contribute rows
+    val oDelta = Tables.orders(spark, Sf0001)
+      .filter(expr("substring(md5(cast(o_orderkey as string)), 1, 1) = '0'")).count()
+    val cDelta = Tables.customer(spark, Sf0001)
+      .filter(expr("substring(md5(cast(c_custkey as string)), 1, 1) = '0'")).count()
+    assert(oDelta > 0 && cDelta > 0)
+  }
+
   test("q56 MAD outliers equal a JVM median/MAD reference per group") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -223,6 +223,33 @@ class StreamQueriesSpec extends SparkTestBase {
       "watermark suppressed nothing — the open tail day leaked")
   }
 
+  test("st12 streaming top-k = batch per-day rank over watermark-closed days") {
+    val streamed = StreamQueries.st12(spark, Sf0001).collect().toSeq
+    val maxTs = Tables.events(spark, Sf0001)
+      .agg(max(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+      .head().getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.truncatedTo(java.time.temporal.ChronoUnit.MILLIS).minusHours(2)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    val batch = Tables.events(spark, Sf0001)
+      .select(date_trunc("day",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        .cast("timestamp_ntz").as("day"),
+        col("user_id"), col("value"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("day"), col("rnk"), col("user_id"), col("n_events"), col("total_value"))
+      .orderBy(col("day"), col("rnk"))
+      .collect().toSeq
+    val expected = batch.filter(
+      _.getAs[java.time.LocalDateTime]("day").plusDays(1).compareTo(cutoff) <= 0)
+    assert(streamed === expected)
+    assert(streamed.nonEmpty && streamed.size < batch.size,
+      "watermark suppressed nothing — the open tail day leaked")
+  }
+
   test("st9/st10 eviction boundary: an entity exactly ON its bound is suppressed, 1 ms inside emits") {
     // The oracles encode the null-row eviction rules with STRICT '<'
     // against the ms-truncated watermark base (click: click_ts + 3 h <
