@@ -338,6 +338,42 @@ object Dedup {
     pairs.orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** dd11 probing the shingle index (round 7 — dd11 was the last
+    * inline tokenizer among the top bench singles): mask
+    * representation → the popcount containment machinery directly;
+    * array representation → prefix-by-slice of the ⌊(1−τ)n⌋+1 rarest
+    * tokens against the FULL inverted index of the container side
+    * (containmentPrefix's asymmetric rule on pre-sorted arrays). */
+  def containmentProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      tau: Double): DataFrame = {
+    val pairs =
+      if (new java.io.File(s"$path/masks").exists())
+        containmentByMask(spark.read.parquet(s"$path/masks"), tau)
+      else containmentPrefixSorted(spark.read.parquet(s"$path/sh"), tau)
+    pairs.orderBy(col("doc_sub"), col("doc_super"))
+  }
+
+  /** containmentPrefix over df-sorted index arrays: contained-side
+    * prefix = slice (same no-(1−τ) floor form), container side =
+    * full explode; verification divides by |A| only. */
+  private def containmentPrefixSorted(sh: DataFrame, tau: Double): DataFrame = {
+    val n = size(col("shingles"))
+    val pfxLen = (n - floor(lit(tau) * n) + lit(1)).cast("int")
+    val pfx = sh.select(col("doc_id").as("doc_sub"),
+      explode(slice(col("shingles"), lit(1), pfxLen)).as("sh"))
+    val full = sh.select(col("doc_id").as("doc_super"), explode(col("shingles")).as("sh"))
+    val cand = pfx.join(full, "sh")
+      .filter(col("doc_sub") =!= col("doc_super"))
+      .select(col("doc_sub"), col("doc_super")).distinct()
+    val sa = sh.select(col("doc_id").as("doc_sub"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_super"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_sub").join(sb, "doc_super")
+      .select(col("doc_sub"), col("doc_super"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** Prefix path over index arrays already in global-df order: the
     * prefix is a SLICE, not a df-join + window. Same floor form as
     * ngramJaccardPrefix (boundary-exact at J = t). */

@@ -247,7 +247,7 @@ object PipelineQueries {
   /** dd11: asymmetric containment |A∩B|/|A| ≥ τ — catches documents
     * embedded in far larger ones, which Jaccard structurally cannot. */
   def dd11(s: SparkSession, d: String): DataFrame =
-    Dedup.containment(Tables.documents(s, d), 1, JaccardThreshold)
+    Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
 
   val dd11Sql: String =
     s"""WITH docs AS (

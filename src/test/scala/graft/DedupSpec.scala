@@ -264,6 +264,8 @@ class DedupSpec extends SparkTestBase {
       triples(Dedup.ngramJaccard(t, 1, 0.9)))
     assert(triples(Dedup.minhashLshProbe(spark, idx, 0.9)) ===
       triples(Dedup.minhashLsh(t, 0.9)))
+    assert(triples(Dedup.containmentProbe(spark, idx, 0.9)) ===
+      triples(Dedup.containment(t, 1, 0.9)))
     assert(triples(Dedup.ngramJaccardProbe(spark, idx, 0.9)).nonEmpty)
   }
 
@@ -285,6 +287,8 @@ class DedupSpec extends SparkTestBase {
     assert(pairs(Dedup.ngramJaccardProbe(spark, idx, 0.9)) === inline2)
     assert(pairs(Dedup.minhashLshProbe(spark, idx, 0.9)) ===
       pairs(Dedup.minhashLsh(docs, 0.9)))
+    assert(pairs(Dedup.containmentProbe(spark, idx, 0.9)) ===
+      pairs(Dedup.containment(docs, 1, 0.9)))
     assert(inline2.nonEmpty) // the planted 78/82-token overlaps qualify
   }
 
