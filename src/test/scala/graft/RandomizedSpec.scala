@@ -190,4 +190,23 @@ class RandomizedSpec extends SparkTestBase {
       assert(out(id) === md5(ref), s"doc $id text=${t.take(40)}…")
     }
   }
+
+  test("dd8 hashed span keys ≡ string keys on generated word corpora") {
+    import spark.implicits._
+    val r = rng
+    // word-shaped docs with heavy shared boilerplate so dup spans are
+    // live; lengths straddle the n=10 span threshold
+    val vocab = (0 until 400).map(i => s"w$i")
+    val boiler = (0 until 15).map(i => s"b$i").mkString(" ")
+    val rows = (1L to 250L).map { i =>
+      val own = Seq.fill(3 + r.nextInt(25))(vocab(r.nextInt(vocab.size))).mkString(" ")
+      (i, if (r.nextBoolean()) s"$own $boiler" else own)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    def out(hash: Boolean) = Dedup.dupSpans(docs, n = 10, hashKeys = hash).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq
+    val hashed = out(true)
+    assert(hashed === out(false))
+    assert(hashed.exists(_._3 > 0L)) // the boilerplate creates real dup spans
+  }
 }
