@@ -2760,6 +2760,63 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q85: EXACT equi-depth histogram boundaries — the statistics a
+    * cost-based optimizer collects (q42 buckets the VALUE axis
+    * equi-width; this buckets the POPULATION equi-depth: boundary k =
+    * the value at rank ⌈k·N/B⌉, so each of the B buckets holds the
+    * same row count). q83's two-phase domain bucketing generalized to
+    * B simultaneous rank targets: one partial-agg'd scan → domain
+    * bucket counts, whose running total locates every target's
+    * crossing bucket at once (a 16-row broadcast); the second scan
+    * prunes to the ≤ B crossing buckets, and each boundary is the
+    * smallest value whose cumulative count reaches its rank — windows
+    * partition by target k, so even the crossing walk is parallel.
+    * Integer cents + integer ranks ⇒ bit-exact; ties are harmless
+    * (the VALUE at a rank is well-defined however equal values are
+    * ordered). No global sort of fact rows at any point — the naive
+    * plan (row_number over ORDER BY value) is one partition of the
+    * whole table. */
+  def q85EquiDepthHist(s: SparkSession, d: String): DataFrame = {
+    val B = 16; val BucketCents = 16384L
+    val v = Tables.lineitem(s, d)
+      .select(expr("cast(round(l_extendedprice * 100) as long)").as("v"))
+    val n = v.count() // one driver scalar (q64's runtime-literal pattern)
+    val bucketed = v.withColumn("bkt", expr(s"v div $BucketCents"))
+    val wc = Window.orderBy(col("bkt")) // over the DOMAIN aggregate only
+    val cumB = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+    val ks = s.range(1, B + 1).select(col("id").as("k"),
+      expr(s"(id * ${n}L + ${B - 1}) div $B").as("rk"))
+    val targets = ks.join(cumB, col("cum") >= col("rk"))
+      .groupBy(col("k"), col("rk"))
+      .agg(min_by(struct(col("bkt"), (col("cum") - col("c")).as("off")), col("bkt")).as("t"))
+      .select(col("k"), col("rk"), col("t.bkt").as("bkt"), col("t.off").as("off"))
+    val wv = Window.partitionBy(col("k")).orderBy(col("v"))
+    bucketed.join(broadcast(targets), "bkt")
+      .groupBy(col("k"), col("rk"), col("off"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wv))
+      .filter(col("cum") >= col("rk"))
+      .groupBy(col("k"))
+      .agg(min(col("rk")).as("target_rank"), min(col("v")).as("boundary"))
+      .select(col("k").as("bucket"), col("target_rank"), col("boundary"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The naive global row_number statement of the same boundaries. */
+  val q85Sql: String =
+    """WITH w AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+      |n AS (SELECT COUNT(*) AS c FROM w),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM w),
+      |ks AS (SELECT unnest(generate_series(1, 16)) AS k)
+      |SELECT ks.k AS bucket,
+      | CAST((ks.k * n.c + 15) // 16 AS BIGINT) AS target_rank,
+      | r.v AS boundary
+      |FROM ks, n
+      |JOIN r ON r.rn = (ks.k * n.c + 15) // 16
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2837,5 +2894,6 @@ object CoreQueries {
     ("q82_rolling_zscore", q82RollingZscore _, q82Sql),
     ("q83_weighted_median", q83WeightedMedian _, q83Sql),
     ("q84_incremental_join", q84IncrementalJoin _, q84Sql),
+    ("q85_equidepth_hist", q85EquiDepthHist _, q85Sql),
   )
 }

@@ -387,6 +387,22 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(oDelta > 0 && cDelta > 0)
   }
 
+  test("q85 equi-depth boundaries equal the sorted-multiset ranks exactly") {
+    val vs = Tables.lineitem(spark, Sf0001)
+      .selectExpr("cast(round(l_extendedprice * 100) as long) AS v")
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length.toLong
+    val ref = (1 to 16).map { k =>
+      val rk = (k * n + 15) / 16
+      (k.toLong, rk, vs((rk - 1).toInt)) // value at rank rk (1-based)
+    }
+    val got = CoreQueries.q85EquiDepthHist(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === ref)
+    // boundaries are monotone and the last one is the maximum
+    assert(got.map(_._3) === got.map(_._3).sorted && got.last._3 === vs.last)
+  }
+
   test("q56 MAD outliers equal a JVM median/MAD reference per group") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
