@@ -311,21 +311,33 @@ object Multimodal {
     * count. */
   def cdcChunkHashes(docs: DataFrame): DataFrame = {
     val W = ChunkWindow; val D = ChunkDivisor
-    val blobs = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      .filter(expr("octet_length(blob) > 0"))
+    // LET-BINDINGS via single-element transform: `blob` and `cuts`
+    // must be lambda VARIABLES, not projected columns — CollapseProject
+    // re-inlines a projected column into every reference site, and a
+    // reference INSIDE a per-element lambda then re-evaluates the whole
+    // upstream expression per element (measured: the first cut of this
+    // operator re-ran encode() + the full boundary scan per byte
+    // position — O(len²), 59 s at sf0.1 for a 0.2 s computation). A
+    // lambda variable is bound once per row and read thereafter.
     // CASE guard: sequence(W, len) DESCENDS when len < W (withShingles'
-    // lesson); short blobs still form one whole-blob chunk via the cuts
-    val bounds = s"CASE WHEN octet_length(blob) >= $W THEN " +
-      s"filter(transform(sequence($W, octet_length(blob)), " +
-      s"i -> IF(pmod(xxhash64(substring(blob, i - ${W - 1}, $W)), $D) = 0, i, -1)), " +
-      s"x -> x > 0) ELSE CAST(array() AS array<int>) END"
-    blobs
-      .withColumn("cuts", expr(
-        s"array_sort(array_distinct(concat(array(0), $bounds, array(octet_length(blob)))))"))
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, size(cuts) - 1), " +
-          "j -> xxhash64(substring(blob, element_at(cuts, j) + 1, " +
-          "element_at(cuts, j + 1) - element_at(cuts, j)))))").as("chunks"))
+    // lesson); short blobs still form one whole-blob chunk via the cuts.
+    val body =
+      s"""element_at(transform(array(encode(text, 'UTF-8')), blob ->
+         |  element_at(transform(array(
+         |    array_sort(array_distinct(concat(
+         |      array(0),
+         |      CASE WHEN octet_length(blob) >= $W THEN
+         |        filter(transform(sequence($W, octet_length(blob)),
+         |          i -> IF(pmod(xxhash64(substring(blob, i - ${W - 1}, $W)), $D) = 0, i, -1)),
+         |          x -> x > 0)
+         |      ELSE CAST(array() AS array<int>) END,
+         |      array(octet_length(blob)))))), cuts ->
+         |    transform(sequence(1, size(cuts) - 1),
+         |      j -> xxhash64(substring(blob, element_at(cuts, j) + 1,
+         |                    element_at(cuts, j + 1) - element_at(cuts, j))))),
+         |  1)), 1)""".stripMargin
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr(s"array_distinct($body)").as("chunks"))
   }
 
   /** mm6: per-blob duplicated-chunk statistics — how much of each blob
@@ -335,7 +347,9 @@ object Multimodal {
     * oracle engine reproduces (mm2 policy); MultimodalSpec plants a
     * shared passage and an edit-shifted twin instead. */
   def cdcChunkStats(docs: DataFrame): DataFrame = {
-    val ch = cdcChunkHashes(docs)
+    // cache the narrow (doc_id, 8B-element chunks) relation: two
+    // consumers (frequency explode, per-doc counts) — dd8's lesson
+    val ch = cdcChunkHashes(docs).cache()
     val perDoc = ch.select(col("doc_id"), explode(col("chunks")).as("ch"))
     val dup = perDoc.groupBy(col("ch")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("ch"))
