@@ -9,7 +9,7 @@ import graft.Tables
   *
   * The driver's testdata is parquet, so the CSV query materializes the
   * `customer` table as CSV once per SF directory (tiny dimension
-  * table; write-once guarded by Spark's _SUCCESS marker) and then
+  * table; write-once, published atomically via Tables.publishLayout) and then
   * exercises the real CSV read path: explicit schema, header,
   * FAILFAST. At 100 TB the loader is what matters — schema is always
   * explicit (inference would be a full extra scan of the data),
