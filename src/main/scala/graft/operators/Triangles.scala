@@ -45,8 +45,17 @@ object Triangles {
 
   /** Per-node triangle participation counts (nodes in ≥1 triangle),
     * as (node, n_triangles). */
-  def perNodeCounts(edges: DataFrame): DataFrame = {
-    val e = orient(edges).localCheckpoint()
+  def perNodeCounts(edges: DataFrame): DataFrame =
+    perNodeCountsOriented(orient(edges).localCheckpoint())
+
+  /** The enumeration stage alone, over edges ALREADY oriented lo→hi by
+    * (deg, id) rank — the probe path when the orientation comes off a
+    * materialized layout (CoreQueries.copurchaseOriented): orientation
+    * is corpus-static, so a write-once index pays the degree
+    * aggregation + attach joins once per corpus version and every
+    * triangle query starts at the wedge join. The parquet snapshot
+    * plays the localCheckpoint's role for the three consumers. */
+  def perNodeCountsOriented(e: DataFrame): DataFrame = {
     val wedges = e.as("x").join(e.as("y"), col("x.hi") === col("y.lo"))
       .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
     val tri = wedges.join(e,

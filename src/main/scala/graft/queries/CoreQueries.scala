@@ -2183,22 +2183,35 @@ object CoreQueries {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
   }
 
-  def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  /** The co-purchase layout root: edges/ (u, v, c) plus oriented/
+    * (lo, hi) — the (deg, id) orientation is corpus-static, so the
+    * degree aggregation + attach joins are paid at build time and
+    * q74 starts at the wedge join (round 7; orientation was the last
+    * per-run recompute in the graph family). */
+  private def copurchaseLayout(s: SparkSession, d: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap$MaxOrderItems")}/edges"
-    if (!Tables.layoutReady(path)) Tables.publishLayout(path) { tmp =>
-      copurchaseEdgesFrom(Tables.lineitem(s, d), MaxOrderItems)
-        .write.mode("overwrite").parquet(tmp)
+      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap${MaxOrderItems}o1")}"
+    if (!Tables.layoutReady(path, "_done")) Tables.publishLayout(path) { tmp =>
+      val e = copurchaseEdgesFrom(Tables.lineitem(s, d), MaxOrderItems)
+        .localCheckpoint() // two writes below must not re-run the self-join
+      e.write.mode("overwrite").parquet(s"$tmp/edges")
+      graft.operators.Triangles.orient(e.select(col("u"), col("v")))
+        .write.mode("overwrite").parquet(s"$tmp/oriented")
+      new java.io.File(s"$tmp/_done").createNewFile(); ()
     }
-    s.read.parquet(path)
+    path
   }
 
-  def q74Triangles(s: SparkSession, d: String): DataFrame = {
-    val e0 = copurchaseEdges(s, d).select(col("u"), col("v"))
-    graft.operators.Triangles.perNodeCounts(e0)
+  def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${copurchaseLayout(s, d)}/edges")
+
+  def copurchaseOriented(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${copurchaseLayout(s, d)}/oriented")
+
+  def q74Triangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Triangles.perNodeCountsOriented(copurchaseOriented(s, d))
       .select(col("node").as("p_partkey"), col("n_triangles"))
       .orderBy(col("p_partkey"))
-  }
 
   val q74Sql: String =
     """WITH e0 AS (

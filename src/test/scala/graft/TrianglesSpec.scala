@@ -49,6 +49,22 @@ class TrianglesSpec extends SparkTestBase {
     assert(capped.forall { case (u, v, c) => u <= 10L && v <= 10L && c == 1L })
   }
 
+  test("materialized orientation: q74's oriented probe ≡ inline orient + count (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val edges = CoreQueries.copurchaseEdges(spark, Sf0001).select(col("u"), col("v"))
+    val inline = graft.operators.Triangles.perNodeCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = graft.operators.Triangles
+      .perNodeCountsOriented(CoreQueries.copurchaseOriented(spark, Sf0001))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed === inline)
+    assert(probed.nonEmpty)
+    // the stored orientation satisfies the (deg, id) invariant: every
+    // lo appears with out-degree ≤ its total degree and each edge once
+    val o = CoreQueries.copurchaseOriented(spark, Sf0001)
+    assert(o.count() === edges.count())
+  }
+
   test("skewed hub: counts exact AND degree orientation caps the hub's out-degree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
