@@ -579,6 +579,22 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial"), s"bucket sums must map-side combine:\n${p.take(3000)}")
   }
 
+  test("q84 delta-join maintenance: all equi-joins, no cartesian, partial-agg-free unions") {
+    val p = plan(CoreQueries.q84IncrementalJoin(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta maintenance degenerated:\n${p.take(3000)}")
+    // the standing view reads an at-rest snapshot, not re-derived lineage
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") || p.contains("ExistingRDD"),
+      s"standing view must be checkpointed, not recomputed:\n${p.take(3000)}")
+  }
+
+  test("tx21 diversity: token counts partial-agg map-side; no fact-table window") {
+    val p = plan(graft.functions.TextFunctions.diversity(
+      Tables.documents(spark, Sf0001)))
+    assert(p.contains("partial"), s"token counts must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"tx21 needs no window at all:\n${p.take(3000)}")
+  }
+
   test("q79 audit: FK flags ride outer equi-joins; one aggregate per base-table pass") {
     val p = plan(CoreQueries.q79ConstraintAudit(spark, Sf0001))
     // each base table is scanned once for all its row-level checks: the
