@@ -2789,17 +2789,25 @@ object CoreQueries {
     * ordered). No global sort of fact rows at any point — the naive
     * plan (row_number over ORDER BY value) is one partition of the
     * whole table. */
-  def q85EquiDepthHist(s: SparkSession, d: String): DataFrame = {
-    val B = 16; val BucketCents = 16384L
-    val v = Tables.lineitem(s, d)
-      .select(expr("cast(round(l_extendedprice * 100) as long)").as("v"))
-    val n = v.count() // one driver scalar (q64's runtime-literal pattern)
-    val bucketed = v.withColumn("bkt", expr(s"v div $BucketCents"))
+  def q85EquiDepthHist(s: SparkSession, d: String): DataFrame =
+    equiDepthBoundaries(
+      Tables.lineitem(s, d)
+        .select(expr("cast(round(l_extendedprice * 100) as long)").as("v")),
+      buckets = 16, bucketWidth = 16384L)
+
+  /** The boundary machinery over any single LONG column `v` — exposed
+    * for the ties spec (l_quantity: 50 distinct values across
+    * thousands of rows, so every boundary lands inside a tie run). */
+  private[graft] def equiDepthBoundaries(values: DataFrame, buckets: Int,
+      bucketWidth: Long): DataFrame = {
+    val s = values.sparkSession
+    val n = values.count() // one driver scalar (q64's runtime-literal pattern)
+    val bucketed = values.withColumn("bkt", expr(s"v div $bucketWidth"))
     val wc = Window.orderBy(col("bkt")) // over the DOMAIN aggregate only
     val cumB = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wc))
-    val ks = s.range(1, B + 1).select(col("id").as("k"),
-      expr(s"(id * ${n}L + ${B - 1}) div $B").as("rk"))
+    val ks = s.range(1, buckets + 1).select(col("id").as("k"),
+      expr(s"(id * ${n}L + ${buckets - 1}) div $buckets").as("rk"))
     val targets = ks.join(cumB, col("cum") >= col("rk"))
       .groupBy(col("k"), col("rk"))
       .agg(min_by(struct(col("bkt"), (col("cum") - col("c")).as("off")), col("bkt")).as("t"))

@@ -403,6 +403,24 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(got.map(_._3) === got.map(_._3).sorted && got.last._3 === vs.last)
   }
 
+  test("q85 boundaries stay exact under heavy ties (duplicated quantity values)") {
+    // equi-depth's subtle case: one value spanning several target
+    // ranks must serve all of them; l_quantity has ~50 distinct values
+    // across thousands of rows, so every boundary lands in a tie run
+    val vs = Tables.lineitem(spark, Sf0001)
+      .selectExpr("cast(l_quantity as long) AS v").collect().map(_.getLong(0)).sorted
+    val n = vs.length.toLong
+    val ref = (1 to 16).map { k =>
+      val rk = (k * n + 15) / 16
+      (k.toLong, rk, vs((rk - 1).toInt))
+    }
+    val got = CoreQueries.equiDepthBoundaries(
+        Tables.lineitem(spark, Sf0001).selectExpr("cast(l_quantity as long) AS v"),
+        buckets = 16, bucketWidth = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === ref)
+  }
+
   test("q56 MAD outliers equal a JVM median/MAD reference per group") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

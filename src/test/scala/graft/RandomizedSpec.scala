@@ -209,4 +209,19 @@ class RandomizedSpec extends SparkTestBase {
     assert(hashed === out(false))
     assert(hashed.exists(_._3 > 0L)) // the boilerplate creates real dup spans
   }
+
+  test("mm6 CDC chunking is deterministic and complete on generated unicode blobs") {
+    import spark.implicits._
+    val r = rng
+    val docs = (1L to 150L).map(i => (i, randText(r, 400))).filter(_._2.nonEmpty)
+      .toDF("doc_id", "text")
+    val a = Multimodal.cdcChunkHashes(docs).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Long](1).toSet).toMap
+    val b = Multimodal.cdcChunkHashes(docs).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Long](1).toSet).toMap
+    assert(a === b)
+    // every non-empty blob chunks into >= 1 piece
+    assert(a.values.forall(_.nonEmpty))
+    assert(a.nonEmpty)
+  }
 }
