@@ -39,7 +39,12 @@ object Bench {
     // wall-clock, and the default applies to the driver's artifact,
     // which sets no env. Reps run back-to-back per query (not
     // pass-by-pass) so each query's samples share one cache state.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2).max(1)
+    // malformed values fail LOUDLY with the env var named instead of
+    // crashing later with a bare NumberFormatException (ADVICE r7)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map { v =>
+      v.trim.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'"))
+    }.getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         spark.catalog.clearCache() // operator-internal caches must not tax later queries

@@ -38,7 +38,12 @@ object ScaleBench {
     // no oracle-able registry binding — a convergence loop's round
     // count is data-dependent, so it lives here, not in Verify/Bench).
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("pr_loop" -> ((s, d) => graft.queries.CoreQueries.pagerankLoop(s, d)))
+      Map("pr_loop" -> ((s, d) => graft.queries.CoreQueries.pagerankLoop(s, d)),
+        // production sink shape (parquet sink + RocksDB state): the
+        // streaming run happens inside the timed fn call; the noop
+        // write then materializes the committed read-back + rank
+        "st11_file_sink" -> ((s, d) => graft.queries.StreamQueries.st11FileSink(s, d)),
+        "st12_file_sink" -> ((s, d) => graft.queries.StreamQueries.st12FileSink(s, d)))
     // warm-up: JIT + codegen caches, so x1's first cell isn't taxed —
     // resolved through the same registry-or-extras lookup as the timed
     // cells, or an extras-first run would silently skip its warm-up

@@ -88,15 +88,22 @@ object Tables {
     * sessions building the same layout race to a single winner — the
     * loser's temp dir is discarded — instead of interleaving overwrite
     * writes into one shared directory (the check-then-overwrite race
-    * ADVICE r6 flagged). Returns true when `path` exists on exit
-    * (published by us or a concurrent winner). The move is same-volume
-    * (temp sibling of the target), so ATOMIC_MOVE is a rename. */
+    * ADVICE r6 flagged). On exit `path` exists (published by us or by
+    * a concurrent winner) or the build's exception propagates — with
+    * the temp directory deleted either way, so a crashed build leaves
+    * no orphan `.build-*` siblings accumulating in tmpdir (ADVICE r7).
+    * The move is same-volume (temp sibling of the target), so
+    * ATOMIC_MOVE is a rename. */
   def publishLayout(path: String)(build: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val target = Paths.get(path)
     if (Files.exists(target)) return
     val tmp = path + ".build-" + java.util.UUID.randomUUID().toString.take(8)
-    build(tmp)
+    try build(tmp)
+    catch { case e: Throwable =>
+      deleteRecursively(new java.io.File(tmp))
+      throw e
+    }
     if (target.getParent != null) Files.createDirectories(target.getParent)
     try Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileSystemException =>
@@ -111,14 +118,87 @@ object Tables {
     * build's completeness witness (_SUCCESS for a single Spark write,
     * _done for multi-part builds). A directory WITHOUT its marker is a
     * partial remnant of a crashed pre-atomic-convention build — it is
-    * removed so [[publishLayout]] can rebuild, never silently served. */
+    * removed so [[publishLayout]] can rebuild, never silently served.
+    * The removal is LOUD (stderr): the destructive arm of this check
+    * firing on every call is the signature of a builder/checker marker
+    * MISMATCH (e.g. a caller passing the default _SUCCESS for a layout
+    * published with _done), which would otherwise loop delete/rebuild
+    * silently on a perfectly good index (ADVICE r7). */
   def layoutReady(path: String, marker: String = "_SUCCESS"): Boolean = {
     if (new java.io.File(s"$path/$marker").exists()) true
-    else { deleteRecursively(new java.io.File(path)); false }
+    else {
+      if (new java.io.File(path).exists())
+        System.err.println(s"[graft] layoutReady: removing marker-less layout dir " +
+          s"$path (no $marker — crashed build remnant, or a builder/checker " +
+          "marker-name mismatch if this repeats per call)")
+      deleteRecursively(new java.io.File(path)); false
+    }
+  }
+
+  /** Remove one sub-layout directory (e.g. a demoted fast-path
+    * representation inside a published index — see
+    * Dedup.shingleAppendDelta). Public and name-explicit so call
+    * sites read as the destructive act they are. */
+  def deleteLayoutDir(path: String): Unit =
+    deleteRecursively(new java.io.File(path))
+
+  /** Garbage-collect SUPERSEDED write-once layouts (round 8 — VERDICT
+    * r7 #6). Every layout directory name embeds its source-file
+    * generation ([[layoutKey]]: `graft_<family>_<dirTag>_<dirMd5>_
+    * <size>_<mtime>[_<params>]`), so a testdata/source refresh
+    * changes the key and STRANDS the previous generation's full index
+    * copy — at 100 TB that is an index-sized storage leak per ingest.
+    * This sweep groups layout dirs by everything EXCEPT the (size,
+    * mtime) generation token — family, source-dir tag+digest, params
+    * — and deletes all but the newest generation per group, newest =
+    * max (mtime, size): mtime is monotone across regenerations, so
+    * the survivor is the current source's key. Distinct params
+    * (different thresholds/dims) are distinct groups and coexist.
+    * Also sweeps `.build-*` orphans from crashed pre-r8 builds, but
+    * only ones idle > 1 h — a younger temp dir may be a CONCURRENT
+    * session's in-flight build. Residual: a layout whose params
+    * embeds a SECOND source's fingerprint (q84's ivmview appends
+    * customer's) strands on that second source's refresh until its
+    * primary source refreshes too — acceptable, the dirs are grouped
+    * conservatively (never delete a maybe-live key). Returns deleted
+    * paths. */
+  def layoutVacuum(tmpDir: String = System.getProperty("java.io.tmpdir")): Seq[String] = {
+    val Keyed = "^(graft_[a-z0-9]+_.+_[0-9a-f]{32})_([0-9]+)_([0-9]+)(_.*)?$".r
+    val dirs = Option(new java.io.File(tmpDir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+    val staleBuilds = dirs.filter(f =>
+      f.getName.matches("^graft_.*\\.build-[0-9a-f]{8}$") &&
+        f.lastModified < System.currentTimeMillis - 3600L * 1000)
+    val keyed = dirs.flatMap { f =>
+      f.getName match {
+        case Keyed(stem, size, mtime, params) =>
+          Some((f, stem + Option(params).getOrElse(""), (mtime.toLong, size.toLong)))
+        case _ => None
+      }
+    }
+    val superseded = keyed.groupBy(_._2).values.toSeq.flatMap { gens =>
+      val keep = gens.maxBy(_._3)
+      gens.filterNot(_._1 == keep._1).map(_._1)
+    }
+    (staleBuilds ++ superseded).map { f =>
+      System.err.println(s"[graft] layoutVacuum: deleting superseded layout ${f.getPath}")
+      deleteRecursively(f); f.getPath
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(); ()
+  }
+}
+
+/** `runMain graft.LayoutVacuum [tmpDir]` — sweep superseded write-once
+  * layout generations (see [[Tables.layoutVacuum]]). Run after a
+  * source refresh/regeneration; prints one line per deleted dir. */
+object LayoutVacuum {
+  def main(args: Array[String]): Unit = {
+    val deleted = args.headOption
+      .map(Tables.layoutVacuum).getOrElse(Tables.layoutVacuum())
+    println(s"[vacuum] ${deleted.size} superseded layout dir(s) removed")
   }
 }

@@ -40,17 +40,23 @@ object Bfs {
     * earliest round that reaches it and is anti-joined away after. */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val sc = edges.sparkSession.sparkContext
     // Eager localCheckpoint, returning the snapshot's persisted RDD
-    // handles (diff of the persistent-RDD registry around the call —
-    // sound here because operator loops run their rounds sequentially)
-    // so superseded rounds can be freed: without explicit unpersist,
-    // executor storage and block-manager entries grow with round
-    // count, harmless at radius 4 but waste at deep radii.
+    // handle so superseded rounds can be freed: without explicit
+    // unpersist, executor storage and block-manager entries grow with
+    // round count — harmless at radius 4 but waste at deep radii.
+    // The handle is pulled from the checkpointed DataFrame's own plan
+    // (localCheckpoint rewrites it to a LogicalRDD over exactly the
+    // persisted RDD), NOT from a diff of the SparkContext-global
+    // persistent-RDD registry: a registry diff would capture any RDD a
+    // CONCURRENT job happened to persist and force-unpersist it — and
+    // a local checkpoint is unrecoverable once unpersisted, so that
+    // would fail the other job, not just waste its cache (ADVICE r7).
     def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+      val rdds = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (out, rdds)
     }
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var (visited, vRdds) = checkpointTracked(

@@ -82,7 +82,28 @@ object Dedup {
     * hard-capped) are the only driver collects, and union-find over
     * ≤ MaxCompVocab tokens is driver-side trivia. Any component over
     * 64 tokens ⇒ None ⇒ the PPJoin prefix path. */
-  private def smallVocabMasks(sh: DataFrame): Option[DataFrame] = {
+  private def smallVocabMasks(sh: DataFrame): Option[DataFrame] =
+    smallVocabDict(sh).map(dict => encodeWithDict(sh, dict))
+
+  /** Encode per-doc (comp, mask) rows against an explicit component
+    * dictionary — factored out of the vocabulary probe so the SAME
+    * dictionary can be persisted with a materialized index and re-used
+    * to encode delta batches ([[shingleAppendDelta]]). */
+  private def encodeWithDict(sh: DataFrame, dict: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val ids = dict.toDF("sh", "comp", "bit")
+    sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(broadcast(ids), "sh")
+      .groupBy("doc_id")
+      .agg(min(col("comp")).as("comp"),
+        bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+  }
+
+  /** The vocabulary probe alone: Some(dictionary) when the corpus
+    * admits the component-bitmap representation (see the scaladoc
+    * above for the bounds), None otherwise. */
+  private def smallVocabDict(sh: DataFrame): Option[Seq[(String, Int, Int)]] = {
     val spark = sh.sparkSession
     import spark.implicits._
     val sampled = sh.select(col("shingles")).limit(32).collect()
@@ -124,12 +145,7 @@ object Dedup {
           ts.sorted.zipWithIndex.map { case (t, bit) => (t, ci, bit) }
         }
       }
-    val ids = dict.toDF("sh", "comp", "bit")
-    Some(sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .join(broadcast(ids), "sh")
-      .groupBy("doc_id")
-      .agg(min(col("comp")).as("comp"),
-        bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask")))
+    Some(dict)
   }
 
   private def maskJaccard(a: Column, b: Column): Column =
@@ -299,16 +315,88 @@ object Dedup {
     * Probes dispatch on which representation was materialized, so the
     * inline operators' adaptive behavior is preserved exactly. */
   def shingleWriteIndex(docs: DataFrame, n: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = withShingles(docs, n).cache()
-    smallVocabMasks(sh).foreach(
-      _.write.mode("overwrite").parquet(s"$path/masks"))
+    // the component dictionary is PERSISTED beside the masks (round 8):
+    // it is the trained state a delta append re-encodes against, the
+    // IVF-centroid analogue for the bitmap representation
+    smallVocabDict(sh).foreach { dict =>
+      encodeWithDict(sh, dict).write.mode("overwrite").parquet(s"$path/masks")
+      dict.toDF("sh", "comp", "bit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/dict")
+    }
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df stats are PERSISTED (round 8): the total order the arrays were
+    // sorted under, so delta appends can sort their docs under the SAME
+    // order (prefix filtering is correct under any fixed global order —
+    // dd9's index-side-df argument)
+    dfreq.write.mode("overwrite").parquet(s"$path/df")
     inv.join(dfreq, "sh")
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)")
         .as("shingles"))
       .write.mode("overwrite").parquet(s"$path/sh")
+    sh.unpersist(); ()
+  }
+
+  /** Append a delta batch to a materialized shingle index WITHOUT
+    * rebuilding the base (round 8 — VERDICT r7 #1): per-ingest cost is
+    * O(|delta| shingles), never O(corpus).
+    *
+    * Array representation: the delta's per-doc arrays are sorted under
+    * the INDEX-SIDE df order (unseen shingles → df 0, ties by shingle
+    * — one well-defined total order over the union vocabulary, shared
+    * by every base array and every append batch since df/ is never
+    * mutated). Prefix filtering is exact under ANY fixed global order,
+    * so probes over base ⊕ delta return EXACTLY the full-corpus
+    * answer; what staleness costs is prefix SELECTIVITY (a once-rare
+    * shingle arriving en masse still sorts early), degrading probe
+    * cost, never correctness — the full rebuild on corpus refresh
+    * re-derives the stats.
+    *
+    * Mask representation (present iff the build admitted it): delta
+    * docs are re-encoded against the persisted component dictionary.
+    * That is sound only while every delta doc's shingles are KNOWN and
+    * lie in ONE component — a doc with novel vocabulary cannot be
+    * represented, and one bridging two components would break the
+    * pairs-never-cross-components invariant the band join relies on.
+    * Either case DEMOTES the layout: masks/ + dict/ are deleted and
+    * every probe dispatches to the always-present array path — exact
+    * answers either way, the representation is only a fast path. */
+  def shingleAppendDelta(deltaDocs: DataFrame, n: Int, path: String): Unit = {
+    val spark = deltaDocs.sparkSession
+    val sh = withShingles(deltaDocs, n).cache()
+    val dfreq = spark.read.parquet(s"$path/df")
+    sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(dfreq, Seq("sh"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)")
+        .as("shingles"))
+      .write.mode("append").parquet(s"$path/sh")
+    if (new java.io.File(s"$path/masks").exists()) {
+      val dict = spark.read.parquet(s"$path/dict")
+      val enc = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(broadcast(dict), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(col("comp")).as("n_known"),
+          countDistinct(col("comp")).as("n_comps"),
+          min(col("comp")).as("comp"),
+          bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+        .cache()
+      val demote = enc
+        .filter(col("n_known") < col("n_sh") || col("n_comps") > 1)
+        .limit(1).count() > 0
+      if (demote) {
+        graft.Tables.deleteLayoutDir(s"$path/masks")
+        graft.Tables.deleteLayoutDir(s"$path/dict")
+      } else
+        enc.select(col("doc_id"), col("comp"), col("mask"))
+          .write.mode("append").parquet(s"$path/masks")
+      enc.unpersist()
+    }
     sh.unpersist(); ()
   }
 
@@ -415,6 +503,49 @@ object Dedup {
       case None        => containmentPrefix(sh, tau)
     }
     pairs.orderBy(col("doc_sub"), col("doc_super"))
+  }
+
+  /** dd13: per-document containment VERDICT — the O(docs) signal a
+    * curation pipeline actually consumes (round 8 — VERDICT r7 #5:
+    * dd11's pair set is the INTERMEDIATE, 248 M rows at x30; the
+    * consumable stage is one row per document). Per doc: its
+    * wrap-GROUP id (connected component over the containment graph
+    * viewed undirected — min-reachable-doc_id labels, dd6's exact
+    * algebra, so groups compose with the canonical/incremental
+    * machinery), its containment degrees (n_contains = docs it
+    * contains at ≥ τ, n_contained_in = docs containing it), and
+    * is_canonical — the member a curator KEEPS per wrap group: fewest
+    * containers first (the outermost wrapper — a quote chain's root
+    * page, not the quoted post), ties to lowest doc_id; singletons
+    * are trivially canonical.
+    *
+    * Scale: degrees are ONE partial-agg'd shuffle over the pair set
+    * (both directions tagged map-side before the union); grouping is
+    * the same edge-touching propagation dd6 amortizes; the verdict
+    * join + rank are O(docs) with the rank window partitioned by
+    * group (no global order). The pair set itself comes from the
+    * prefix-filtered probe — never all-pairs. */
+  def containmentGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // snap the candidate plan once: it feeds the degree union (two
+    // scans) AND the propagation loop (dupGroupLabels would re-run
+    // the whole prefix join per round through lineage otherwise)
+    val p = pairs.select(col("doc_sub"), col("doc_super")).localCheckpoint(true)
+    val degrees = p
+      .select(col("doc_sub").as("doc_id"), lit(1L).as("sub"), lit(0L).as("sup"))
+      .union(p.select(col("doc_super").as("doc_id"), lit(0L).as("sub"), lit(1L).as("sup")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sub")).as("n_contained_in"), sum(col("sup")).as("n_contains"))
+    val groups = dupGroupLabels(docs,
+      p.select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")), 50, None)
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("n_contained_in"), col("doc_id"))
+    groups.join(degrees, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contained_in", "n_contains"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("doc_id"), col("group_id"), col("n_contains"),
+        col("n_contained_in"), col("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** Small-vocab containment: collapse to distinct (comp, mask) —

@@ -2603,7 +2603,21 @@ object CoreQueries {
     * double-rounds past ~16 significant digits — q54's lesson), and
     * mean/std/z come from ONE fixed IEEE tree stated identically in
     * both engines; greatest(·,0) guards the catastrophic-cancellation
-    * corner where var underflows to −ε. z is NULL until the frame has
+    * corner where var underflows to −ε. The SQUARE is pinned exact on
+    * both engines (ADVICE r7): the operands are first cast down so the
+    * product carries its full scale-12 value with NO rounding anywhere
+    * — Spark squares DECIMAL(16,6) operands into an exact (33,12)
+    * (inside the 38-digit cap, so the precision-loss rule never fires,
+    * where squaring the raw DECIMAL(28,6) daily total was silently
+    * rounded back to 6 dp), and the oracle squares DECIMAL(19,6)
+    * operands into an exact int128-backed (38,12) (a (16,6) operand
+    * pair overflows DuckDB's int64 multiply path). Exact ⇒ equal,
+    * whatever each engine's result scale prints as — invisible on
+    * ≤2-dp value data, a hash flake on anything finer. Data contract
+    * of the (16,6) hop: |daily total| < 10^10, i.e. the narrowing cast
+    * itself is exact — orders of magnitude of headroom on per-(type,
+    * day) sums of unit-scale values.
+    * z is NULL until the frame has
     * ≥ 4 days and a positive spread — a 1-day-old series has no trend
     * to deviate from. Plan: one partial-agg'd scan to |types|×|days|
     * rows, one window over the tiny aggregate — the fact table is
@@ -2618,7 +2632,8 @@ object CoreQueries {
     daily
       .withColumn("n7", count(lit(1)).over(w))
       .withColumn("s1", sum(col("v_dec")).over(w))
-      .withColumn("s2", sum(col("v_dec") * col("v_dec")).over(w))
+      .withColumn("v16", col("v_dec").cast(DecimalType(16, 6)))
+      .withColumn("s2", sum(col("v16") * col("v16")).over(w))
       .selectExpr("event_type", "day",
         "cast(cast(v_dec as string) as double) as day_value", "n7",
         "cast(cast(s1 as string) as double) as s1d",
@@ -2641,7 +2656,7 @@ object CoreQueries {
       |win AS (
       |  SELECT event_type, day, v_dec,
       |   COUNT(*) OVER w AS n7, SUM(v_dec) OVER w AS s1,
-      |   SUM(v_dec * v_dec) OVER w AS s2
+      |   SUM(CAST(v_dec AS DECIMAL(19,6)) * CAST(v_dec AS DECIMAL(19,6))) OVER w AS s2
       |  FROM daily
       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
       |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
@@ -2740,31 +2755,57 @@ object CoreQueries {
     * each with one sliver side, broadcastable at real delta rates —
     * and never re-joins base×base. The deltas are the reproducible md5
     * split (q32's trick: orders/customers whose key hashes to a '0'
-    * first digit play the nightly batch). V itself is localCheckpointed
-    * before the union: the maintenance terms must read the view
-    * AT REST, not re-derive it through lineage (which would silently
-    * re-run the base join and void the cost claim). Oracle = the full
-    * recompute stated in SQL; bit-identical because a join of exact
-    * columns is set algebra — the three delta terms partition exactly
-    * the rows the full join adds. */
-  def q84IncrementalJoin(s: SparkSession, d: String): DataFrame = {
+    * first digit play the nightly batch). V itself is a WRITE-ONCE
+    * PARQUET LAYOUT (round 8 — VERDICT r7 #2: the round-7 form
+    * localCheckpointed V, which kept maintenance off the view's
+    * LINEAGE but still re-derived V from the base tables on every
+    * invocation; the cost claim was demonstrated inside one job, not
+    * realized across runs). The view is built once per corpus version
+    * under Tables.layoutKey (keyed on BOTH source parquets — a refresh
+    * of either invalidates it) and the maintenance query reads it at
+    * rest: per-refresh cost is one view scan + three delta-sized
+    * joins, with no base-orders⋈base-customer join anywhere in the
+    * plan (ExplainSpec pins exactly three joins + the layout scan).
+    * Oracle = the full recompute stated in SQL; bit-identical because
+    * a join of exact columns is set algebra — the three delta terms
+    * partition exactly the rows the full join adds. */
+  private def q84Splits(s: SparkSession, d: String) = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_totalprice"))
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
       col("c_mktsegment"))
     val oDelta = substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0"
     val cDelta = substring(md5(col("c_custkey").cast("string")), 1, 1) === "0"
-    val oBase = o.filter(!oDelta); val oNew = o.filter(oDelta)
-    val cBase = c.filter(!cDelta); val cNew = c.filter(cDelta)
-    def j(l: DataFrame, r: DataFrame) =
-      l.join(r, col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
-          col("c_mktsegment"), col("o_totalprice"))
-    val standing = j(oBase, cBase).localCheckpoint() // the view at rest
+    (o.filter(!oDelta), o.filter(oDelta), c.filter(!cDelta), c.filter(cDelta))
+  }
+
+  private def q84Join(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+
+  /** Build-if-missing standing view V = base-orders ⋈ base-customer,
+    * published via the atomic layout convention. Keyed on the
+    * size/mtime of BOTH inputs: layoutKey fingerprints orders, the
+    * params token appends customer's raw fingerprint. */
+  private[graft] def q84StandingViewPath(s: SparkSession, d: String): String = {
+    val c = new java.io.File(s"$d/customer.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivmview_" +
+      Tables.layoutKey(d, "orders", s"v1c${c.length}-${c.lastModified}")
+    if (!Tables.layoutReady(path)) Tables.publishLayout(path) { tmp =>
+      val (oBase, _, cBase, _) = q84Splits(s, d)
+      q84Join(oBase, cBase).write.parquet(tmp)
+    }
+    path
+  }
+
+  def q84IncrementalJoin(s: SparkSession, d: String): DataFrame = {
+    val standing = s.read.parquet(q84StandingViewPath(s, d)) // the view at rest
+    val (oBase, oNew, cBase, cNew) = q84Splits(s, d)
     standing
-      .union(j(oNew, cBase))
-      .union(j(oBase, cNew))
-      .union(j(oNew, cNew))
+      .union(q84Join(oNew, cBase))
+      .union(q84Join(oBase, cNew))
+      .union(q84Join(oNew, cNew))
       .orderBy(col("o_orderkey"))
   }
 

@@ -34,7 +34,7 @@ object PipelineQueries {
     * both representations (DedupSpec). */
   private def cachedShingleIndex(s: SparkSession, d: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_shidx_${Tables.layoutKey(d, "documents", "n1")}"
+      s"/graft_shidx_${Tables.layoutKey(d, "documents", "n1v2")}" // v2: +df/ +dict/ (delta-append state, round 8)
     if (!Tables.layoutReady(path, "_done"))
       Tables.publishLayout(path) { tmp =>
         Dedup.shingleWriteIndex(Tables.documents(s, d), 1, tmp)
@@ -261,6 +261,55 @@ object PipelineQueries {
       |  >= $JaccardThreshold
       |ORDER BY doc_sub, doc_super""".stripMargin
 
+  /** dd13: the containment-GROUPS composition (round 8 — VERDICT r7
+    * #5): dd11's directed pair set folded to a per-document verdict —
+    * wrap-group id (dd6's CC labels over the undirected containment
+    * graph), containment degrees, and the canonical member to keep.
+    * Output O(docs) where dd11's is O(pairs); candidates still come
+    * off the materialized shingle index. */
+  def dd13(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentGroups(Tables.documents(s, d),
+      Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold))
+
+  /** dd11's containment-pair CTE + dd6's recursive transitive closure
+    * (undirected edges, min-reachable label) + degree counts + the
+    * fewest-containers-first canonical rank, all stated relationally.
+    * Closure is O(n·component) — oracle SF only. */
+  val dd13Sql: String =
+    s"""WITH RECURSIVE docsets AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |prs AS (
+      |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super
+      |  FROM docsets a, docsets b
+      |  WHERE a.doc_id <> b.doc_id AND len(a.ws) > 0
+      |   AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws)
+      |    >= $JaccardThreshold),
+      |edges AS (
+      |  SELECT doc_sub AS src, doc_super AS dst FROM prs
+      |  UNION ALL SELECT doc_super, doc_sub FROM prs),
+      |rch(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM rch r JOIN edges e ON r.dst = e.src),
+      |grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM rch GROUP BY src),
+      |subs AS (SELECT doc_sub AS doc_id, COUNT(*) AS n_ci FROM prs GROUP BY 1),
+      |sups AS (SELECT doc_super AS doc_id, COUNT(*) AS n_c FROM prs GROUP BY 1),
+      |verdict AS (
+      |  SELECT g.doc_id, g.group_id,
+      |   CAST(COALESCE(sups.n_c, 0) AS BIGINT) AS n_contains,
+      |   CAST(COALESCE(subs.n_ci, 0) AS BIGINT) AS n_contained_in
+      |  FROM grp g
+      |  LEFT JOIN subs ON subs.doc_id = g.doc_id
+      |  LEFT JOIN sups ON sups.doc_id = g.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY group_id
+      |                               ORDER BY n_contained_in, doc_id) AS rk
+      |  FROM verdict)
+      |SELECT doc_id, group_id, n_contains, n_contained_in,
+      | (rk = 1) AS is_canonical
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   /** dd12: exact Levenshtein near-dup pairs, banded length blocking.
     * The oracle brute-forces same-language near-length pairs — sound
     * because dist ≤ k forces len diff ≤ k (the same pigeonhole the
@@ -344,6 +393,13 @@ object PipelineQueries {
           case "pq"    => Similarity.pqWriteIndex(emb, tmp, EmbDim)
           case "ivfpq" => Similarity.ivfPqWriteIndex(emb, tmp, EmbDim)
           case "lsh"   => Similarity.lshWriteIndex(emb, tmp, EmbDim)
+          // the nightly-maintenance shape (round 8): centroids trained
+          // on the base 7/8 of the corpus, the delta 1/8 appended to
+          // the existing lists WITHOUT a rebuild — ss8's ivf_delta
+          // recall row gauges the list-balance drift this accepts
+          case "ivf_delta" =>
+            Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp)
+            Similarity.ivfAppendDelta(emb.filter(col("vec_id") % 8 === 0), tmp)
         }
         new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
@@ -365,12 +421,14 @@ object PipelineQueries {
     cachedGroupsIndex(s, d, "full", docs).count()
     cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count()
     cachedShingleIndex(s, d)
-    Seq("ivf", "pq", "ivfpq", "lsh").foreach(v => cachedAnnIndex(s, d, v))
+    Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()
     graft.sources.AvroIngest.supplierAvro(s, d).count()
     graft.queries.CoreQueries.q65ZorderBox(s, d).count()
     graft.queries.CoreQueries.copurchaseEdges(s, d).count()
+    graft.queries.CoreQueries.q84StandingViewPath(s, d)
+    ()
   }
 
   def ss3(s: SparkSession, d: String): DataFrame = {
@@ -438,7 +496,11 @@ object PipelineQueries {
       "ss2_lsh"   -> Similarity.lshProbeIndex(s, cachedAnnIndex(s, d, "lsh"), q, EmbDim, TopK),
       "ss3_ivf"   -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf"), q, TopK),
       "ss5_pq"    -> Similarity.pqProbeIndex(s, cachedAnnIndex(s, d, "pq"), q, TopK),
-      "ss7_ivfpq" -> Similarity.ivfPqProbeIndex(s, cachedAnnIndex(s, d, "ivfpq"), q, TopK)))
+      "ss7_ivfpq" -> Similarity.ivfPqProbeIndex(s, cachedAnnIndex(s, d, "ivfpq"), q, TopK),
+      // base-trained centroids ⊕ appended delta (VERDICT r7 #7): the
+      // recall gauge that says when appended drift warrants re-
+      // clustering — scored against the same exact top-k as the rest
+      "ivf_delta" -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf_delta"), q, TopK)))
   }
 
   private val RangeMinCosine = 0.25
@@ -591,6 +653,7 @@ object PipelineQueries {
     ("dd10_incr_groups", dd10 _, dd6Sql),
     ("dd11_containment", dd11 _, dd11Sql),
     ("dd12_edit_distance", dd12 _, dd12Sql),
+    ("dd13_containment_groups", dd13 _, dd13Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),

@@ -562,7 +562,11 @@ object StreamQueries {
     * cardinality, never events; this is how a 100 TB pipeline gets
     * hour AND day marts from one pass instead of two jobs re-reading
     * the fact stream. */
-  def st11(s: SparkSession, d: String): DataFrame = {
+  /** The STREAMING side of st11 alone — split from the sink/finish so
+    * the spec can run the same pipeline against a real parquet file
+    * sink (the production deployment shape) and pin output parity
+    * with the memory-sink registry run (round 8 — VERDICT r7 #3). */
+  private[graft] def st11Agg(s: SparkSession, d: String): DataFrame = {
     val hourly = eventsStream(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ets"),
         col("event_type"), col("value"))
@@ -570,15 +574,21 @@ object StreamQueries {
       .groupBy(window(col("ets"), "1 hour").as("hw"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("double").cast(DecimalType(18, 6))).as("hour_value"))
-    val daily = hourly
+    hourly
       .groupBy(window(window_time(col("hw")), "1 day").as("dw"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_hours"),
         sum(col("hour_value")).cast("double").as("total_value"))
-    runToTable(s, daily, "append")
+  }
+
+  /** Presentation over st11's COMMITTED day table (any sink). */
+  private[graft] def st11Finish(committed: DataFrame): DataFrame =
+    committed
       .select(col("dw.start").cast("timestamp_ntz").as("day_start"),
         col("event_type"), col("n_events"), col("n_hours"), col("total_value"))
       .orderBy(col("day_start"), col("event_type"))
-  }
+
+  def st11(s: SparkSession, d: String): DataFrame =
+    st11Finish(runToTable(s, st11Agg(s, d), "append"))
 
   val st11Sql: String =
     """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
@@ -607,14 +617,17 @@ object StreamQueries {
     * rule at day grain plus the same rank. State is O(open days ×
     * users active in them) — horizon-bounded, the append-mode
     * requirement; complete-mode ranking would hold every day forever. */
-  def st12(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStream(s, d)
+  /** The STREAMING side of st12 alone — see [[st11Agg]]'s rationale. */
+  private[graft] def st12Agg(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ets"),
         col("user_id"), col("value"))
       .withWatermark("ets", "2 hours")
       .groupBy(window(col("ets"), "1 day").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-    val committed = runToTable(s, agg, "append")
+
+  /** Presentation rank over st12's COMMITTED day×user mart (any sink). */
+  private[graft] def st12Finish(committed: DataFrame): DataFrame = {
     val rnk = Window.partitionBy(col("day"))
       .orderBy(col("total_value").desc, col("user_id"))
     committed
@@ -626,6 +639,47 @@ object StreamQueries {
         col("user_id"), col("n_events"), col("total_value"))
       .orderBy(col("day"), col("rnk"))
   }
+
+  def st12(s: SparkSession, d: String): DataFrame =
+    st12Finish(runToTable(s, st12Agg(s, d), "append"))
+
+  /** Run a streaming aggregate through a REAL parquet file sink under
+    * the RocksDB state-store provider — the 100 TB deployment shape
+    * (durable sink + off-heap state), vs the memory sink the registry
+    * entries use for the hash gate. Each call gets a fresh sink +
+    * checkpoint directory; the committed table is the parquet read-
+    * back (the sink's _spark_metadata commit log scopes the read to
+    * COMMITTED files, so a crashed write is never half-read). The
+    * provider override is session-scoped and restored on exit. */
+  private[graft] def runToParquetSink(s: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$dir/data").option("checkpointLocation", s"$dir/chk")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    s.read.parquet(s"$dir/data")
+  }
+
+  /** st11/st12 in the production sink shape (parquet sink + RocksDB
+    * state) — spec-pinned ≡ the memory-sink registry outputs, and the
+    * entry ScaleBench runs for the x1→x30 curve so the scale evidence
+    * measures the real sink, not the driver-resident memory sink
+    * (VERDICT r7's st12 watch-item). */
+  def st11FileSink(s: SparkSession, d: String): DataFrame =
+    st11Finish(runToParquetSink(s, st11Agg(s, d)))
+
+  def st12FileSink(s: SparkSession, d: String): DataFrame =
+    st12Finish(runToParquetSink(s, st12Agg(s, d)))
 
   val st12Sql: String =
     """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),

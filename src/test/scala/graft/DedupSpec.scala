@@ -292,6 +292,93 @@ class DedupSpec extends SparkTestBase {
     assert(inline2.nonEmpty) // the planted 78/82-token overlaps qualify
   }
 
+  // ---- Round 8: shingle-index delta append (VERDICT r7 #1) ----
+
+  /** (path → size) for every data file under `dir`, recursively. */
+  private def dataFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.startsWith("part-"))
+      .map(f => f.getPath -> f.length).toMap
+  }
+
+  test("shingle delta append (array path): probe ≡ inline over the union; base files untouched") {
+    import spark.implicits._
+    // large vocab forces the df-sorted-array representation; the
+    // planted near-dups are CROSS base↔delta pairs, so a probe that
+    // failed to see appended rows under the shared total order would
+    // return empty
+    def toks(i: Int): Seq[String] = (0 until 80).map(j => s"w${(13 * i + j) % 6000}")
+    val baseDocs = (0 until 40).map(i => (i.toLong, toks(i).mkString(" "))).toDF("doc_id", "text")
+    val deltaDocs = (0 until 40).map(i =>
+      ((500 + i).toLong, (toks(i).drop(2) ++ Seq(s"x$i", s"y$i")).mkString(" "))).toDF("doc_id", "text")
+    val union = baseDocs.union(deltaDocs)
+    val idx = java.nio.file.Files.createTempDirectory("graft-shidx-delta").toString
+    Dedup.shingleWriteIndex(baseDocs, 1, idx)
+    assert(!new java.io.File(s"$idx/masks").exists())
+    val before = dataFiles(s"$idx/sh")
+    Dedup.shingleAppendDelta(deltaDocs, 1, idx)
+    val after = dataFiles(s"$idx/sh")
+    assert(before.forall { case (p, len) => after.get(p) == Some(len) },
+      "append rewrote base array files")
+    assert(after.size > before.size, "append added no files")
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = pairs(Dedup.ngramJaccard(union, 1, 0.9))
+    assert(pairs(Dedup.ngramJaccardProbe(spark, idx, 0.9)) === inline)
+    assert(pairs(Dedup.minhashLshProbe(spark, idx, 0.9)) ===
+      pairs(Dedup.minhashLsh(union, 0.9)))
+    assert(pairs(Dedup.containmentProbe(spark, idx, 0.9)) ===
+      pairs(Dedup.containment(union, 1, 0.9)))
+    assert(inline.exists { case (a, b, _) => a < 500 && b >= 500 },
+      "planted cross base↔delta pair missing — test fixture broken")
+  }
+
+  test("shingle delta append (mask path, known vocab): representation kept, probe ≡ inline union") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-shidx-dm").toString
+    Dedup.shingleWriteIndex(docs, 1, idx)
+    assert(new java.io.File(s"$idx/masks").exists())
+    assert(new java.io.File(s"$idx/dict").exists(), "dict must be persisted beside masks")
+    // delta doc = exact dup of doc 1 — every shingle known, one
+    // component — the fast path survives the append
+    val delta = Seq((7L, base)).toDF("doc_id", "text")
+    Dedup.shingleAppendDelta(delta, 1, idx)
+    assert(new java.io.File(s"$idx/masks").exists(), "known-vocab delta must NOT demote")
+    val union = docs.union(delta)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val probed = pairs(Dedup.ngramJaccardProbe(spark, idx, 0.9))
+    assert(probed === pairs(Dedup.ngramJaccard(union, 1, 0.9)))
+    assert(probed.exists { case (a, b, j) => a == 1L && b == 7L && j == 1.0 })
+    assert(pairs(Dedup.containmentProbe(spark, idx, 0.9)) ===
+      pairs(Dedup.containment(union, 1, 0.9)))
+  }
+
+  test("shingle delta append (novel vocab): masks DEMOTED, array probe still ≡ inline union") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-shidx-dn").toString
+    Dedup.shingleWriteIndex(docs, 1, idx)
+    assert(new java.io.File(s"$idx/masks").exists())
+    // novel tokens cannot be represented in the persisted dictionary →
+    // the layout must drop to the always-exact array representation,
+    // never encode a lossy mask
+    val delta = Seq((8L, base + " zz_novel"), (9L, base + " zz_novel")).toDF("doc_id", "text")
+    Dedup.shingleAppendDelta(delta, 1, idx)
+    assert(!new java.io.File(s"$idx/masks").exists(), "novel-vocab delta must demote masks/")
+    assert(!new java.io.File(s"$idx/dict").exists(), "dict must go with masks")
+    val union = docs.union(delta)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val probed = pairs(Dedup.ngramJaccardProbe(spark, idx, 0.9))
+    assert(probed === pairs(Dedup.ngramJaccard(union, 1, 0.9)))
+    // the 21-token delta twins (J=1.0 with each other, 20/21 ≈ 0.952
+    // with docs 1/2) are only visible through appended rows
+    assert(probed.exists { case (a, b, _) => a == 8L && b == 9L })
+    assert(probed.exists { case (a, b, _) => a < 8L && b >= 8L })
+  }
+
   test("materialized dup-groups index: probe ≡ inline dd7 on the driver corpus") {
     val t = Tables.documents(spark, Sf0001)
     val idx = java.nio.file.Files.createTempDirectory("graft-ddidx").toString

@@ -579,13 +579,21 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial"), s"bucket sums must map-side combine:\n${p.take(3000)}")
   }
 
-  test("q84 delta-join maintenance: all equi-joins, no cartesian, partial-agg-free unions") {
-    val p = plan(CoreQueries.q84IncrementalJoin(spark, Sf0001))
+  test("q84 maintenance: ONE at-rest view scan + exactly three delta joins, never base×base") {
+    val df = CoreQueries.q84IncrementalJoin(spark, Sf0001)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"delta maintenance degenerated:\n${p.take(3000)}")
-    // the standing view reads an at-rest snapshot, not re-derived lineage
-    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") || p.contains("ExistingRDD"),
-      s"standing view must be checkpointed, not recomputed:\n${p.take(3000)}")
+    // the standing view is read from its write-once parquet layout —
+    // NOT re-derived from the base tables through lineage or a
+    // per-invocation checkpoint (VERDICT r7 #2)
+    assert(p.contains("graft_ivmview_"),
+      s"standing view must scan the published layout:\n${p.take(3000)}")
+    // exactly the three delta-sized joins: a fourth join would be the
+    // base-orders⋈base-customer recompute the IVM algebra exists to avoid
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins === 3, s"expected 3 delta joins, got $joins:\n${p.take(3000)}")
   }
 
   test("tx21 diversity: token counts partial-agg map-side; no fact-table window") {

@@ -65,6 +65,112 @@ class IvfIndexSpec extends SparkTestBase {
       s"bucket not a partition filter:\n$p")
   }
 
+  // ---- Round 8: incremental index maintenance (VERDICT r7 #1) ----
+  // For each variant: build the index over a BASE slice, append the
+  // DELTA slice via *AppendDelta, and assert (a) probe(base ⊕ delta)
+  // is bit-identical to probing a ONE-SHOT index over the union built
+  // with the SAME trained state (centroids/codebook — for LSH there is
+  // none), and (b) the append touched no base file: every pre-append
+  // data file still exists with its exact length. (a) is the
+  // correctness claim — appends never change what's probed, only list
+  // balance/recall, which ss8's ivf_delta row gauges; (b) is the cost
+  // claim's mechanism — per-ingest IO is O(|delta|), never O(corpus).
+
+  /** (path → size) for every data file under `dir`, recursively. */
+  private def dataFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+      .map(f => f.getPath -> f.length).toMap
+  }
+
+  private def assertBaseUntouched(before: Map[String, Long], after: Map[String, Long]): Unit = {
+    val touched = before.filter { case (p, len) => after.get(p) != Some(len) }
+    assert(touched.isEmpty, s"append rewrote base files: ${touched.keys.take(5)}")
+    assert(after.size > before.size, "append added no files")
+  }
+
+  private def splitEmb() = {
+    val emb = Tables.embeddings(spark, Sf0001)
+    (emb, emb.filter(col("vec_id") % 8 =!= 0), emb.filter(col("vec_id") % 8 === 0))
+  }
+
+  test("IVF delta append ≡ one-shot union build under the same centroids; base files untouched") {
+    val (emb, base, delta) = splitEmb()
+    val q = emb.filter(col("vec_id") < 5)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-delta").toString
+    Similarity.ivfWriteIndex(base, dirA, nlist = 16, iters = 2)
+    val before = dataFiles(s"$dirA/vectors")
+    Similarity.ivfAppendDelta(delta, dirA)
+    assertBaseUntouched(before, dataFiles(s"$dirA/vectors"))
+
+    val cents = Similarity.readCentroids(spark, s"$dirA/centroids")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-union").toString
+    Similarity.ivfWriteIndex(emb, dirB, nlist = 16, iters = 2,
+      centroidsOpt = Some(cents))
+    val a = Similarity.ivfProbeIndex(spark, dirA, q, k = 10, nprobe = 2).collect().toSeq
+    val b = Similarity.ivfProbeIndex(spark, dirB, q, k = 10, nprobe = 2).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("PQ delta append ≡ one-shot union encode under the same codebook; base files untouched") {
+    val (emb, base, delta) = splitEmb()
+    val q = emb.filter(col("vec_id") < 5)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pq-delta").toString
+    Similarity.pqWriteIndex(base, dirA, dim = 64)
+    val before = dataFiles(s"$dirA/codes")
+    Similarity.pqAppendDelta(delta, dirA, dim = 64)
+    assertBaseUntouched(before, dataFiles(s"$dirA/codes"))
+
+    val books = Similarity.readCodebook(spark, s"$dirA/codebook")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pq-union").toString
+    Similarity.pqWriteIndex(emb, dirB, dim = 64, booksOpt = Some(books))
+    val a = Similarity.pqProbeIndex(spark, dirA, q, k = 10).collect().toSeq
+    val b = Similarity.pqProbeIndex(spark, dirB, q, k = 10).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("LSH delta append ≡ one-shot union build (hash functions carry no trained state)") {
+    val (emb, base, delta) = splitEmb()
+    val q = emb.filter(col("vec_id") < 5)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lsh-delta").toString
+    Similarity.lshWriteIndex(base, dirA, dim = 64)
+    val before = dataFiles(s"$dirA/buckets")
+    Similarity.lshAppendDelta(delta, dirA, dim = 64)
+    assertBaseUntouched(before, dataFiles(s"$dirA/buckets"))
+
+    val dirB = java.nio.file.Files.createTempDirectory("graft-lsh-union").toString
+    Similarity.lshWriteIndex(emb, dirB, dim = 64)
+    val a = Similarity.lshProbeIndex(spark, dirA, q, dim = 64, k = 10).collect().toSeq
+    val b = Similarity.lshProbeIndex(spark, dirB, q, dim = 64, k = 10).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("IVF-PQ delta append ≡ one-shot union build under the same coarse+books; base untouched") {
+    val (emb, base, delta) = splitEmb()
+    val q = emb.filter(col("vec_id") < 5)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivfpq-delta").toString
+    Similarity.ivfPqWriteIndex(base, dirA, dim = 64, nlist = 16)
+    val before = dataFiles(s"$dirA/codes")
+    Similarity.ivfPqAppendDelta(delta, dirA, dim = 64)
+    assertBaseUntouched(before, dataFiles(s"$dirA/codes"))
+
+    val coarse = Similarity.readCentroids(spark, s"$dirA/centroids")
+    val books = Similarity.readCodebook(spark, s"$dirA/codebook")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivfpq-union").toString
+    Similarity.ivfPqWriteIndex(emb, dirB, dim = 64, nlist = 16,
+      coarseOpt = Some(coarse), booksOpt = Some(books))
+    val a = Similarity.ivfPqProbeIndex(spark, dirA, q, k = 10, nprobe = 4).collect().toSeq
+    val b = Similarity.ivfPqProbeIndex(spark, dirB, q, k = 10, nprobe = 4).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("IVF-PQ index write → probe equals inline ivfPqTopK; pruned code-only scan") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)

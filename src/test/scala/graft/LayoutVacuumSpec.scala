@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tables.layoutVacuum — the storage-GC for write-once layouts
+  * (VERDICT r7 #6: every source refresh strands a full index copy
+  * under tmpdir; at 100 TB that is an index-sized leak per ingest).
+  * Pure filesystem logic, no Spark session needed. */
+class LayoutVacuumSpec extends AnyFunSuite {
+
+  private val Hex = "0123456789abcdef0123456789abcdef" // a 32-hex dir digest
+
+  private def mkLayout(root: String, name: String): java.io.File = {
+    val d = new java.io.File(root, name)
+    assert(d.mkdirs())
+    val f = new java.io.File(d, "part-00000.parquet")
+    assert(f.createNewFile())
+    d
+  }
+
+  test("vacuum keeps only the newest generation per (family, dir, params) group") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    // two generations of the same layout: mtime 1000 → 2000
+    val oldGen = mkLayout(root, s"graft_shidx_sf0.01_${Hex}_100_1000_n1v2")
+    val newGen = mkLayout(root, s"graft_shidx_sf0.01_${Hex}_120_2000_n1v2")
+    // same source, DIFFERENT params — its own group, must coexist
+    val otherParams = mkLayout(root, s"graft_shidx_sf0.01_${Hex}_120_2000_n2v2")
+    // a no-params layout family, also two generations
+    val oldNoP = mkLayout(root, s"graft_zorder_sf0.01_${Hex}_100_1000")
+    val newNoP = mkLayout(root, s"graft_zorder_sf0.01_${Hex}_120_2000")
+    // unrelated dir — must never be touched
+    val bystander = mkLayout(root, "not_a_graft_layout")
+
+    val deleted = Tables.layoutVacuum(root).toSet
+    assert(deleted === Set(oldGen.getPath, oldNoP.getPath))
+    assert(!oldGen.exists() && !oldNoP.exists())
+    assert(newGen.exists() && otherParams.exists() && newNoP.exists() && bystander.exists())
+  }
+
+  test("vacuum sweeps stale .build-* orphans but spares young (possibly in-flight) ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum-b").toString
+    val stale = mkLayout(root, s"graft_annidx_sf0.01_${Hex}_100_1000.build-deadbeef")
+    assert(stale.setLastModified(System.currentTimeMillis - 2 * 3600L * 1000))
+    val young = mkLayout(root, s"graft_annidx_sf0.01_${Hex}_100_1000.build-cafebabe")
+    val deleted = Tables.layoutVacuum(root)
+    assert(deleted === Seq(stale.getPath))
+    assert(!stale.exists() && young.exists())
+  }
+
+  test("vacuum is idempotent and safe on an empty / absent directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum-e").toString
+    assert(Tables.layoutVacuum(root).isEmpty)
+    assert(Tables.layoutVacuum(root + "/does-not-exist").isEmpty)
+  }
+}

@@ -192,6 +192,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean("ss7_ivfpq") >= 0.1)
   }
 
+  test("ss8 registry run carries the ivf_delta row; delta-appended recall floor holds") {
+    // VERDICT r7 #7: appending to existing centroids shifts list
+    // balance away from the training distribution — this recall row
+    // is the gauge that says when to re-cluster. The registry ss8
+    // (materialized-index probes, including the base-trained ⊕
+    // delta-appended ivf_delta index) must carry the row, and its
+    // mean recall at default params must not collapse below the
+    // full-build IVF floor: the driver corpus's delta 1/8 is drawn
+    // from the same distribution, so near-full-build recall is the
+    // expected (and spec'd) behavior; a big drop here means append
+    // assignment or partition-append layout broke.
+    val out = graft.queries.PipelineQueries.ss8(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val variants = out.map(_._1).distinct.sorted.toSeq
+    assert(variants === Seq("ivf_delta", "ss2_lsh", "ss3_ivf", "ss5_pq", "ss7_ivfpq"))
+    val deltaRows = out.filter(_._1 == "ivf_delta")
+    assert(deltaRows.forall { case (_, _, r) => r >= 0.0 && r <= 1.0 })
+    val mean = deltaRows.map(_._3).sum / deltaRows.length
+    assert(mean >= 0.2, s"ivf_delta mean recall $mean collapsed — delta append broke probing")
+  }
+
   test("ss9 range search: radius semantics, consistent with ss1's exact top-k") {
     // planted: the exact copy (cosine 1.0) is inside any radius; the
     // result set is exactly the brute-force rows at-or-above it
