@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure delta-append index maintenance against its full-rebuild
+  * alternative — the empirical line behind the round-8 claim that a
+  * nightly ingest costs O(|delta|), never O(corpus):
+  *
+  *   `runMain graft.DeltaBench <sfDir> [reps]`
+  *
+  * For each materialized-index family the corpus splits 7/8 base +
+  * 1/8 delta (the dd9/ss8 convention). The BASE index is built once,
+  * untimed (it is the standing infrastructure). Then, min-of-`reps`
+  * each: (a) FULL rebuild over the union into a fresh directory —
+  * what every ingest cost before round 8 — and (b) *AppendDelta of
+  * the 1/8 into a fresh COPY of the base index (copy untimed; the
+  * append must see a pristine base each rep, since appending is a
+  * mutation). The ratio is the amortization a nightly pipeline
+  * realizes; at a production delta rate (≪ 1/8 of corpus/night) it
+  * only widens. */
+object DeltaBench {
+
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten.foreach(f =>
+        copyDir(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.broadcastTimeout", "1200")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Dedup, Similarity}
+
+    val work = java.nio.file.Files.createTempDirectory("graft-deltabench").toString
+    var n = 0
+    def fresh(): String = { n += 1; s"$work/d$n" }
+    def minTime(f: String => Unit): Double =
+      (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f(fresh()); (System.nanoTime() - t0) / 1e9
+      }.min
+    def minTimeOnCopy(proto: String)(f: String => Unit): Double =
+      (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val c = fresh()
+        copyDir(new java.io.File(proto), new java.io.File(c))
+        val t0 = System.nanoTime(); f(c); (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val docs = Tables.documents(spark, dir)
+    val (docsBase, docsDelta) =
+      (docs.filter(col("doc_id") % 8 =!= 0), docs.filter(col("doc_id") % 8 === 0))
+    val emb = Tables.embeddings(spark, dir)
+    val (embBase, embDelta) =
+      (emb.filter(col("vec_id") % 8 =!= 0), emb.filter(col("vec_id") % 8 === 0))
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+
+    case class Fam(name: String, buildBase: String => Unit,
+        full: String => Unit, append: String => Unit)
+    val fams = Seq(
+      Fam("shingle", p => Dedup.shingleWriteIndex(docsBase, 1, p),
+        p => Dedup.shingleWriteIndex(docs, 1, p),
+        p => Dedup.shingleAppendDelta(docsDelta, 1, p)),
+      Fam("ivf", p => Similarity.ivfWriteIndex(embBase, p),
+        p => Similarity.ivfWriteIndex(emb, p),
+        p => Similarity.ivfAppendDelta(embDelta, p)),
+      Fam("pq", p => Similarity.pqWriteIndex(embBase, p, dim),
+        p => Similarity.pqWriteIndex(emb, p, dim),
+        p => Similarity.pqAppendDelta(embDelta, p, dim)),
+      Fam("lsh", p => Similarity.lshWriteIndex(embBase, p, dim),
+        p => Similarity.lshWriteIndex(emb, p, dim),
+        p => Similarity.lshAppendDelta(embDelta, p, dim)),
+      Fam("ivfpq", p => Similarity.ivfPqWriteIndex(embBase, p, dim),
+        p => Similarity.ivfPqWriteIndex(emb, p, dim),
+        p => Similarity.ivfPqAppendDelta(embDelta, p, dim)))
+
+    println(s"| index | full rebuild (union) | append 1/8 delta | ratio |")
+    println(s"| --- | --- | --- | --- |")
+    fams.foreach { fam =>
+      val proto = fresh()
+      fam.buildBase(proto)
+      val tFull = minTime(fam.full)
+      val tApp = minTimeOnCopy(proto)(fam.append)
+      println(f"| ${fam.name} | $tFull%.2f s | $tApp%.2f s | ${tFull / tApp}%.1f× |")
+    }
+    spark.stop()
+  }
+}

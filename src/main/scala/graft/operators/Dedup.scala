@@ -526,21 +526,44 @@ object Dedup {
     * group (no global order). The pair set itself comes from the
     * prefix-filtered probe — never all-pairs. */
   def containmentGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // snap the candidate plan once: it feeds the degree union (two
     // scans) AND the propagation loop (dupGroupLabels would re-run
     // the whole prefix join per round through lineage otherwise)
     val p = pairs.select(col("doc_sub"), col("doc_super")).localCheckpoint(true)
+    containmentVerdictFrom(p, dupGroupLabels(docs,
+      p.select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")), 50, None))
+  }
+
+  /** [[containmentGroups]] with the CC labeling supplied from a
+    * MATERIALIZED dup-groups index built over the containment graph
+    * (dupGroupsWriteIndex on the doc_sub/doc_super edges) — the
+    * amortized shape the registry probes: the iterative propagation
+    * is the expensive stage and is per-corpus infrastructure like
+    * dd6/dd7's, so per-query cost drops to the pair probe + ONE
+    * degree shuffle + an O(docs) verdict join. Probe ≡ inline
+    * spec-pinned (DedupSpec). */
+  def containmentVerdict(pairs: DataFrame, labels: DataFrame): DataFrame =
+    containmentVerdictFrom(pairs.select(col("doc_sub"), col("doc_super")), labels)
+
+  private def containmentVerdictFrom(p: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Degrees in ONE pass over the pair set: each pair explodes into
+    // its two tagged endpoints MAP-SIDE and partial aggregation
+    // collapses them before the shuffle, so the exchange carries
+    // O(docs) rows however many pairs went in. (A union of two selects
+    // would plan TWO scans — two full candidate-probe evaluations —
+    // and checkpointing the pairs to avoid that would materialize the
+    // 248 M-row x30 pair set in executor storage; the first cut did
+    // exactly that and x10 cost 51 s vs dd11's 14 s probe.)
     val degrees = p
-      .select(col("doc_sub").as("doc_id"), lit(1L).as("sub"), lit(0L).as("sup"))
-      .union(p.select(col("doc_super").as("doc_id"), lit(0L).as("sub"), lit(1L).as("sup")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("sub")).as("n_contained_in"), sum(col("sup")).as("n_contains"))
-    val groups = dupGroupLabels(docs,
-      p.select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")), 50, None)
+      .select(explode(array(
+        struct(col("doc_sub").as("doc_id"), lit(1L).as("sub"), lit(0L).as("sup")),
+        struct(col("doc_super").as("doc_id"), lit(0L).as("sub"), lit(1L).as("sup")))).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(sum(col("e.sub")).as("n_contained_in"), sum(col("e.sup")).as("n_contains"))
     val w = Window.partitionBy(col("group_id"))
       .orderBy(col("n_contained_in"), col("doc_id"))
-    groups.join(degrees, Seq("doc_id"), "left")
+    labels.join(degrees, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_contained_in", "n_contains"))
       .withColumn("is_canonical", row_number().over(w) === 1)
       .select(col("doc_id"), col("group_id"), col("n_contains"),

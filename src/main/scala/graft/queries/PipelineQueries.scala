@@ -268,8 +268,28 @@ object PipelineQueries {
     * Output O(docs) where dd11's is O(pairs); candidates still come
     * off the materialized shingle index. */
   def dd13(s: SparkSession, d: String): DataFrame =
-    Dedup.containmentGroups(Tables.documents(s, d),
-      Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold))
+    Dedup.containmentVerdict(
+      Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold),
+      Dedup.dupGroupsReadIndex(s, cachedContainGroupsIndex(s, d)))
+
+  /** Build-if-missing dup-groups index over the CONTAINMENT graph —
+    * dd13's amortized CC labeling, same convention as
+    * [[cachedGroupsIndex]] (the inline propagation was the registry's
+    * most expensive single at 15.1 s; the probe shape is ~4×
+    * cheaper and the labeling is per-corpus infrastructure). */
+  private def cachedContainGroupsIndex(s: SparkSession, d: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/contain"
+    if (!Tables.layoutReady(path)) {
+      Tables.publishLayout(path) { tmp =>
+        val pairs = Dedup
+          .containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
+          .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b"))
+        Dedup.dupGroupsWriteIndex(Tables.documents(s, d), pairs, tmp)
+      }
+    }
+    path
+  }
 
   /** dd11's containment-pair CTE + dd6's recursive transitive closure
     * (undirected edges, min-reachable label) + degree counts + the
@@ -421,6 +441,7 @@ object PipelineQueries {
     cachedGroupsIndex(s, d, "full", docs).count()
     cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count()
     cachedShingleIndex(s, d)
+    cachedContainGroupsIndex(s, d)
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()

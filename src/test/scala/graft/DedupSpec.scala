@@ -391,6 +391,30 @@ class DedupSpec extends SparkTestBase {
     assert(probed.nonEmpty)
   }
 
+  test("dd13 containment verdict: index-probe path ≡ inline containmentGroups") {
+    // the registry's dd13 probes a materialized CC labeling over the
+    // containment graph (the iterative propagation amortized like
+    // dd6/dd7's); this pins that shape against the self-contained
+    // inline fold on the driver corpus
+    val t = Tables.documents(spark, Sf0001)
+    val pairs = Dedup.containment(t, 1, 0.9)
+    val inline = Dedup.containmentGroups(t, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-cgidx").toString
+    Dedup.dupGroupsWriteIndex(t,
+      pairs.toDF("doc_a", "doc_b", "containment"), idx)
+    val probed = Dedup.containmentVerdict(pairs, Dedup.dupGroupsReadIndex(spark, idx))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(probed === inline)
+    assert(probed.nonEmpty)
+    // the verdict is O(docs), one row per document, and every
+    // wrap group elects exactly one canonical member
+    assert(probed.length === t.count())
+    val perGroup = probed.groupBy(_._2).values
+    assert(perGroup.forall(_.count(_._5) === 1))
+  }
+
   test("dupGroups reliable-checkpoint path produces the same labeling") {
     import spark.implicits._
     val w = (1 to 20).map(i => s"w$i")
