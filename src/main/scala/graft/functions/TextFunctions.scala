@@ -926,6 +926,101 @@ object TextFunctions {
       | 1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS gini
       |FROM a ORDER BY source""".stripMargin
 
+  /** tx22: the per-source CORPUS DATASHEET — the one-page release
+    * summary every training-data drop ships (docs, token volume,
+    * exact-dup load, corpus-level quality, language mix), composing
+    * tx1's tokenizer, tx2's quality weights and dd1's exact-dup rule
+    * into ONE fact-table pass. Exactness policy (tx21's): every
+    * ingredient is an exact integer SUM until one shared IEEE tree —
+    * quality here is the CORPUS-level score (ratios of summed counts,
+    * each a single divide), not a mean of per-doc doubles, because a
+    * Σ of doubles is partition-order-dependent and would flake the
+    * hash gate. Dup load counts docs beyond their group's keeper via
+    * n_docs − |distinct md5(text)| (md5 is engine-portable; the
+    * within-source distinct is the dd1 rule scoped per source).
+    * top_lang = most-common lang, ties lexicographic. Plan: the doc
+    * stats project ONCE in the scan stage, partial-agg to
+    * (source, lang) grain — |sources|×|langs| rows — then roll up to
+    * source; the rank window and final join ride the tiny aggregate.
+    * Shuffle: O(sources×langs) + the distinct-hash count's
+    * O(distinct texts) partials. */
+  def datasheet(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("lang"),
+      md5(col("text")).as("h"),
+      size(expr(tokensExpr)).cast("long").as("n_tokens"),
+      size(expr(s"filter($tokensExpr, t -> t IN ($stopListSql))")).cast("long").as("n_stop"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_chars"))
+      // two consumers (lang-grain sums + the distinct-hash count) —
+      // cache the narrow stats relation so tokenization runs once
+      // (dd8's lesson; without the barrier each agg re-tokenizes)
+      .cache()
+    val perLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("n_stop")).as("n_stop"),
+        sum(col("n_punct")).as("n_punct"), sum(col("n_chars")).as("n_chars"))
+    val perSrc = base.groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_distinct"))
+      .join(perLang.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"), sum(col("n_stop")).as("n_stop"),
+          sum(col("n_punct")).as("n_punct"), sum(col("n_chars")).as("n_chars")),
+        "source")
+    val topLang = perLang
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_docs").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n_docs").as("top_lang_docs"))
+    perSrc.join(topLang, "source")
+      .selectExpr("source", "n_docs", "n_tokens",
+        "n_docs - n_distinct as n_dup_docs",
+        "(cast(n_stop as double) / n_tokens) * 0.5 + " +
+          "(1.0 - cast(n_punct as double) / n_chars) * 0.3 + " +
+          "least(cast(n_tokens as double) / n_docs / 100.0, 1.0) * 0.2 as quality",
+        "top_lang",
+        "cast(top_lang_docs as double) / n_docs as top_lang_share")
+      .orderBy(col("source"))
+  }
+
+  val datasheetSql: String =
+    s"""WITH base AS (
+      |  SELECT source, lang, md5(text) AS h,
+      |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |                        t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
+      |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      |   CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |pl AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(n_stop) AS BIGINT) AS n_stop,
+      |   CAST(SUM(n_punct) AS BIGINT) AS n_punct, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM base GROUP BY source, lang),
+      |ps AS (
+      |  SELECT pl.source, CAST(SUM(pl.n_docs) AS BIGINT) AS n_docs,
+      |   CAST(SUM(pl.n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(pl.n_stop) AS BIGINT) AS n_stop,
+      |   CAST(SUM(pl.n_punct) AS BIGINT) AS n_punct, CAST(SUM(pl.n_chars) AS BIGINT) AS n_chars,
+      |   dist.n_distinct
+      |  FROM pl JOIN (SELECT source, COUNT(DISTINCT h) AS n_distinct
+      |                FROM base GROUP BY source) dist USING (source)
+      |  GROUP BY pl.source, dist.n_distinct),
+      |tl AS (
+      |  SELECT source, lang AS top_lang, n_docs AS top_lang_docs,
+      |   row_number() OVER (PARTITION BY source
+      |                      ORDER BY n_docs DESC, lang) AS rk
+      |  FROM pl)
+      |SELECT ps.source, ps.n_docs, ps.n_tokens,
+      | CAST(ps.n_docs - ps.n_distinct AS BIGINT) AS n_dup_docs,
+      | (CAST(ps.n_stop AS DOUBLE) / ps.n_tokens) * 0.5 +
+      |  (1.0 - CAST(ps.n_punct AS DOUBLE) / ps.n_chars) * 0.3 +
+      |  least(CAST(ps.n_tokens AS DOUBLE) / ps.n_docs / 100.0, 1.0) * 0.2 AS quality,
+      | tl.top_lang,
+      | CAST(tl.top_lang_docs AS DOUBLE) / ps.n_docs AS top_lang_share
+      |FROM ps JOIN tl ON tl.source = ps.source AND tl.rk = 1
+      |ORDER BY ps.source""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

@@ -363,4 +363,51 @@ object Multimodal {
         col("n_dup_chunks").cast("double") / col("n_chunks"))
       .orderBy(col("doc_id"))
   }
+
+  /** mm7: blob-level near-duplicate PAIRS by CDC chunk-set overlap —
+    * mm6 reports how much of each blob is shared with ≥1 other; this
+    * reports WITH WHOM: (blob_a, blob_b, chunk-Jaccard ≥ τ), the
+    * re-encode/re-wrap twin detector for opaque media. A prefix-edit
+    * (re-mux header, metadata rewrite) shifts every byte offset, so
+    * whole-blob digests and fixed frames (mm3) see two unrelated
+    * blobs — CDC boundaries re-align after the edit and the shared
+    * tail chunks carry the match (MultimodalSpec plants exactly that
+    * twin).
+    *
+    * Scale shape is dd2's: candidates come off an inverted chunk
+    * index (chunk → blobs) restricted to 2 ≤ df ≤ `dfCap` — df = 1
+    * chunks cannot witness a pair, and df > cap chunks are
+    * boilerplate (codec padding, zero runs) whose postings would
+    * blow up quadratically while carrying ~no evidence (q74's
+    * heavy-order cap argument; candidate MISS requires a pair to
+    * share ONLY ubiquitous chunks, which at τ ≥ 0.5 means the blobs
+    * are boilerplate themselves — capped ≡ uncapped is spec-pinned
+    * on the driver corpus + a planted mega-chunk fixture).
+    * Verification is EXACT and cap-independent: candidates join back
+    * their full chunk arrays and J = |A∩B|/|A∪B| is computed from
+    * array_intersect on the real sets, so the cap prunes candidate
+    * GENERATION only, never the score. Shuffles: O(chunks) postings
+    * + O(candidate pairs); never all-pairs. */
+  def cdcNearDupPairs(docs: DataFrame, tau: Double, dfCap: Int = 256): DataFrame = {
+    // chunks are array_distinct per blob (cdcChunkHashes), so posting
+    // rows are (chunk, blob) with no within-blob repeats
+    val ch = cdcChunkHashes(docs).cache()
+    val inv = ch.select(col("doc_id"), explode(col("chunks")).as("c"))
+    val keep = inv.groupBy(col("c")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap).select(col("c"))
+    val posting = inv.join(keep, Seq("c"), "left_semi")
+    val cand = posting.as("a").join(posting.as("b"),
+        col("a.c") === col("b.c") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ch.select(col("doc_id").as("doc_a"), col("chunks").as("ca")), "doc_a")
+      .join(ch.select(col("doc_id").as("doc_b"), col("chunks").as("cb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ca"), col("cb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ca")) + size(col("cb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -2879,6 +2879,81 @@ object CoreQueries {
       |JOIN r ON r.rn = (ks.k * n.c + 15) // 16
       |ORDER BY bucket""".stripMargin
 
+  /** q86: CUSUM CHANGEPOINT detection per event_type — the day where
+    * the cumulative deviation from the series mean peaks (the level-
+    * shift detector a monitoring pipeline runs beside q82's rolling
+    * z-score: z flags outlier DAYS, CUSUM flags the day the regime
+    * CHANGED). Exactness is the whole design: the mean μ = T/n would
+    * be an early IEEE divide, so the deviation is scaled by n —
+    * dev_d = n·S_d − i·T (S_d = prefix sum, i = day index, T = total,
+    * all exact DECIMAL; n·μ-centered CUSUM without ever dividing) —
+    * and the argmax over |dev_d| compares exact decimals, so the
+    * chosen day is bit-determined; ONE final divide states the peak
+    * in natural units. Widths pinned on BOTH engines: operands cast
+    * to (28,6)×(6,0) so products stay (34,6) ≤ 38 digits exact —
+    * DuckDB's window SUM widens to (38,6) and Spark's to (28,6), so
+    * without the down-cast one engine would overflow-round where the
+    * other doesn't (q82's lesson at the multiply). Ties → earliest
+    * day (max_by struct with negated index ≡ rank ORDER BY abs DESC,
+    * day ASC). Plan: one partial-agg'd scan to |types|×|days| rows;
+    * windows + argmax ride the tiny aggregate — the fact table is
+    * never window-sorted (q82's shape). */
+  def q86Changepoint(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 86400000000000L
+    changepointOf(Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(sum(col("value").cast("double").cast(DecimalType(18, 6))).as("v")))
+  }
+
+  /** The scaled-CUSUM argmax alone, over any (event_type, day, v)
+    * daily series — extracted so the spec can drive it with planted
+    * level shifts and tie fixtures (q85's boundary-helper policy). */
+  private[graft] def changepointOf(daily: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("s", sum(col("v")).over(ord).cast(DecimalType(28, 6)))
+      .withColumn("i", row_number().over(ord).cast(DecimalType(6, 0)))
+      .withColumn("t", sum(col("v")).over(whole).cast(DecimalType(28, 6)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("dev",
+        col("n").cast(DecimalType(6, 0)) * col("s") - col("i") * col("t"))
+    scored.groupBy(col("event_type"))
+      .agg(
+        max_by(struct(col("day"), col("dev")),
+          struct(abs(col("dev")), (-col("i")).cast(DecimalType(7, 0)))).as("m"),
+        max(col("n")).as("n_days"))
+      .selectExpr("event_type", "m.day as change_day", "n_days",
+        "cast(cast(m.dev as string) as double) / cast(n_days as double) as cusum_peak")
+      .orderBy(col("event_type"))
+  }
+
+  /** Same scaled-deviation algebra in DuckDB: window sums down-cast to
+    * the shared (28,6)/(6,0) operand widths before the multiply, rank
+    * window restates max_by's (|dev| desc, day asc) tie rule, one
+    * final double divide. */
+  val q86Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |   SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS v
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day,
+      |   CAST(COUNT(*) OVER p AS DECIMAL(6,0)) * CAST(SUM(v) OVER o AS DECIMAL(28,6))
+      |    - CAST(row_number() OVER o AS DECIMAL(6,0)) * CAST(SUM(v) OVER p AS DECIMAL(28,6)) AS dev,
+      |   COUNT(*) OVER p AS n
+      |  FROM daily
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY day),
+      |         p AS (PARTITION BY event_type)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY abs(dev) DESC, day) AS rk
+      |  FROM scored)
+      |SELECT event_type, day AS change_day, CAST(n AS BIGINT) AS n_days,
+      | CAST(CAST(dev AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_peak
+      |FROM ranked WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -2957,5 +3032,6 @@ object CoreQueries {
     ("q83_weighted_median", q83WeightedMedian _, q83Sql),
     ("q84_incremental_join", q84IncrementalJoin _, q84Sql),
     ("q85_equidepth_hist", q85EquiDepthHist _, q85Sql),
+    ("q86_changepoint", q86Changepoint _, q86Sql),
   )
 }

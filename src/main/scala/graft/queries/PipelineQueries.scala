@@ -636,6 +636,7 @@ object PipelineQueries {
   def tx19(s: SparkSession, d: String): DataFrame = TextFunctions.mixtureSample(Tables.documents(s, d))
   def tx20(s: SparkSession, d: String): DataFrame = TextFunctions.decontaminate(Tables.documents(s, d))
   def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
+  def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -657,6 +658,15 @@ object PipelineQueries {
     * chunk boundaries are engine-specific rolling hashes (mm2 policy ⇒
     * rows + spec gate; MultimodalSpec pins shift resilience and a
     * planted shared passage). */
+  /** mm7: blob-level near-dup PAIRS by CDC chunk overlap — mm6 says
+    * how much of each blob is shared with SOMEONE; this says with
+    * WHOM (the re-encode/re-wrap twin detector over opaque media).
+    * Rows-gated like mm6 (chunk ids ride Spark's xxhash64 — no
+    * oracle engine reproduces them; MultimodalSpec plants the
+    * ground truth). */
+  def mm7(s: SparkSession, d: String): DataFrame =
+    Multimodal.cdcNearDupPairs(Tables.documents(s, d), tau = 0.5)
+
   def mm6(s: SparkSession, d: String): DataFrame =
     Multimodal.cdcChunkStats(Tables.documents(s, d))
 
@@ -706,11 +716,13 @@ object PipelineQueries {
     ("tx19_mixture_sample", tx19 _, TextFunctions.mixtureSampleSql),
     ("tx20_decontaminate", tx20 _, TextFunctions.decontaminateSql(8)),
     ("tx21_diversity", tx21 _, TextFunctions.diversitySql),
+    ("tx22_datasheet", tx22 _, TextFunctions.datasheetSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
     ("mm4_resize_stub", mm4 _, Multimodal.resizeStubSql(Multimodal.ResizeTarget)),
     ("mm5_phash_neardup", mm5 _, null),
     ("mm6_cdc_chunks", mm6 _, null),
+    ("mm7_cdc_neardup", mm7 _, null),
   )
 }

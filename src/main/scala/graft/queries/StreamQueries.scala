@@ -37,11 +37,20 @@ object StreamQueries {
     * contract as Tables.events (INT64 ns regardless of the parquet
     * physical type) — the static read supplies the schema, as a file
     * stream cannot infer one. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    eventsStreamFrom(s, d, None)
+
+  /** [[eventsStream]] with an optional per-trigger file cap — the
+    * spec's lever for forcing a MULTI-batch AvailableNow run against
+    * a multi-file copy of the table (st13's exactly-once merge is
+    * only exercised across batch boundaries). */
+  private[graft] def eventsStreamFrom(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the table is a single parquet FILE; FileStreamSource wants a
     // directory or glob (its basePath must be a dir), so glob the name
-    val raw = s.readStream.schema(s.read.parquet(s"$d/events.parquet").schema)
+    val rdr = s.readStream.schema(s.read.parquet(s"$d/events.parquet").schema)
+    val raw = maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
       .parquet(s"$d/events.parque*")
     raw.schema("ts").dataType match {
       case LongType => raw
@@ -681,6 +690,87 @@ object StreamQueries {
   def st12FileSink(s: SparkSession, d: String): DataFrame =
     st12Finish(runToParquetSink(s, st12Agg(s, d)))
 
+  /** st13: STREAMING MERGE-UPSERT into a standing keyed table via
+    * foreachBatch — q59's batch MERGE made continuous, the shape a
+    * pipeline uses to keep a serving table current from an event
+    * stream. Each micro-batch folds its records into the standing
+    * latest-per-user view under an EXACTLY-ONCE contract. foreachBatch
+    * is only at-least-once, so exactly-once is earned by IDEMPOTENCE:
+    * state versions are keyed by batchId — state_N is computed from
+    * state_(N−1) ∪ batch N and written with overwrite — so a REPLAYED
+    * batch (failure between sink write and checkpoint commit)
+    * deterministically rewrites its own version from its unchanged
+    * predecessor. The naive alternative (read-modify-write of one
+    * mutable table) double-applies on replay; that asymmetry is the
+    * entire design. The merge operator is latest-per-key under the
+    * total order (ets, event_type, value) — a max, associative and
+    * commutative — so ANY batch split yields the same final state
+    * (spec: 4-file source at maxFilesPerTrigger=1 ≡ the single-batch
+    * run ≡ the batch twin); the oracle states the plain rank over the
+    * whole table. Standing state is O(users); superseded versions are
+    * garbage by construction (bounded by batch count per run, the
+    * production analogue being table-format snapshot expiry). */
+  private[graft] def latestPerUser(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max_by(struct(col("ets"), col("event_type"), col("value")),
+        struct(col("ets"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ets").as("last_ts"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+
+  private[graft] def mergeUpsertRun(s: SparkSession, src: DataFrame): DataFrame =
+    mergeUpsertRunWithCount(s, src)._1
+
+  /** (final standing table, number of state versions committed) — the
+    * count lets the multi-batch spec assert the merge actually ran
+    * across batch boundaries rather than in one big batch. */
+  private[graft] def mergeUpsertRunWithCount(s: SparkSession, src: DataFrame): (DataFrame, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13").toString
+    val events = src.select(col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("ets"),
+      col("event_type"), col("value"))
+    val q = events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val prev = new java.io.File(s"$dir/state_${id - 1}")
+        val incoming = batch.toDF().select(
+          col("user_id"), col("ets"), col("event_type"), col("value"))
+        val merged =
+          if (!prev.exists) latestPerUser(incoming)
+          else latestPerUser(s.read.parquet(prev.getPath)
+            .select(col("user_id"), col("last_ts").as("ets"),
+              col("last_type").as("event_type"), col("last_value").as("value"))
+            .unionByName(incoming))
+        merged.write.mode("overwrite").parquet(s"$dir/state_$id")
+        ()
+    }.option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    val versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("state_")).map(_.stripPrefix("state_").toLong)
+    (s.read.parquet(s"$dir/state_${versions.max}"), versions.length)
+  }
+
+  private[graft] def st13Finish(standing: DataFrame): DataFrame =
+    standing.select(col("user_id"),
+      col("last_ts").cast("timestamp_ntz").as("last_ts"),
+      col("last_type"), col("last_value"))
+      .orderBy(col("user_id"))
+
+  def st13(s: SparkSession, d: String): DataFrame =
+    st13Finish(mergeUpsertRun(s, eventsStream(s, d)))
+
+  val st13Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ets, event_type, value
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ets DESC, event_type DESC, value DESC) AS rk
+      |  FROM e)
+      |SELECT user_id, ets AS last_ts, event_type AS last_type, value AS last_value
+      |FROM r WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
   val st12Sql: String =
     """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
       |cell AS (
@@ -711,5 +801,6 @@ object StreamQueries {
     ("st9_stream_outer_join", st9 _, st9Sql),
     ("st10_stream_full_outer", st10 _, st10Sql),
     ("st11_stream_two_level", st11 _, st11Sql),
-    ("st12_stream_topk", st12 _, st12Sql))
+    ("st12_stream_topk", st12 _, st12Sql),
+    ("st13_stream_merge_upsert", st13 _, st13Sql))
 }

@@ -449,4 +449,22 @@ class CoreQueriesSpec extends SparkTestBase {
     // this SF — assert the scale statistics are live, not the count
     assert(out.values.forall(v => v._2 > 0.0 && v._3 > 0L))
   }
+
+  test("q86 changepoint: planted level shift found at the shift day; constant series ties to earliest") {
+    import spark.implicits._
+    // type "shift": 1.0 for days 1–5 then 11.0 for days 6–10. Scaled
+    // dev_d = n·S_d − d·T peaks at day 5 (|−250|; day 4 and day 6
+    // both −200), and the unscaled CUSUM peak is −250/10 = −25.
+    // type "flat": constant series ⇒ dev ≡ 0 for every day ⇒ the
+    // earliest-day tie rule must pick day 1.
+    val daily = ((1 to 10).map(d => ("shift", d.toLong, if (d <= 5) 1.0 else 11.0)) ++
+      (1 to 10).map(d => ("flat", d.toLong, 7.0)))
+      .toDF("event_type", "day", "v0")
+      .select(col("event_type"), col("day"),
+        col("v0").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v"))
+    val out = CoreQueries.changepointOf(daily).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("shift") === ((5L, 10L, -25.0)))
+    assert(out("flat") === ((1L, 10L, 0.0)))
+  }
 }

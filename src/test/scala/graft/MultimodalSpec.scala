@@ -184,4 +184,52 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(again === out)
   }
+
+  test("mm7 CDC near-dup pairs: prefix-edit twin found above tau; unrelated blobs not paired") {
+    import spark.implicits._
+    val body = (1 to 120).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, s"REMUXED-HEADER-METADATA $body"), // the re-wrap twin: every byte offset shifts
+      (3L, "entirely different payload bytes with nothing shared at all whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.cdcNearDupPairs(docs, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j >= 0.5 },
+      s"planted re-wrap twin missed: ${pairs.mkString(",")}")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L },
+      "unrelated blob spuriously paired")
+    // determinism across runs
+    assert(Multimodal.cdcNearDupPairs(docs, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === pairs.toSeq)
+  }
+
+  test("mm7 df cap prunes candidate generation only: capped ≡ uncapped, scores exact") {
+    import spark.implicits._
+    // two near-dup pairs plus a BOILERPLATE run shared by every blob
+    // (the mega-chunk: same licence text in all docs → its chunk df =
+    // |docs|, the quadratic posting a cap exists to excise). The
+    // pairs share plenty of RARE chunks, so candidate generation
+    // survives the cap and verification re-scores on the full arrays
+    // — output identical with the hot chunk's postings excluded.
+    val boiler = (1 to 60).map(i => s"licence$i").mkString(" ")
+    val a = (1 to 100).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 100).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $boiler"), (2L, s"PREFIX $a $boiler"),
+      (3L, s"$b $boiler"), (4L, s"OTHERHEAD $b $boiler"),
+      (5L, s"plain $boiler"), (6L, s"lone wolf content entirely original"))
+      .toDF("doc_id", "text")
+    // tau 0.5: boilerplate-ONLY overlap (the (5, ·) pairs, J ≈ 0.37)
+    // sits below the gate in BOTH runs — a qualifying pair must share
+    // rare chunks, which is precisely the cap's soundness argument
+    def run(cap: Int) = Multimodal.cdcNearDupPairs(docs, tau = 0.5, dfCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val uncapped = run(Int.MaxValue)
+    val capped = run(4) // the boilerplate chunks (df 5) are excluded from postings
+    assert(capped === uncapped,
+      s"cap changed output:\ncapped=$capped\nuncapped=$uncapped")
+    assert(uncapped.exists { case (x, y, _) => x == 1L && y == 2L })
+    assert(uncapped.exists { case (x, y, _) => x == 3L && y == 4L })
+  }
 }

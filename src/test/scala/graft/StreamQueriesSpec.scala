@@ -342,6 +342,31 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(mem11.nonEmpty && mem12.nonEmpty)
   }
 
+  test("st13 merge-upsert: multi-batch run (4-file source, 1 file/trigger) ≡ single run ≡ batch twin") {
+    // exactly-once is only interesting ACROSS batch boundaries: the
+    // single-parquet-file registry source yields one data batch, so
+    // this splits events into 4 files and rate-limits the stream to 1
+    // file per trigger — the standing view must fold through ≥4
+    // versioned merges and still land on the plain-rank answer, which
+    // is the associativity/idempotence claim of the versioned-state
+    // design (state_N deterministically recomputed from state_(N−1)).
+    val dir = java.nio.file.Files.createTempDirectory("graft-st13-src").toString
+    spark.read.parquet(s"$Sf0001/events.parquet").repartition(4)
+      .write.parquet(s"$dir/events.parquet")
+    val (standing, versions) = StreamQueries.mergeUpsertRunWithCount(spark,
+      StreamQueries.eventsStreamFrom(spark, dir, Some(1)))
+    val multi = StreamQueries.st13Finish(standing).collect().toSeq
+    assert(versions >= 4, s"expected >=4 state versions, got $versions")
+    val single = StreamQueries.st13(spark, Sf0001).collect().toSeq
+    assert(multi === single)
+    val twin = StreamQueries.st13Finish(StreamQueries.latestPerUser(
+      Tables.events(spark, Sf0001).select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value")))).collect().toSeq
+    assert(multi === twin)
+    assert(multi.nonEmpty)
+  }
+
   test("st4 = st1 minus the windows the 2-hour watermark holds open") {
     val all = StreamQueries.st1(spark, Sf0001).collect().toSeq
     val closed = StreamQueries.st4(spark, Sf0001).collect().toSeq
