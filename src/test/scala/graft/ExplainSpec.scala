@@ -628,4 +628,41 @@ class ExplainSpec extends SparkTestBase {
     val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n${p.take(3000)}")
   }
+
+  test("q86 changepoint: windows ride the types×days aggregate; fact never window-sorted") {
+    val p = plan(CoreQueries.q86Changepoint(spark, Sf0001))
+    // same contract as q82: every window partitions by event_type over
+    // the tiny daily aggregate, and the daily collapse partial-aggs
+    // map-side before its one exchange
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"CUSUM windows must partition by event_type:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"daily totals must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tx22 datasheet: one cached tokenize pass; rollups partial-agg; rank rides the tiny grain") {
+    val df = graft.queries.PipelineQueries.tx22(spark, Sf0001)
+    df.collect() // populate the cache so the executed plan shows the reuse
+    val p = plan(df)
+    // the expensive tokenize stage must be served from the cached
+    // narrow relation — the plan reads InMemoryTableScan, not N
+    // parquet-scan+regexp pipelines
+    assert(p.contains("InMemoryTableScan"),
+      s"doc stats must come off the cached relation:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"grain rollups must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rank window rides (source, lang) — never a document row set
+    assert(p.contains("windowspecdefinition(source"),
+      s"top-lang rank must partition by source:\n${p.take(3000)}")
+  }
+
+  test("mm7 CDC near-dup: equi-join candidates, no nested loop, chunk relation cached") {
+    val df = graft.queries.PipelineQueries.mm7(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to all-pairs:\n${p.take(3000)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"chunking must run once into the cached relation:\n${p.take(3000)}")
+  }
 }
