@@ -58,6 +58,58 @@ object Similarity {
       .orderBy(col("query_id"), col("vec_id"))
   }
 
+  /** ss11: HYBRID retrieval — lexical token overlap FUSED with
+    * embedding cosine, the retrieval pattern serving RAG/curation
+    * stacks where neither signal alone suffices (paraphrases defeat
+    * lexical match, rare entities/codes defeat dense vectors; the
+    * corpus carries BOTH a text and an embedding per id, so fusion is
+    * one scan). score = α·cosine + (1−α)·Jaccard(tokens) with BOTH
+    * components exact — cosine via the codegen'd native expression
+    * (bit-exact vs the oracle's DOUBLE[] accumulation, ss1's proof),
+    * Jaccard one divide of exact set counts, fusion one shared IEEE
+    * tree — so the gate hashes every score and the rank (fused DESC,
+    * id ASC — graft_topk's comparator ≡ the oracle's rank window) is
+    * bit-determined.
+    *
+    * Plan: queries broadcast WITH their token arrays, the corpus
+    * streams through one map-side scoring scan, per-query k-heaps
+    * (graft_topk partial aggregates) — no corpus shuffle, ss1's
+    * skeleton with the lexical column riding along. The k winners
+    * re-derive their component columns in a k×queries-row join
+    * (trivial) so the output shows WHY a hit ranked — re-deriving
+    * beats carrying both components through the heap, which would
+    * double its state for presentation-only data. At 100 TB the
+    * candidate-pruned path composes exactly like ss2/ss3: union the
+    * ANN index probe with a token-prefix probe, exact-rescore the
+    * candidate union with this same fusion expression. */
+  def hybridTopK(docs: DataFrame, corpus: DataFrame, nQueries: Int, k: Int,
+      alpha: Double = 0.5): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val toks = docs.select(col("doc_id").as("vec_id"),
+      expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("ws"))
+    val c = corpus.select(col("vec_id"), col("embedding")).join(toks, "vec_id")
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("ws").as("q_ws"))
+    def fusedCols(df: DataFrame): DataFrame = df
+      .withColumn("cosine", call_function("graft_cosine", col("q_emb"), col("embedding")))
+      .withColumn("inter", size(array_intersect(col("q_ws"), col("ws"))).cast("double"))
+      .withColumn("uni",
+        (size(col("q_ws")) + size(col("ws"))).cast("double") - col("inter"))
+      .withColumn("lexical",
+        when(col("uni") > 0.0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .withColumn("fused",
+        col("cosine") * lit(alpha) + col("lexical") * lit(1.0 - alpha))
+    val scored = fusedCols(c.join(broadcast(q), col("vec_id") =!= col("query_id")))
+    val top = topKPerQuery(
+      scored.select(col("query_id"), col("vec_id"), col("fused").as("cosine")), k)
+      .withColumnRenamed("cosine", "fused")
+    fusedCols(top.join(c, "vec_id").join(broadcast(q), "query_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("cosine"), col("lexical"), col("fused"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** (query_id, vec_id, cosine) → best-k rows per query with ranks. */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))

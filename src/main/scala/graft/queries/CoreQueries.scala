@@ -2624,9 +2624,17 @@ object CoreQueries {
     * never window-sorted. */
   def q82RollingZscore(s: SparkSession, d: String): DataFrame = {
     val dayNs = 86400000000000L
-    val daily = Tables.events(s, d)
+    zscoreOf(Tables.events(s, d)
       .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
-      .agg(sum(col("value").cast("double").cast(DecimalType(18, 6))).as("v_dec"))
+      .agg(sum(col("value").cast("double").cast(DecimalType(18, 6))).as("v_dec")))
+  }
+
+  /** q82's scoring sub-chain alone, over any (event_type, day, v_dec)
+    * daily series — extracted (round 8) so st14 can run the IDENTICAL
+    * decimal power sums + IEEE tree over a STREAMING-committed day
+    * mart: one scoring definition, two execution paths, one oracle
+    * algebra. */
+  private[graft] def zscoreOf(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rangeBetween(-6, 0)
     daily

@@ -524,6 +524,46 @@ object PipelineQueries {
       "ivf_delta" -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf_delta"), q, TopK)))
   }
 
+  /** ss11: hybrid lexical+semantic retrieval — fully oracle-gated
+    * (both fusion components exact; see Similarity.hybridTopK). The
+    * documents and embeddings tables share one id space, so each id
+    * carries a text AND a vector; queries are the first NQueries ids
+    * (their text is the lexical query, their embedding the dense
+    * query). */
+  def ss11(s: SparkSession, d: String): DataFrame =
+    Similarity.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+      NQueries, TopK)
+
+  /** ss1's DOUBLE[] cosine CTE + dd2's token-set machinery + the same
+    * fusion tree (cosine·0.5 + jaccard·0.5, guarded union-0 case),
+    * rank (fused DESC, vec_id ASC) ≡ graft_topk's comparator. */
+  val ss11Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, t.ws
+      |  FROM embeddings e JOIN toks t ON t.doc_id = e.vec_id),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb, ws AS q_ws
+      |      FROM c WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |   list_cosine_similarity(q.q_emb, c.emb) AS cosine,
+      |   CASE WHEN len(q.q_ws) + len(c.ws) - len(list_intersect(q.q_ws, c.ws)) > 0
+      |    THEN CAST(len(list_intersect(q.q_ws, c.ws)) AS DOUBLE) /
+      |     (len(q.q_ws) + len(c.ws) - len(list_intersect(q.q_ws, c.ws)))
+      |    ELSE 0.0 END AS lexical
+      |  FROM c, q WHERE c.vec_id <> q.query_id),
+      |fused AS (
+      |  SELECT *, cosine * 0.5 + lexical * 0.5 AS fused FROM scored),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY fused DESC, vec_id) AS rk
+      |  FROM fused)
+      |SELECT query_id, CAST(rk AS BIGINT) AS "rank", vec_id, cosine, lexical, fused
+      |FROM ranked WHERE rk <= $TopK
+      |ORDER BY query_id, "rank"""".stripMargin
+
   private val RangeMinCosine = 0.25
 
   def ss9(s: SparkSession, d: String): DataFrame = {
@@ -695,6 +735,7 @@ object PipelineQueries {
     ("ss8_ann_recall", ss8 _, null),
     ("ss9_range_search", ss9 _, ss9Sql),
     ("ss10_kmeans", ss10 _, ss10Sql),
+    ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

@@ -759,6 +759,72 @@ object StreamQueries {
   def st13(s: SparkSession, d: String): DataFrame =
     st13Finish(mergeUpsertRun(s, eventsStream(s, d)))
 
+  /** st14: the STREAMING ANOMALY MART — q82's rolling z-score served
+    * continuously: exact per-(type, day) DECIMAL totals run through
+    * watermarked append-mode streaming state (a day's total commits
+    * exactly once when the watermark closes it — st11's day-grain
+    * eviction rule), and the trailing-7-day z-score is
+    * CoreQueries.zscoreOf applied to the COMMITTED mart — the
+    * IDENTICAL decimal power sums and IEEE tree as the batch q82, so
+    * one scoring algebra carries both execution paths and the oracle
+    * states q82's text over the watermark-closed day set. Scoring is
+    * presentation over O(types×days) committed rows (st12's
+    * policy: ranking/scoring is not a streaming-state operator);
+    * streaming state is O(open days × types). This is the monitoring
+    * deployment shape: the mart updates per micro-batch, the
+    * z-scores re-derive from grain-bounded committed rows. */
+  def st14(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value"))
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
+      .agg(sum(col("value").cast("double").cast(DecimalType(18, 6))).as("v_dec"))
+    val daily = runToTable(s, agg, "append")
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day"), col("v_dec"))
+    graft.queries.CoreQueries.zscoreOf(daily)
+  }
+
+  /** q82's oracle text verbatim, computed over the day set st11's
+    * composed eviction rule leaves committed (day_end ≤ ms-truncated
+    * max(ts) − 2 h). */
+  val st14Sql: String =
+    """WITH mx AS (SELECT date_trunc('milliseconds', MAX(ts)) AS max_ts FROM events),
+      |daily0 AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |   SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS v_dec
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT d.event_type, d.day, d.v_dec FROM daily0 d, mx
+      |  WHERE make_timestamp((d.day + 1) * 86400000000)
+      |    <= mx.max_ts - INTERVAL 2 HOUR),
+      |win AS (
+      |  SELECT event_type, day, v_dec,
+      |   COUNT(*) OVER w AS n7, SUM(v_dec) OVER w AS s1,
+      |   SUM(CAST(v_dec AS DECIMAL(19,6)) * CAST(v_dec AS DECIMAL(19,6))) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |hop AS (
+      |  SELECT event_type, day,
+      |   CAST(CAST(v_dec AS VARCHAR) AS DOUBLE) AS day_value,
+      |   CAST(n7 AS BIGINT) AS n7,
+      |   CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+      |   CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+      |  FROM win),
+      |m AS (
+      |  SELECT event_type, day, day_value, n7,
+      |   s1d / n7 AS mean7,
+      |   sqrt(greatest(s2d / n7 - (s1d / n7) * (s1d / n7), 0.0)) AS std7
+      |  FROM hop)
+      |SELECT event_type, day, day_value, n7, mean7, std7,
+      | CASE WHEN n7 >= 4 AND std7 > 0.0 THEN (day_value - mean7) / std7 END AS z,
+      | coalesce(abs(CASE WHEN n7 >= 4 AND std7 > 0.0
+      |                   THEN (day_value - mean7) / std7 END) > 2.0,
+      |          FALSE) AS is_anomaly
+      |FROM m ORDER BY event_type, day""".stripMargin
+
   val st13Sql: String =
     """WITH e AS (
       |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ets, event_type, value
@@ -802,5 +868,6 @@ object StreamQueries {
     ("st10_stream_full_outer", st10 _, st10Sql),
     ("st11_stream_two_level", st11 _, st11Sql),
     ("st12_stream_topk", st12 _, st12Sql),
-    ("st13_stream_merge_upsert", st13 _, st13Sql))
+    ("st13_stream_merge_upsert", st13 _, st13Sql),
+    ("st14_stream_anomaly", st14 _, st14Sql))
 }

@@ -629,6 +629,19 @@ class ExplainSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("ss11 hybrid: scoring is map-side with k-heap partials; no nested loop, no fact window") {
+    val p = plan(graft.queries.PipelineQueries.ss11(spark, Sf0001))
+    // fusion scores stream map-side into graft_topk partial heaps —
+    // the corpus is never window-sorted and candidates never explode
+    // to a nested loop (queries ride a broadcast)
+    assert(p.contains("graft_topk") || p.contains("TopKScoreId"),
+      s"per-query k-heap missing:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"heap must partial-agg map-side:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"),
+      s"hybrid ranking must use heaps, not a corpus window:\n${p.take(3000)}")
+  }
+
   test("q86 changepoint: windows ride the types×days aggregate; fact never window-sorted") {
     val p = plan(CoreQueries.q86Changepoint(spark, Sf0001))
     // same contract as q82: every window partitions by event_type over

@@ -192,6 +192,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean("ss7_ivfpq") >= 0.1)
   }
 
+  test("ss11 hybrid fusion: both-signal doc outranks single-signal docs; tie breaks by id") {
+    import spark.implicits._
+    // query id 0: text "alpha beta gamma", vector [1,0].
+    //  id 1: SAME text, orthogonal vector  → fused 0.5 (all lexical)
+    //  id 2: same vector, disjoint tokens  → fused 0.5 (all dense)
+    //  id 3: same text AND vector          → fused 1.0
+    //  id 4: neither                       → fused 0.0
+    // expected rank: 3, then the 0.5-TIE broken by vec_id (1 before
+    // 2), then 4 — exercises fusion, both degenerate signals and the
+    // deterministic tie rule in one fixture.
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"), (3L, "alpha beta gamma"),
+      (4L, "omega psi chi")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(1f, 0f)), (4L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.hybridTopK(docs, emb, nQueries = 1, k = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._2).toSeq === Seq(3L, 1L, 2L, 4L))
+    assert(out.map(_._5).toSeq === Seq(1.0, 0.5, 0.5, 0.0)) // fused
+    assert(out(1)._3 === 0.0 && out(1)._4 === 1.0) // id 1: pure lexical
+    assert(out(2)._3 === 1.0 && out(2)._4 === 0.0) // id 2: pure dense
+  }
+
   test("ss8 registry run carries the ivf_delta row; delta-appended recall floor holds") {
     // VERDICT r7 #7: appending to existing centroids shifts list
     // balance away from the training distribution — this recall row

@@ -342,6 +342,21 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(mem11.nonEmpty && mem12.nonEmpty)
   }
 
+  test("st14 = q82's z-scores restricted to watermark-closed days") {
+    // the z-window is backward-looking, so restricting the day set to
+    // the closed prefix changes NO retained score — st14 must equal
+    // batch q82 row-for-row on the days the watermark has closed
+    val streamed = StreamQueries.st14(spark, Sf0001).collect().toSeq
+    val maxNs = Tables.events(spark, Sf0001).agg(max(col("ts"))).head().getLong(0)
+    val cutUs = (maxNs / 1000000L) * 1000L - 2L * 3600L * 1000000L // ms-trunc, −2 h, in µs
+    val dayUs = 86400000000L
+    val batchAll = graft.queries.CoreQueries.q82RollingZscore(spark, Sf0001).collect().toSeq
+    val batchClosed = batchAll.filter(r => (r.getLong(1) + 1) * dayUs <= cutUs)
+    assert(streamed === batchClosed)
+    assert(streamed.nonEmpty)
+    assert(streamed.size < batchAll.size, "watermark suppressed nothing — fixture degenerate")
+  }
+
   test("st13 merge-upsert: multi-batch run (4-file source, 1 file/trigger) ≡ single run ≡ batch twin") {
     // exactly-once is only interesting ACROSS batch boundaries: the
     // single-parquet-file registry source yields one data batch, so
