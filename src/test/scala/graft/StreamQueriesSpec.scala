@@ -286,7 +286,7 @@ class StreamQueriesSpec extends SparkTestBase {
       ("purchase", 6L, 1L), ("purchase", 8L, 0L)))
   }
 
-  test("st3/st5/st6/st8/st9/st10/st11/st12 under RocksDBStateStoreProvider ≡ default-provider outputs") {
+  test("st3/st5/st6/st8/st9/st10/st11/st12/st14 under RocksDBStateStoreProvider ≡ default-provider outputs") {
     // The 100 TB deployment config keeps streaming state in RocksDB
     // (state outgrows the heap); this pins that every hard state shape
     // — the custom graft_bitmap TypedImperativeAggregate (st3),
@@ -296,12 +296,15 @@ class StreamQueriesSpec extends SparkTestBase {
     // is evicted (st9/st10 — round 8: the serialization shape most
     // likely to diverge, since correctness rides the store's eviction
     // scan, not just lookups), the chained two-store rollup (st11)
-    // and append-mode day×user cells (st12) — serializes through the
-    // RocksDB provider with output identical to the default
-    // HDFS-backed store.
+    // and append-mode day×user cells (st12), plus st14's day×type
+    // DECIMAL mart feeding the batch-shared z-score chain — serializes
+    // through the RocksDB provider with output identical to the
+    // default HDFS-backed store. st13 is deliberately absent: its
+    // state lives in its own versioned parquet tables (foreachBatch,
+    // no streaming state store), so the provider is vacuous there.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
-    val names = Seq("st3", "st5", "st6", "st8", "st9", "st10", "st11", "st12")
+    val names = Seq("st3", "st5", "st6", "st8", "st9", "st10", "st11", "st12", "st14")
     def runAll(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
       StreamQueries.st3(spark, Sf0001).collect().toSeq,
       StreamQueries.st5(spark, Sf0001).collect().toSeq,
@@ -310,7 +313,8 @@ class StreamQueriesSpec extends SparkTestBase {
       StreamQueries.st9(spark, Sf0001).collect().toSeq,
       StreamQueries.st10(spark, Sf0001).collect().toSeq,
       StreamQueries.st11(spark, Sf0001).collect().toSeq,
-      StreamQueries.st12(spark, Sf0001).collect().toSeq)
+      StreamQueries.st12(spark, Sf0001).collect().toSeq,
+      StreamQueries.st14(spark, Sf0001).collect().toSeq)
     val base = runAll()
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
