@@ -2962,6 +2962,81 @@ object CoreQueries {
       |FROM ranked WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
+  /** q87: CONTRIBUTION decomposition — "revenue moved from 1999 to
+    * 2000; WHICH (segment × priority) cells drove it?", the root-cause
+    * breakdown an analytics engine answers right after q86 says a
+    * shift happened (CUSUM finds WHEN, this finds WHO). Per cell:
+    * exact revenue in each period, the exact DECIMAL delta, its signed
+    * share of the total change, ranked by |delta|. Exactness: period
+    * revenues are conditional DECIMAL sums in ONE pass (a per-period
+    * scan would read orders twice), delta and total stay DECIMAL
+    * (order-independent), the rank compares exact decimals with a
+    * (|delta| desc, segment, priority) tie rule, and the only IEEE
+    * ops are the final string-hop casts and ONE shared divide for the
+    * share — both engines run the identical tree, so every row
+    * hashes. Plan at 100 TB: the year filter pushes to the orders
+    * scan, the customer join shuffles on custkey (dimension scales
+    * with the fact — q03's non-broadcast call), the conditional agg
+    * partial-combines to |segments×priorities| rows map-side, and the
+    * total + rank both ride GLOBAL windows over that tiny aggregate —
+    * windows, not a second aggregate branch, because a separate
+    * `cells.agg(sum)` branch re-derives the whole scan+join pipeline
+    * (the plan literally scans orders twice); one single-partition
+    * exchange of 25 rows is free, a doubled 100 TB scan is not. */
+  def q87Contribution(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 6)
+    def rev(yr: Int): Column =
+      sum(when(col("yr") === yr, col("o_totalprice").cast(dec))
+        .otherwise(lit(0).cast(dec)))
+    val o = Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1999, 2000))
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"), col("yr"))
+    val cells = o
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(rev(1999).as("rev_a"), rev(2000).as("rev_b"))
+      .withColumn("delta", col("rev_b") - col("rev_a"))
+    val rk = Window.orderBy(abs(col("delta")).desc, col("segment"), col("priority"))
+    cells
+      .withColumn("total_delta", sum(col("delta")).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .selectExpr("rank", "segment", "priority",
+        "cast(cast(rev_a as string) as double) as rev_a",
+        "cast(cast(rev_b as string) as double) as rev_b",
+        "cast(cast(delta as string) as double) as delta",
+        "cast(cast(delta as string) as double) / cast(cast(total_delta as string) as double) as share_of_change")
+      .orderBy(col("rank"))
+  }
+
+  /** The same one-pass conditional-sum decomposition; DECIMAL widths
+    * agree at (18,6) per term so both engines' sums are exact, and the
+    * share divide happens on the same string-hopped doubles. */
+  val q87Sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |   SUM(CASE WHEN year(o_orderdate) = 1999
+      |            THEN CAST(o_totalprice AS DECIMAL(18,6))
+      |            ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_a,
+      |   SUM(CASE WHEN year(o_orderdate) = 2000
+      |            THEN CAST(o_totalprice AS DECIMAL(18,6))
+      |            ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_b
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (1999, 2000)
+      |  GROUP BY 1, 2),
+      |d AS (SELECT *, rev_b - rev_a AS delta FROM cells),
+      |t AS (SELECT SUM(delta) AS total_delta FROM d)
+      |SELECT CAST(row_number() OVER (ORDER BY abs(delta) DESC, segment, priority) AS BIGINT) AS "rank",
+      | segment, priority,
+      | CAST(CAST(rev_a AS VARCHAR) AS DOUBLE) AS rev_a,
+      | CAST(CAST(rev_b AS VARCHAR) AS DOUBLE) AS rev_b,
+      | CAST(CAST(delta AS VARCHAR) AS DOUBLE) AS delta,
+      | CAST(CAST(delta AS VARCHAR) AS DOUBLE) / CAST(CAST(total_delta AS VARCHAR) AS DOUBLE) AS share_of_change
+      |FROM d, t
+      |ORDER BY "rank"""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3041,5 +3116,6 @@ object CoreQueries {
     ("q84_incremental_join", q84IncrementalJoin _, q84Sql),
     ("q85_equidepth_hist", q85EquiDepthHist _, q85Sql),
     ("q86_changepoint", q86Changepoint _, q86Sql),
+    ("q87_contribution", q87Contribution _, q87Sql),
   )
 }

@@ -642,6 +642,18 @@ class ExplainSpec extends SparkTestBase {
       s"hybrid ranking must use heaps, not a corpus window:\n${p.take(3000)}")
   }
 
+  test("q87 contribution: ONE orders scan (conditional agg, not per-period scans); cells partial-agg; no cartesian") {
+    val p = plan(CoreQueries.q87Contribution(spark, Sf0001))
+    // both period revenues come out of one pass — a UNION of two
+    // year-filtered scans would read orders twice at 100 TB
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).size
+    assert(ordersScans == 1, s"expected exactly 1 orders scan, got $ordersScans:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"cell sums must map-side combine:\n${p.take(3000)}")
+    // total + rank ride windows over the 25-row aggregate — no join
+    // machinery should appear past the customer equi-join at all
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q86 changepoint: windows ride the types×days aggregate; fact never window-sorted") {
     val p = plan(CoreQueries.q86Changepoint(spark, Sf0001))
     // same contract as q82: every window partitions by event_type over
