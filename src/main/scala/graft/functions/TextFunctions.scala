@@ -1021,6 +1021,81 @@ object TextFunctions {
       |FROM ps JOIN tl ON tl.source = ps.source AND tl.rk = 1
       |ORDER BY ps.source""".stripMargin
 
+  /** tx23: scoring under a FROZEN reference LM — the production shape
+    * of the quality filter tx17 prototypes. tx17 trains and scores on
+    * the same corpus (every bigram is by construction in-vocabulary);
+    * a deployed filter freezes the LM on a TRUSTED subset and scores
+    * everything else, where unseen bigrams are the norm and the OOV
+    * rate is itself a quality signal. Reference = the deterministic
+    * 25 % doc_id-hash split (first md5 hex digit < '4' — tx18's
+    * engine-identical hash trick; content-independent, so the split
+    * can't leak quality). Scoring: p(w2|w1) = c2/c1 from the frozen
+    * LM when the bigram was seen, else the 1e-6 add-epsilon floor;
+    * every p is one IEEE divide of exact counts (or the literal),
+    * quantized to DECIMAL(18,12) per term — 12 dp because backoff
+    * probabilities live near the floor where (18,6) would round to
+    * zero — and summed order-independently; the mean and oov_rate are
+    * final shared divides, so every row hashes.
+    *
+    * Scale: tx17's plan twice-over — the exploded bigram relation
+    * feeds both the (ref-filtered) LM build and the all-docs scoring
+    * join, two evaluations of the tokenize branch (tx17's accepted
+    * self-train shape; a REAL deployment amortizes the LM side as a
+    * write-once layout, at which point scoring is ONE scan + one
+    * (w1,w2) shuffle join). Nothing broadcasts that scales with
+    * vocabulary²; per-doc means partial-combine. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), expr(tokensExpr).as("ts"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) < "4").as("is_ref"))
+      .filter(size(col("ts")) >= 2)
+    val bi = toks
+      .select(col("doc_id"), col("is_ref"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("is_ref"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBi = bi.filter(col("is_ref"))
+    val left = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val pair = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val probs = pair.join(left, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p_bi"))
+    bi.join(probs, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_bi").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("p_bi"), lit(1e-6)).cast(DecimalType(18, 12))).as("s"))
+      .selectExpr("doc_id", "n_bigrams", "n_oov",
+        "cast(n_oov as double) / cast(n_bigrams as double) as oov_rate",
+        "cast(cast(s as string) as double) / cast(n_bigrams as double) as mean_ref_p")
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_ref
+      | FROM documents),
+      |bi AS (
+      | SELECT doc_id, is_ref, ts[i] AS w1, ts[i+1] AS w2
+      | FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+      | WHERE len(ts) >= 2),
+      |lft AS (SELECT w1, COUNT(*) AS c1 FROM bi WHERE is_ref GROUP BY w1),
+      |pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi WHERE is_ref GROUP BY w1, w2),
+      |probs AS (
+      | SELECT w1, w2, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_bi
+      | FROM pair JOIN lft USING (w1)),
+      |scored AS (
+      | SELECT bi.doc_id, p.p_bi
+      | FROM bi LEFT JOIN probs p ON p.w1 = bi.w1 AND p.w2 = bi.w2)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM(CASE WHEN p_bi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      | CAST(SUM(CASE WHEN p_bi IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate,
+      | CAST(CAST(SUM(CAST(coalesce(p_bi, 0.000001) AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+      |  / COUNT(*) AS mean_ref_p
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the
     * original semantics. Not used in any query plan. */

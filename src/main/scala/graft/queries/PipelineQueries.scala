@@ -677,6 +677,7 @@ object PipelineQueries {
   def tx20(s: SparkSession, d: String): DataFrame = TextFunctions.decontaminate(Tables.documents(s, d))
   def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
+  def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -758,6 +759,7 @@ object PipelineQueries {
     ("tx20_decontaminate", tx20 _, TextFunctions.decontaminateSql(8)),
     ("tx21_diversity", tx21 _, TextFunctions.diversitySql),
     ("tx22_datasheet", tx22 _, TextFunctions.datasheetSql),
+    ("tx23_lm_score", tx23 _, TextFunctions.lmScoreSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
