@@ -110,6 +110,77 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ss12: MMR-DIVERSIFIED top-k — relevance alone returns k near-
+    * duplicates of the best hit (a dense corpus's top-k IS a dup
+    * cluster, dd5's observation from the other side); retrieval that
+    * feeds a curation/RAG stack wants coverage, so each pick trades
+    * relevance against similarity to what's already picked:
+    * score(d) = relW·rel(d) − simW·max_{s∈S} cos(d, s), greedy for k
+    * rounds (Maximal Marginal Relevance). relW/simW are INDEPENDENT
+    * literals, not λ/(1−λ) — Scala's 1−0.7 is 0.30000000000000004
+    * while an oracle writing 0.3 parses the nearest double of 0.3, a
+    * guaranteed hash-gate mismatch on every score.
+    *
+    * Exactness: rel and every pairwise cosine ride the codegen'd
+    * native expression (≡ DuckDB DOUBLE[] accumulation, ss1's proof),
+    * max over sims compares doubles (no accumulation), each round's
+    * score is one shared IEEE tree, argmax ties break (score DESC,
+    * vec_id ASC) via max_by over struct(score, −id) ≡ the oracle's
+    * rank — so the greedy TRAJECTORY, not just the final set, is
+    * bit-determined and the oracle unrolls the same k stages.
+    *
+    * Plan: the heavy part is candidate generation — ss1's broadcast-
+    * query scan into per-query m-heaps, corpus never shuffled. The
+    * m×queries candidate table is localCheckpointed ONCE: the k
+    * unrolled greedy rounds reference `cand` and the growing
+    * `selected` ~2^k times across their anti-join/sim-join/argmax
+    * lineage, and without the barrier each reference would re-run the
+    * corpus scan (mm6's recompute lesson at plan scale). After the
+    * checkpoint every round is a hash join + partial-agg'd argmax on
+    * O(queries×m) rows keyed by query_id — distributed, no driver
+    * loop, k is a compile-time constant. */
+  def mmrDiversify(corpus: DataFrame, nQueries: Int, m: Int, k: Int,
+      relW: Double = 0.7, simW: Double = 0.3): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", call_function("graft_cosine", col("q_emb"), col("embedding")))
+    val cand = topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), m)
+      .withColumnRenamed("cosine", "rel").drop("rank")
+      .join(base, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding").as("emb"))
+      .localCheckpoint()
+    def pick(sc: DataFrame, r: Int): DataFrame = sc
+      .groupBy(col("query_id"))
+      .agg(max_by(
+        struct(col("vec_id"), col("rel"), col("max_sim"), col("mmr_score"), col("emb")),
+        struct(col("mmr_score"), -col("vec_id"))).as("p"))
+      .select(col("query_id"), lit(r).cast("long").as("mmr_rank"),
+        col("p.vec_id").as("vec_id"), col("p.rel").as("rel"),
+        col("p.max_sim").as("max_sim"), col("p.mmr_score").as("mmr_score"),
+        col("p.emb").as("emb"))
+    var selected = pick(cand
+      .withColumn("max_sim", lit(0.0))
+      .withColumn("mmr_score", lit(relW) * col("rel") - lit(simW) * col("max_sim")), 1)
+    for (r <- 2 to k) {
+      val rem = cand.join(selected.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val maxSim = rem
+        .join(selected.select(col("query_id"), col("emb").as("s_emb")), "query_id")
+        .withColumn("sim", call_function("graft_cosine", col("emb"), col("s_emb")))
+        .groupBy(col("query_id"), col("vec_id")).agg(max(col("sim")).as("max_sim"))
+      val scoredR = rem.join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("mmr_score", lit(relW) * col("rel") - lit(simW) * col("max_sim"))
+      selected = selected.unionByName(pick(scoredR, r))
+    }
+    selected
+      .select(col("query_id"), col("mmr_rank"), col("vec_id"),
+        col("rel"), col("max_sim"), col("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** (query_id, vec_id, cosine) → best-k rows per query with ranks. */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))

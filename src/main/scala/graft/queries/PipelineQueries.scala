@@ -564,6 +564,66 @@ object PipelineQueries {
       |FROM ranked WHERE rk <= $TopK
       |ORDER BY query_id, "rank"""".stripMargin
 
+  /** ss12: MMR-diversified retrieval — fully oracle-gated: the greedy
+    * trajectory is bit-determined (see Similarity.mmrDiversify), so
+    * the oracle UNROLLS the same k greedy stages as plain SQL, each
+    * stage = anti-join remaining, max-sim against the union of prior
+    * picks, shared score tree, rank-1 argmax with the same tie rule. */
+  private val MmrM = 10
+  private val MmrK = 5
+
+  def ss12(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrDiversify(Tables.embeddings(s, d), NQueries, MmrM, MmrK)
+
+  val ss12Sql: String = {
+    val head = s"""WITH c0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM c0 WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id, list_cosine_similarity(q.q_emb, c.emb) AS rel, c.emb
+      |  FROM c0 c, q WHERE c.vec_id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, rel, emb FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY rel DESC, vec_id) AS rk
+      |    FROM scored) WHERE rk <= $MmrM),
+      |s1 AS (
+      |  SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel,
+      |   CAST(0.0 AS DOUBLE) AS max_sim, 0.7*rel - 0.3*CAST(0.0 AS DOUBLE) AS mmr_score, emb
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY 0.7*rel - 0.3*CAST(0.0 AS DOUBLE) DESC, vec_id) AS prk
+      |        FROM cand) WHERE prk = 1)""".stripMargin
+    val stages = (2 to MmrK).map { r =>
+      val union = (1 until r).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""u${r - 1} AS ($union),
+      |rem$r AS (
+      |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+      |    SELECT 1 FROM u${r - 1} u
+      |    WHERE u.query_id = c.query_id AND u.vec_id = c.vec_id)),
+      |ms$r AS (
+      |  SELECT r.query_id, r.vec_id,
+      |   MAX(list_cosine_similarity(r.emb, u.emb)) AS max_sim
+      |  FROM rem$r r JOIN u${r - 1} u ON u.query_id = r.query_id
+      |  GROUP BY r.query_id, r.vec_id),
+      |sc$r AS (
+      |  SELECT r.query_id, r.vec_id, r.rel, r.emb, m.max_sim,
+      |   0.7*r.rel - 0.3*m.max_sim AS mmr_score
+      |  FROM rem$r r JOIN ms$r m
+      |    ON m.query_id = r.query_id AND m.vec_id = r.vec_id),
+      |s$r AS (
+      |  SELECT query_id, CAST($r AS BIGINT) AS mmr_rank, vec_id, rel,
+      |   max_sim, mmr_score, emb
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY mmr_score DESC, vec_id) AS prk
+      |        FROM sc$r) WHERE prk = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val all = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""$head$stages
+      |SELECT query_id, mmr_rank, vec_id, rel, max_sim, mmr_score
+      |FROM ($all)
+      |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   private val RangeMinCosine = 0.25
 
   def ss9(s: SparkSession, d: String): DataFrame = {
@@ -737,6 +797,7 @@ object PipelineQueries {
     ("ss9_range_search", ss9 _, ss9Sql),
     ("ss10_kmeans", ss10 _, ss10Sql),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
+    ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
     ("tx2_quality", tx2 _, TextFunctions.qualityScoreSql),
     ("tx3_langid", tx3 _, TextFunctions.languageIdSql),

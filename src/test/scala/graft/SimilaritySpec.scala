@@ -217,6 +217,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(2)._3 === 1.0 && out(2)._4 === 0.0) // id 2: pure dense
   }
 
+  test("ss12 MMR: exact-dup candidate is demoted below the diverse one; pure relevance would not reorder") {
+    import spark.implicits._
+    // query 0 = [1,0,0]; candidates all have EQUAL relevance 0.8:
+    //  id 1, id 2: the same vector (an exact dup pair)
+    //  id 3: equally relevant but decoupled via the third axis
+    //         (sim(3,1) = 0.64 < 1)
+    // round 1 is a three-way relevance TIE → lowest id (1); round 2
+    // must take the diverse 3 over the dup 2 (0.56−0.3·0.64 >
+    // 0.56−0.3·1); round 3 mops up 2 with max_sim 1. A pure-relevance
+    // ranker returns 1,2,3 — getting 1,3,2 is the diversification.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.8f, 0.6f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f)), (3L, Seq(0.8f, 0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrDiversify(emb, nQueries = 1, m = 3, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L)) // mmr_rank
+    assert(out.map(_._2).toSeq === Seq(1L, 3L, 2L)) // picked ids
+    assert(out(0)._4 === 0.0)                        // round-1 max_sim
+    assert(out(1)._4 < 0.7 && out(2)._4 > 0.99)      // 3 diverse, 2 dup
+    // relevance is flat across all three — the reorder is all MMR
+    assert(out.map(_._3).distinct.size === 1)
+  }
+
   test("ss8 registry run carries the ivf_delta row; delta-appended recall floor holds") {
     // VERDICT r7 #7: appending to existing centroids shifts list
     // balance away from the training distribution — this recall row
