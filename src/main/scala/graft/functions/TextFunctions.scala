@@ -514,6 +514,61 @@ object TextFunctions {
       |WHERE rnk <= $k
       |ORDER BY source, rnk""".stripMargin
 
+  /** tx24: per-DOCUMENT keyword extraction — tx13's distinctive-terms
+    * machinery re-grained from corpus slices to single documents: for
+    * each doc, its k most salient tokens by tf × (N_docs/df), where df
+    * is true DOCUMENT frequency (how many docs contain the token).
+    * This is the doc-tagging primitive (search snippets, topic
+    * routing, index keys for the retrieval side) where tx13
+    * characterizes whole sources. idf stays a RATIO of exact integers
+    * (tx13's no-log rationale: one IEEE divide + one multiply,
+    * engine-identical — a libm log could differ in the last ulp and
+    * break the hash gate); ties break on the token string.
+    *
+    * Scale: tf explode→groupBy partial-aggregates map-side; df
+    * aggregates the tf table (shuffle on token — NOT broadcast, a
+    * 100 TB vocabulary outgrows one executor, tx14's join note); the
+    * top-k is a rank window PARTITIONED BY doc_id — millions of tiny
+    * independent partitions, embarrassingly parallel, nothing ever
+    * global-sorts (unlike tx13's per-source window this one scales
+    * with docs, not slices). Output is O(docs × k). */
+  def docTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("token"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def docTopTermsSql(k: Int): String =
+    s"""WITH tf AS (
+      | SELECT doc_id, token, COUNT(*) AS tf FROM (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents)
+      | GROUP BY doc_id, token),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      | SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |  CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      | FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df, score FROM (
+      | SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY score DESC, token) AS rnk
+      | FROM scored)
+      |WHERE rnk <= $k
+      |ORDER BY doc_id, rnk""".stripMargin
+
   /** tx14: token-rarity scoring — the unigram-LM quality signal: each
     * document scored by the mean CORPUS frequency of its token
     * occurrences. Boilerplate/templated text (all high-frequency

@@ -52,6 +52,31 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Shingled (doc_id, shingles) view of `docs` — exposed so st15's
+    * streaming ingest-dedup can materialize the STANDING corpus's
+    * token sets once (localCheckpoint) and amortize them across
+    * micro-batches, instead of re-tokenizing the base per batch. */
+  private[graft] def shingled(docs: DataFrame, n: Int): DataFrame =
+    withShingles(docs, n)
+
+  /** One streaming-ingest micro-batch probed against the pre-shingled
+    * standing corpus: exact jaccard ≥ threshold pairs with doc_new =
+    * batch doc, doc_old = base doc. Candidate generation is the PPJoin
+    * cross-side prefix path — exact-COMPLETE for any τ > 0 (a
+    * qualifying pair must share a prefix token under the fixed
+    * (df, token) order; the pigeonhole argument in
+    * [[incrementalPrefix]]), so the batch verdicts match the naive
+    * all-pairs oracle bit-for-bit. Only the batch side is tokenized
+    * here; the base df counts re-aggregate from the cached base rows —
+    * at production scale both come off the persisted shingle index
+    * ([[shingleWriteIndex]]'s df/ partition, dd2's probe shape). */
+  private[graft] def ingestBatchPairs(baseSh: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame =
+    incrementalPrefix(
+      baseSh.withColumn("is_delta", lit(false))
+        .unionByName(withShingles(batch, 1).withColumn("is_delta", lit(true))),
+      threshold)
+
   private val MaxCompVocab = 4096
 
   /** Dictionary-encoded bitmap representation of the shingle sets,

@@ -3037,6 +3037,71 @@ object CoreQueries {
       |FROM d, t
       |ORDER BY "rank"""".stripMargin
 
+  /** q89: PARETO FRONT (skyline) — the parts no other part beats on
+    * BOTH axes (cheaper-or-equal price AND larger-or-equal size, strict
+    * somewhere): the multi-objective shortlist query ("show me the
+    * efficient frontier") that no single ORDER BY can express. The 2-D
+    * front has an exact one-sweep characterization this plan exploits
+    * instead of the naive NOT-EXISTS self-join: a part (p, s) is
+    * non-dominated iff (a) s exceeds the best size among STRICTLY
+    * cheaper parts and (b) s equals the best size AT its own price —
+    * (a) kills any strictly-cheaper dominator (price already strict),
+    * (b) kills any same-price larger one (size strict), and equal
+    * (price, size) duplicates dominate nothing (no strict axis) so
+    * both stay on the front. Membership is pure comparison on STORED
+    * values — no arithmetic, so both engines pick bit-identical rows.
+    * Plan: groupBy(price) collapses the fact to |distinct prices| rows
+    * map-side; the running best-of-cheaper is a window over that
+    * aggregate ordered by price (ROWS … 1 PRECEDING = strictly-cheaper
+    * groups, because rows ARE price groups) — q82's window-rides-the-
+    * aggregate shape, never sorting the fact; the surviving front
+    * prices (a monotone staircase, ≤ |distinct sizes| rows by
+    * construction — each must raise the running max) broadcast back
+    * onto the fact scan as a join filter. At 100 TB with a dense price
+    * domain, pre-bucket the price axis (q81's range-bucket trick) and
+    * prune whole buckets whose best size loses to a cheaper bucket's
+    * running max before the exact sweep. */
+  def q89ParetoFront(s: SparkSession, d: String): DataFrame =
+    paretoFrontOf(Tables.part(s, d))
+
+  /** The staircase sweep alone, over any parts-shaped relation —
+    * extracted so the spec can drive it with hand-built dominance
+    * fixtures (q85's boundary-helper policy). */
+  private[graft] def paretoFrontOf(part: DataFrame): DataFrame = {
+    val grp = part.groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("gmax"))
+    val w = Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, -1)
+    val front = grp
+      .withColumn("run_before", max(col("gmax")).over(w))
+      .filter(col("run_before").isNull || col("gmax") > col("run_before"))
+      .select(col("price"), col("gmax"))
+    part.join(broadcast(front),
+        col("p_retailprice") === col("price") && col("p_size") === col("gmax"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("long").as("p_size"), col("p_retailprice"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  /** Same staircase sweep in DuckDB; p_size cast to BIGINT on both
+    * sides (Spark INT vs DuckDB widening, q53's pin). The double
+    * equality joins compare STORED bit patterns — no arithmetic ever
+    * touches the values. */
+  val q89Sql: String =
+    """WITH g AS (
+      |  SELECT p_retailprice AS price, MAX(p_size) AS gmax
+      |  FROM part GROUP BY 1),
+      |r AS (
+      |  SELECT price, gmax,
+      |   MAX(gmax) OVER (ORDER BY price
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_before
+      |  FROM g),
+      |f AS (SELECT price, gmax FROM r
+      |      WHERE run_before IS NULL OR gmax > run_before)
+      |SELECT p.p_partkey, p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+      | p.p_retailprice
+      |FROM part p JOIN f ON p.p_retailprice = f.price AND p.p_size = f.gmax
+      |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3117,5 +3182,6 @@ object CoreQueries {
     ("q85_equidepth_hist", q85EquiDepthHist _, q85Sql),
     ("q86_changepoint", q86Changepoint _, q86Sql),
     ("q87_contribution", q87Contribution _, q87Sql),
+    ("q89_pareto_front", q89ParetoFront _, q89Sql),
   )
 }

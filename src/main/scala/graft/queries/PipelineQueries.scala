@@ -14,7 +14,11 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   */
 object PipelineQueries {
 
-  private val JaccardThreshold = 0.9
+  // JaccardThreshold and isDeltaDoc are package-visible: st15's
+  // streaming ingest-dedup (StreamQueries) must share the SAME
+  // threshold and delta-split rule as dd9/dd10 — the scaladoc warning
+  // below about site drift applies across files too.
+  private[graft] val JaccardThreshold = 0.9
   private val EmbDim = 64
   private val CosineDupThreshold = 0.35
   private val TopK = 10
@@ -211,7 +215,7 @@ object PipelineQueries {
     * of the 'nondelta' dup-groups index does not encode this predicate,
     * so a drift between the sites would silently dedup against the
     * wrong standing corpus. */
-  private def isDeltaDoc = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+  private[graft] def isDeltaDoc = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
 
   def dd9(s: SparkSession, d: String): DataFrame =
     Dedup.incrementalDedup(Tables.documents(s, d), 1, JaccardThreshold, isDeltaDoc)
@@ -738,6 +742,7 @@ object PipelineQueries {
   def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
   def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
+  def tx24(s: SparkSession, d: String): DataFrame = TextFunctions.docTopTerms(Tables.documents(s, d), 3)
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -821,6 +826,7 @@ object PipelineQueries {
     ("tx21_diversity", tx21 _, TextFunctions.diversitySql),
     ("tx22_datasheet", tx22 _, TextFunctions.datasheetSql),
     ("tx23_lm_score", tx23 _, TextFunctions.lmScoreSql),
+    ("tx24_keywords", tx24 _, TextFunctions.docTopTermsSql(3)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

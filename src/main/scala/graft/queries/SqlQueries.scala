@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.sources.{AvroIngest, CsvIngest}
+import graft.sources.{AvroIngest, CsvIngest, OrcIngest}
 
 /** SQL-string entry point + CSV-sourced query.
   *
@@ -235,6 +235,34 @@ object SqlQueries {
     s.sql(q71Sql)
   }
 
+  /** q88: per-(year, priority) aggregate over the ORC-ingested orders
+    * table — ORC completes the format family (CSV/JSON/Avro/ORC) and,
+    * unlike Avro, rides Spark's FIRST-CLASS vectorized ORC source
+    * (sources/OrcIngest.scala). Oracle reads the parquet original:
+    * longs/strings round-trip verbatim, doubles as their IEEE bit
+    * pattern, timestamps at nanosecond precision — so the hashes must
+    * match. year() cast to BIGINT (Spark INT vs DuckDB BIGINT, q24's
+    * pin). */
+  def q88(s: SparkSession, d: String): DataFrame =
+    OrcIngest.ordersOrc(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"),
+        col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("order_year"), col("o_orderpriority"))
+
+  val q88Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY order_year, o_orderpriority""".stripMargin
+
   /** (name, spark-fn, oracle-sql) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q23_csv_ingest", q23 _, q23Sql),
@@ -245,5 +273,6 @@ object SqlQueries {
     ("q53_avro_ingest", q53 _, q53Sql),
     ("q54_summary_stats", q54 _, q54Sql),
     ("q71_regression", q71 _, q71Sql),
+    ("q88_orc_ingest", q88 _, q88Sql),
   )
 }

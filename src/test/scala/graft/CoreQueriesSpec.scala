@@ -467,4 +467,38 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(out("shift") === ((5L, 10L, -25.0)))
     assert(out("flat") === ((1L, 10L, 0.0)))
   }
+
+  test("q89 pareto front: dominance fixture exact; staircase sweep ≡ brute-force dominance on real data") {
+    import spark.implicits._
+    // Hand fixture: dominated rows drop on BOTH dominance arms
+    // (strictly-cheaper-with-≥-size, same-price-with->-size) and equal
+    // (price, size) duplicates BOTH stay (no strict axis).
+    val part = Seq(
+      (1L, "B1", 2, 0.5), // front: cheapest
+      (2L, "B1", 5, 1.0), // front
+      (3L, "B1", 3, 1.0), // dominated: same price, smaller size
+      (4L, "B1", 5, 2.0), // dominated: 2 is cheaper at equal size
+      (5L, "B1", 7, 2.0), // front
+      (6L, "B2", 7, 2.0), // duplicate (price, size) of 5 — both stay
+      (7L, "B1", 7, 3.0), // dominated: 5 is cheaper at equal size
+      (8L, "B1", 9, 3.0)  // front
+    ).toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val out = CoreQueries.paretoFrontOf(part).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === Seq((1L, 2L, 0.5), (2L, 5L, 1.0), (5L, 7L, 2.0),
+      (6L, 7L, 2.0), (8L, 9L, 3.0)))
+    // Real data: the sweep must equal the quadratic dominance
+    // definition applied literally (the oracle-of-the-oracle)
+    val rows = Tables.part(spark, Sf0001)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val brute = rows.filter { case (_, s0, p0) =>
+      !rows.exists { case (_, s1, p1) =>
+        p1 <= p0 && s1 >= s0 && (p1 < p0 || s1 > s0) }
+    }.map(r => (r._1, r._2.toLong, r._3)).sortBy(r => (r._3, r._1)).toSeq
+    val swept = CoreQueries.q89ParetoFront(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(swept === brute)
+    assert(swept.nonEmpty)
+  }
 }

@@ -63,4 +63,17 @@ class FormatsSpec extends SparkTestBase {
     assert(f.contains("GreaterThan(doc_id,100"), s"doc_id filter not pushed:\n$f")
     assert(!f.contains("text"), s"ReadSchema not pruned:\n$f")
   }
+
+  test("OrcIngest: orders ORC round-trip is value-exact and layout-cached") {
+    import graft.sources.OrcIngest
+    val orig = Tables.orders(spark, Sf0001)
+    val back = OrcIngest.ordersOrc(spark, Sf0001)
+    // bit-exact round-trip of long/string/double/timestamp, as sets
+    assert(back.collect().map(_.toSeq).toSet === orig.collect().map(_.toSeq).toSet)
+    // write-once: a second call serves the SAME published layout
+    // (same physical files), not a rebuilt copy
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.toSet
+    assert(files(OrcIngest.ordersOrc(spark, Sf0001)) === files(back))
+  }
 }

@@ -400,4 +400,58 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(closed === expected)
     assert(closed.size < all.size, "watermark suppressed nothing — open windows leaked")
   }
+
+  test("st15 ingest dedup: multi-batch (4-file, 1/trigger) ≡ single run ≡ dd9-pairs batch twin") {
+    import graft.queries.PipelineQueries
+    // Batch-split invariance: verdicts are per-doc facts against the
+    // STANDING corpus only, so slicing the delta into micro-batches
+    // must change nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft-st15-src").toString
+    spark.read.parquet(s"$Sf0001/documents.parquet").repartition(4)
+      .write.parquet(s"$dir/documents.parquet")
+    val multi = StreamQueries.st15From(spark, dir, Some(1)).collect().toSeq
+    val single = StreamQueries.st15(spark, Sf0001).collect().toSeq
+    assert(multi === single)
+    // Batch twin: dd9's exact delta-vs-standing pair set folded by the
+    // same verdict — the streaming path computes dd9's answer.
+    val docs = Tables.documents(spark, Sf0001)
+    val twin = StreamQueries.ingestVerdict(
+      docs.filter(PipelineQueries.isDeltaDoc),
+      graft.operators.Dedup.incrementalDedup(docs, 1,
+        PipelineQueries.JaccardThreshold, PipelineQueries.isDeltaDoc))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(single === twin)
+    // every delta doc verdicted exactly once
+    val nDelta = docs.filter(PipelineQueries.isDeltaDoc).count()
+    assert(single.size.toLong === nDelta)
+    assert(single.map(_.getLong(0)).distinct.size.toLong === nDelta)
+  }
+
+  test("st15 ingest dedup: planted fixture — exact copy, τ-boundary near-copy, unique doc, lowest-id tie") {
+    import spark.implicits._
+    // ids chosen by their md5 first hex digit: 27/59/60 are delta
+    // ('0'), 1/2/3/4 are base. Doc 27 copies base 1 AND base 3 (equal
+    // jaccard 1.0 -> dup_of must tie to the LOWEST base id, n_matches
+    // 2); doc 60 adds one token to base 4's nine (jaccard exactly
+    // 9/10 = τ — the boundary the floor-prefix argument must keep);
+    // doc 59 is unique.
+    val dir = java.nio.file.Files.createTempDirectory("graft-st15-fix").toString
+    val fox = "the quick brown fox jumps over a lazy dog"
+    val nine = "alpha beta gamma delta epsilon zeta eta theta iota"
+    Seq(
+      (1L, fox), (2L, "completely different text about spark engines"),
+      (3L, fox), (4L, nine),
+      (27L, fox), (59L, "unique delta content zebra xylophone"),
+      (60L, nine + " kappa")
+    ).toDF("doc_id", "text").repartition(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val out = StreamQueries.st15(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (27L, true, 1L, 1.0, 2L),
+      (59L, false, -1L, -1.0, 0L),
+      (60L, true, 4L, 0.9, 1L)))
+  }
 }
