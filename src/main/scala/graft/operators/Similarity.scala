@@ -982,6 +982,37 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** O(k) cluster/list health rollup — ONE fold shared by ss13 (over
+    * the exact integer-kmeans assignment, with dist2u) and the IVF
+    * index spec (over the materialized cid partition column, no
+    * distance). Per cluster: member count, corpus share, imbalance
+    * n·k/N (1.0 = perfectly balanced lists — at fixed nprobe a 3×
+    * list is a 3× probe-cost hot spot), and mean squared distance in
+    * micro²-units when a distance column exists. One partial-agg'd
+    * pass to k rows; the total and every ratio ride the k-row
+    * aggregate via a global window (q87's tiny-aggregate shape), so
+    * the single SinglePartition exchange moves k rows, never data. */
+  def clusterStats(assigned: DataFrame, k: Int, clusterCol: String,
+      dist2uCol: Option[String] = None): DataFrame = {
+    val base = dist2uCol match {
+      case Some(dc) =>
+        assigned.groupBy(col(clusterCol).as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col(dc).cast(DecimalType(38, 0))).as("sdec"))
+      case None =>
+        assigned.groupBy(col(clusterCol).as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"))
+    }
+    val ratios = base
+      .withColumn("n_total", sum(col("n_vecs")).over(Window.partitionBy()))
+      .selectExpr(Seq("cluster", "n_vecs",
+        "cast(n_vecs as double) / n_total as share",
+        s"cast(n_vecs * $k as double) / n_total as imbalance") ++
+        dist2uCol.map(_ =>
+          "cast(cast(sdec as string) as double) / n_vecs as mean_dist2u"): _*)
+    ratios.orderBy(col("cluster"))
+  }
+
   def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))

@@ -3102,6 +3102,67 @@ object CoreQueries {
       |FROM part p JOIN f ON p.p_retailprice = f.price AND p.p_size = f.gmax
       |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
 
+  /** q90: MULTI-TOUCH ATTRIBUTION — the credit-assignment table
+    * behind "which clicks get credit for this purchase": for each
+    * purchase, the user's clicks in the trailing 1-hour window (st5's
+    * interval-join semantics, exact INT64-ns arithmetic — the batch
+    * twin of the streaming attribution pipeline in §2.F) share the
+    * conversion equally. Emits the ASSIGNMENT (purchase, click,
+    * n_touches, recency rank, credit = 1/n) rather than per-click
+    * credit SUMS — deliberately: credit is ONE shared IEEE divide per
+    * row (bit-exact on both engines), while summing 1/n doubles across
+    * purchases would be partition-order-dependent; a consumer
+    * re-aggregates in DECIMAL at whatever grain it needs. Recency rank
+    * ties break on click_id — bit-determined. Plan at 100 TB: the two
+    * type filters push to the scan; the interval join is a user_id
+    * hash join with the time band as a residual (never a cartesian;
+    * bot-user skew → AQE skew-split, q48's salting as the manual
+    * fallback); both windows partition by purchase_id — millions of
+    * tiny partitions, nothing global. */
+  def q90Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val hourNs = 3600L * 1000000000L
+    val pairs = clicks.join(purchases,
+      col("cu") === col("pu") && col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + lit(hourNs))
+    val wp = Window.partitionBy(col("purchase_id"))
+    val wr = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("cts").desc, col("click_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(wp))
+      .withColumn("touch_rank", row_number().over(wr).cast("long"))
+      .withColumn("credit", lit(1.0) / col("n_touches"))
+      .select(col("purchase_id"), col("click_id"), col("cu").as("user_id"),
+        col("n_touches"), col("touch_rank"), col("credit"))
+      .orderBy(col("purchase_id"), col("touch_rank"))
+  }
+
+  /** Same interval join + windows in DuckDB; the credit divide is
+    * CAST(1.0 AS DOUBLE)/n because a bare 1.0 is DECIMAL there
+    * (decimal division would diverge from Spark's double). */
+  val q90Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+      |pairs AS (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |   c.user_id, c.tns AS cts
+      |  FROM e c JOIN e p ON c.user_id = p.user_id
+      |   AND p.tns >= c.tns AND p.tns <= c.tns + 3600000000000
+      |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+      |SELECT purchase_id, click_id, user_id,
+      | COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+      | CAST(row_number() OVER (PARTITION BY purchase_id
+      |                         ORDER BY cts DESC, click_id) AS BIGINT) AS touch_rank,
+      | CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+      |FROM pairs
+      |ORDER BY purchase_id, touch_rank""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3183,5 +3244,6 @@ object CoreQueries {
     ("q86_changepoint", q86Changepoint _, q86Sql),
     ("q87_contribution", q87Contribution _, q87Sql),
     ("q89_pareto_front", q89ParetoFront _, q89Sql),
+    ("q90_attribution", q90Attribution _, q90Sql),
   )
 }

@@ -350,6 +350,58 @@ object PipelineQueries {
       |WHERE levenshtein(a.text, b.text) <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd14: per-source DEDUP SHRINKAGE — the corpus-health number a
+    * curation dashboard tracks per ingest source: how much does this
+    * source collapse under transitive near-dup grouping? (A crawl
+    * slice at 40 % shrinkage is template spam; a curated source near
+    * 0 % is pulling its weight.) n_groups counts DISTINCT group
+    * labels among the source's docs (a group spanning sources counts
+    * for each — the per-source view is what the per-source decision
+    * consumes); shrinkage = 1 − groups/docs is one shared
+    * divide-then-subtract IEEE tree, bit-exact. Probes the SAME
+    * materialized dup-groups index as dd7/dd10 — the CC labeling is
+    * amortized infrastructure, never recomputed per query; the
+    * registry cost is one O(docs) label join + an O(sources) rollup
+    * with map-side partials. */
+  def dd14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(cachedGroupsIndex(s, d, "full", docs), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"))
+      .withColumn("shrinkage",
+        lit(1.0) - col("n_groups").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** dd6's recursive-closure labeling rolled up per source; the
+    * shrinkage tree is stated identically (CAST(1.0 AS DOUBLE) —
+    * DuckDB's bare 1.0 is DECIMAL). */
+  val dd14Sql: String =
+    s"""WITH RECURSIVE docsets AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM docsets a, docsets b WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardThreshold),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM prs
+      |  UNION ALL SELECT doc_b, doc_a FROM prs),
+      |rch(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM rch r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM rch GROUP BY src)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      | COUNT(DISTINCT l.group_id) AS n_groups,
+      | CAST(1.0 AS DOUBLE) - CAST(COUNT(DISTINCT l.group_id) AS DOUBLE) / COUNT(*) AS shrinkage
+      |FROM documents d JOIN lab l USING (doc_id)
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -653,6 +705,28 @@ object PipelineQueries {
   def ss10(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansAssign(Tables.embeddings(s, d), KmeansK, KmeansIters)
 
+  /** ss13: CLUSTER-HEALTH STATS — the O(k) index-health rollup a user
+    * reads before deciding to re-cluster (the aggregate view behind
+    * ss8's ivf_delta recall gauge): per cluster, member count, corpus
+    * share, imbalance factor n·k/N (1.0 = perfectly balanced lists;
+    * a 3× list is a 3× probe-cost hot spot at fixed nprobe), and mean
+    * squared distance to the centroid in micro²-units (list
+    * tightness — drift pushes it up). Runs over ss10's EXACT integer
+    * kmeans assignment so every column is gate-able: counts are
+    * integers, sums of int64 distances accumulate in DECIMAL(38,0)
+    * (order-independent), and each IEEE value is ONE shared divide of
+    * exactly-agreed operands (the >2⁵³ distance sum string-hops per
+    * q54's lesson). The stats fold itself is assignment-agnostic —
+    * IvfIndexSpec runs the same shape over the REAL materialized IVF
+    * index (base and delta-appended) where the float-trained
+    * assignment is spec territory. Plan: one partial-agg'd pass over
+    * the assignment to k rows; the total and every ratio ride the
+    * k-row aggregate (q87's global-window-on-tiny-aggregate shape). */
+  def ss13(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterStats(
+      Similarity.kmeansAssign(Tables.embeddings(s, d), KmeansK, KmeansIters),
+      KmeansK, "cluster", dist2uCol = Some("dist2u"))
+
   /** ss10's oracle unrolls the SAME two Lloyd rounds the Spark side
     * runs, in the same int64 micro-units: coordinates quantized to
     * DECIMAL(18,6) then ×10⁶ → BIGINT, exact integer squared
@@ -662,7 +736,12 @@ object PipelineQueries {
     * arithmetic end to end, so assignments AND distances hash
     * bit-exactly. (SUM(BIGINT) is HUGEINT in DuckDB — cast back
     * before reuse.) */
-  val ss10Sql: String =
+  /** The unrolled two-round integer-kmeans CTE chain, shared by ss10's
+    * per-vector oracle and ss13's rollup oracle (one definition — a
+    * drift between the two would silently decouple the stats from the
+    * assignment they claim to summarize). Ends at `a2` (vec_id,
+    * cluster, dist, rn); consumers filter rn = 1. */
+  private val KmeansCtes: String =
     s"""WITH x AS (
       |  SELECT vec_id, gs - 1 AS pos,
       |   CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
@@ -701,10 +780,31 @@ object PipelineQueries {
       |a2 AS (
       |  SELECT vec_id, cluster, dist,
       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-      |  FROM d2)
+      |  FROM d2)""".stripMargin
+
+  val ss10Sql: String =
+    s"""$KmeansCtes
       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist AS dist2u
       |FROM a2 WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
+
+  /** ss13's rollup over the same chain; every ratio is one divide of
+    * exactly-shared operands (n_total ≪ 2⁵³ so the HUGEINT→DOUBLE
+    * hop is exact; the distance sum string-hops, q54's lesson). */
+  val ss13Sql: String =
+    s"""$KmeansCtes,
+      |lab AS (SELECT vec_id, cluster, dist FROM a2 WHERE rn = 1),
+      |cs AS (
+      |  SELECT cluster, COUNT(*) AS n_vecs,
+      |   SUM(CAST(dist AS DECIMAL(38,0))) AS sdec
+      |  FROM lab GROUP BY cluster),
+      |tot AS (SELECT SUM(n_vecs) AS n_total FROM cs)
+      |SELECT CAST(cluster AS INTEGER) AS cluster, n_vecs,
+      | CAST(n_vecs AS DOUBLE) / n_total AS share,
+      | CAST(n_vecs * $KmeansK AS DOUBLE) / n_total AS imbalance,
+      | CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / n_vecs AS mean_dist2u
+      |FROM cs, tot
+      |ORDER BY cluster""".stripMargin
 
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
@@ -791,6 +891,7 @@ object PipelineQueries {
     ("dd11_containment", dd11 _, dd11Sql),
     ("dd12_edit_distance", dd12 _, dd12Sql),
     ("dd13_containment_groups", dd13 _, dd13Sql),
+    ("dd14_dedup_stats", dd14 _, dd14Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
@@ -801,6 +902,7 @@ object PipelineQueries {
     ("ss8_ann_recall", ss8 _, null),
     ("ss9_range_search", ss9 _, ss9Sql),
     ("ss10_kmeans", ss10 _, ss10Sql),
+    ("ss13_cluster_stats", ss13 _, ss13Sql),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),

@@ -690,4 +690,70 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("InMemoryTableScan"),
       s"chunking must run once into the cached relation:\n${p.take(3000)}")
   }
+
+  test("q89 pareto front: staircase on the price aggregate, broadcast-back filter, no dominance self-join") {
+    val df = CoreQueries.q89ParetoFront(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    // naive skyline is a quadratic NOT-EXISTS self-join — the sweep
+    // must never degenerate to a nested-loop/cartesian dominance test
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degenerated to the quadratic dominance join:\n${p.take(3000)}")
+    // surviving front prices come back onto the fact as a broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"front filter must broadcast back:\n${p.take(3000)}")
+    // the price groupBy partial-aggregates before the exchange
+    assert(p.contains("partial_max"),
+      s"per-price max must map-side combine:\n${p.take(3000)}")
+  }
+
+  test("q90 attribution: interval join is a user_id hash join, never a cartesian; windows ride purchase partitions") {
+    val df = CoreQueries.q90Attribution(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    // the trailing-hour band must stay a RESIDUAL on the user_id
+    // equi-join — a time-only join degenerates to a cartesian at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated:\n${p.take(3000)}")
+    // both the touch count and the recency rank partition by purchase —
+    // millions of tiny partitions, nothing global
+    assert(p.contains("windowspecdefinition(purchase_id"),
+      s"windows must partition by purchase_id:\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"attribution collapsed to one partition:\n${p.take(3000)}")
+    // the two event_type filters reach the scans
+    assert(formatted(df).contains("EqualTo(event_type,click)"),
+      "click filter not pushed to the scan")
+  }
+
+  test("dd14 dedup stats: probes the materialized groups index; rollup partial-aggs") {
+    val df = graft.queries.PipelineQueries.dd14(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    // the CC labeling is amortized infrastructure — the registry plan
+    // must READ the parquet index, never re-run label propagation
+    assert(p.contains("graft_dupidx_"),
+      s"dd14 must probe the materialized dup-groups index:\n${p.take(3000)}")
+    // per-source distinct-group rollup partial-aggregates map-side
+    assert(p.contains("partial_count"),
+      s"rollup must map-side combine:\n${p.take(3000)}")
+  }
+
+  test("tx24 keywords: top-k window partitions by doc_id; tf partial-aggs; df join not broadcast") {
+    val df = graft.functions.TextFunctions.docTopTerms(
+      Tables.documents(spark, Sf0001), 3)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the rank window must ride per-doc partitions — a global window
+    // would single-partition the whole scored relation
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"keyword rank must partition by doc_id:\n${p.take(3000)}")
+    // exactly one SinglePartition exchange is legitimate: the 1-row
+    // corpus count that broadcasts (q81's ≤1 convention); the scored
+    // relation itself must never collapse
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"keywords collapsed to one partition:\n${p.take(3000)}")
+    assert(p.contains("partial_count"),
+      s"tf must map-side combine:\n${p.take(3000)}")
+  }
 }

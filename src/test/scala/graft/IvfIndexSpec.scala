@@ -192,4 +192,35 @@ class IvfIndexSpec extends SparkTestBase {
       s"cid not a partition filter:\n$p")
     assert(!codeScan.get.contains("embedding"), s"probe scan reads embeddings:\n$p")
   }
+
+  test("clusterStats over the REAL materialized IVF index: counts conserve across delta append") {
+    // ss13's fold applied to the at-rest cid partitions — the
+    // re-cluster gauge in numbers: imbalance per list, and how a
+    // delta append shifts it. Appends only ADD members, so per-list
+    // counts are monotone and the totals conserve exactly.
+    val (emb, base, delta) = splitEmb()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stats").toString
+    Similarity.ivfWriteIndex(base, dir, nlist = 16, iters = 2)
+    val sBase = Similarity.clusterStats(
+      spark.read.parquet(s"$dir/vectors"), 16, "cid").collect()
+    Similarity.ivfAppendDelta(delta, dir)
+    val sDelta = Similarity.clusterStats(
+      spark.read.parquet(s"$dir/vectors"), 16, "cid").collect()
+
+    val (nBase, nDelta) = (base.count(), delta.count())
+    assert(sBase.map(_.getLong(1)).sum === nBase, "base list counts must sum to the base corpus")
+    assert(sDelta.map(_.getLong(1)).sum === nBase + nDelta,
+      "appended list counts must sum to base + delta — nothing lost, nothing duplicated")
+    // appending never removes: every list is monotone non-decreasing
+    val baseByCid = sBase.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sDelta.foreach { r =>
+      assert(r.getLong(1) >= baseByCid.getOrElse(r.getInt(0), 0L),
+        s"list ${r.getInt(0)} shrank across append")
+    }
+    // shares are a probability vector; imbalance averages to 1 by
+    // construction (Σ n·k/N over k lists = k·Σshare = k... /k = 1)
+    val shares = sDelta.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    assert(sDelta.map(_.getDouble(3)).forall(_ > 0.0))
+  }
 }
