@@ -953,6 +953,66 @@ object TextFunctions {
     * O(tokens) then O(vocab × sources). At 100 TB Σc² and N² outgrow
     * int64 (N > ~3·10⁹ tokens per source) — widen those two products
     * to DECIMAL(38,0); the tree shape is unchanged. */
+  /** tx25: RAG CHUNKING — split each document into overlapping
+    * fixed-size token windows (window W, stride S ≤ W): the
+    * retrieval-unit table a RAG/eval pipeline derives before
+    * embedding, and the missing within-doc sibling of tx12's
+    * cross-doc packing. Chunk starts are 0, S, 2S, …, ceil((n−W)/S)·S
+    * (one chunk when n ≤ W), so every token is covered and every
+    * chunk contributes ≥ W−S+1 ≥ 1 new tokens — no chunk is contained
+    * in its predecessor. Pure integer start arithmetic + slice +
+    * array_join ⇒ bit-exact text on both engines.
+    *
+    * Scale: map-side only — no shuffle, no window, no join; the one
+    * per-row regexp tokenize binds as a single-element transform
+    * lambda variable (mm6's CollapseProject lesson: referencing a
+    * projected token array from inside the chunk lambda would re-run
+    * the regexp once per chunk after the optimizer re-inlines it),
+    * so each doc tokenizes exactly once however many chunks it
+    * yields. Output is O(Σ chunks) rows emitted straight from the
+    * scan — at 100 TB this is the embarrassing-parallel shape. */
+  def ragChunks(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && stride <= window, "ragChunks: need 1 <= stride <= window")
+    docs
+      .select(col("doc_id"), expr(
+        s"""flatten(transform(array($tokensExpr), toks ->
+           |  transform(
+           |    sequence(0L, if(size(toks) <= $window, 0L,
+           |                    (size(toks) - $window + $stride - 1) div $stride)),
+           |    i -> struct(
+           |      cast(size(toks) as bigint) as n_tokens,
+           |      i as chunk_id,
+           |      i * ${stride}L as start_tok,
+           |      slice(toks, cast(i * $stride + 1 as int), $window) as c))))
+           |""".stripMargin).as("chunks"))
+      .select(col("doc_id"), explode(col("chunks")).as("ch"))
+      .filter(col("ch.n_tokens") > 0)
+      .select(col("doc_id"), col("ch.n_tokens").as("n_tokens"),
+        col("ch.chunk_id").as("chunk_id"), col("ch.start_tok").as("start_tok"),
+        size(col("ch.c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ch.c"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def ragChunksSql(window: Int, stride: Int): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |x AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+      |k AS (
+      |  SELECT doc_id, toks, n,
+      |   unnest(generate_series(0, CASE WHEN n <= $window THEN 0
+      |     ELSE (n - $window + $stride - 1) // $stride END)) AS i
+      |  FROM x)
+      |SELECT doc_id, n AS n_tokens, CAST(i AS BIGINT) AS chunk_id,
+      | CAST(i * $stride AS BIGINT) AS start_tok,
+      | CAST(len(list_slice(toks, i * $stride + 1, i * $stride + $window)) AS BIGINT)
+      |   AS n_chunk_tokens,
+      | array_to_string(list_slice(toks, i * $stride + 1, i * $stride + $window), ' ')
+      |   AS chunk_text
+      |FROM k
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   def diversity(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(expr(tokensExpr)).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))

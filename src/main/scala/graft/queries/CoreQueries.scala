@@ -3163,6 +3163,105 @@ object CoreQueries {
       |FROM pairs
       |ORDER BY purchase_id, touch_rank""".stripMargin
 
+  /** q91: AUTOCORRELATION (ACF at lags 1–7) of each event type's daily
+    * total — the seasonality detector beside q82's outlier z-score and
+    * q86's level-shift CUSUM: a strong lag-7 spike says "weekly
+    * rhythm", a slowly decaying curve says "trend not yet removed".
+    * Pearson r over the (day, day+lag) pairs via the computational
+    * form r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)).
+    * Exactness contract (q82's recipe): daily totals accumulate in
+    * DECIMAL(18,6); the cross/power products are pinned (16,6)×(16,6)
+    * → exact (33,12) under Spark's 38-digit cap (DuckDB mirrors at
+    * (19,6)² → int128 (38,12)); the five sums are order-independent
+    * decimals that string-hop to double (q54's >16-digit lesson), and
+    * the whole r tree is IEEE stated identically in both engines — so
+    * every coefficient hashes. r is NULL when fewer than 8 pairs
+    * overlap or either variance term is ≤ 0 (constant series).
+    *
+    * Plan at 100 TB: ONE events scan partial-aggregates to the
+    * types×days mart, which is cached and self-joined at +lag — both
+    * join sides read the InMemoryRelation, so the fact is never
+    * scanned twice (plan-pinned); everything after the first groupBy
+    * touches |types|×|days| rows. Missing days drop pairs on both
+    * engines identically (no gap-fill — compose q41 upstream if the
+    * series needs it). */
+  def q91Autocorrelation(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 86400000000000L
+    acfOf(Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(sum(col("value").cast("double").cast(DecimalType(18, 6))).as("v")))
+  }
+
+  /** q91's scoring core over any (event_type, day, v) daily series —
+    * extracted so the spec can plant exact-period and constant
+    * fixtures against the same decimal sums + IEEE tree. */
+  private[graft] def acfOf(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
+      .withColumn("v16", col("v").cast(DecimalType(16, 6)))
+      .cache()
+    val lags = daily.select(col("event_type"), col("day"), col("v16"),
+      explode(expr("sequence(1, 7)")).as("lag"))
+    val pairs = lags.alias("a").join(daily.alias("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("b.day") === col("a.day") + col("a.lag"))
+      .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+        col("a.v16").as("x"), col("b.v16").as("y"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("event_type", "cast(lag as bigint) as lag", "n_pairs",
+        "cast(cast(sx as string) as double) as sxd",
+        "cast(cast(sy as string) as double) as syd",
+        "cast(cast(sxx as string) as double) as sxxd",
+        "cast(cast(syy as string) as double) as syyd",
+        "cast(cast(sxy as string) as double) as sxyd")
+      .selectExpr("event_type", "lag", "n_pairs",
+        """case when n_pairs >= 8
+          |      and n_pairs * sxxd - sxd * sxd > 0.0
+          |      and n_pairs * syyd - syd * syd > 0.0
+          | then (n_pairs * sxyd - sxd * syd)
+          |      / sqrt((n_pairs * sxxd - sxd * sxd) * (n_pairs * syyd - syd * syd))
+          | end as acf""".stripMargin)
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val q91Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |   SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS v
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT a.event_type, l.lag, CAST(a.v AS DECIMAL(19,6)) AS x,
+      |   CAST(b.v AS DECIMAL(19,6)) AS y
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+      |  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+      |sums AS (
+      |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+      |   SUM(x) AS sx, SUM(y) AS sy,
+      |   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM lagged GROUP BY 1, 2),
+      |hop AS (
+      |  SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+      |   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+      |   CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+      |   CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+      |   CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+      |   CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+      |  FROM sums)
+      |SELECT event_type, lag, n_pairs,
+      | CASE WHEN n_pairs >= 8
+      |       AND n_pairs * sxxd - sxd * sxd > 0.0
+      |       AND n_pairs * syyd - syd * syd > 0.0
+      |  THEN (n_pairs * sxyd - sxd * syd)
+      |       / sqrt((n_pairs * sxxd - sxd * sxd) * (n_pairs * syyd - syd * syd))
+      |  END AS acf
+      |FROM hop
+      |ORDER BY event_type, lag""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3245,5 +3344,6 @@ object CoreQueries {
     ("q87_contribution", q87Contribution _, q87Sql),
     ("q89_pareto_front", q89ParetoFront _, q89Sql),
     ("q90_attribution", q90Attribution _, q90Sql),
+    ("q91_autocorrelation", q91Autocorrelation _, q91Sql),
   )
 }

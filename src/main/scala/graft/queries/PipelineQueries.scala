@@ -843,6 +843,7 @@ object PipelineQueries {
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
   def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
   def tx24(s: SparkSession, d: String): DataFrame = TextFunctions.docTopTerms(Tables.documents(s, d), 3)
+  def tx25(s: SparkSession, d: String): DataFrame = TextFunctions.ragChunks(Tables.documents(s, d), 64, 48)
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
 
@@ -929,6 +930,7 @@ object PipelineQueries {
     ("tx22_datasheet", tx22 _, TextFunctions.datasheetSql),
     ("tx23_lm_score", tx23 _, TextFunctions.lmScoreSql),
     ("tx24_keywords", tx24 _, TextFunctions.docTopTermsSql(3)),
+    ("tx25_rag_chunks", tx25 _, TextFunctions.ragChunksSql(64, 48)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

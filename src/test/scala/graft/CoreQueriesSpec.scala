@@ -501,4 +501,34 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(swept === brute)
     assert(swept.nonEmpty)
   }
+
+  test("q91 acf: exact period-7 series peaks at lag 7; constant and short series are NULL") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD}
+    def daily(tpe: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) =>
+        (tpe, i.toLong, new JBD(v.toString).setScale(6)) }
+    // 35 days of an exact 7-period sawtooth: at lag 7 every pair is
+    // (x, x) so r = 1; at lag 1 the pattern decorrelates below 1.
+    val saw = daily("saw", (0 until 35).map(i => (i % 7 + 1).toDouble))
+    // constant series: zero variance -> NULL at every lag
+    val const = daily("const", Seq.fill(20)(5.0))
+    // short series: 8 days leaves 8 - lag < 8 pairs everywhere -> NULL
+    val short = daily("short", (0 until 8).map(_.toDouble + 1))
+    val df = (saw ++ const ++ short).toDF("event_type", "day", "v")
+      .select(col("event_type"), col("day"),
+        col("v").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v"))
+    val out = CoreQueries.acfOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("saw", 7L)).exists(v => math.abs(v - 1.0) < 1e-12),
+      s"lag-7 acf of an exact 7-period series must be 1, got ${out(("saw", 7L))}")
+    assert(out(("saw", 1L)).exists(v => v < 0.9), "lag-1 acf should decorrelate")
+    (1L to 7L).foreach { l =>
+      assert(out(("const", l)) === None, s"constant series lag $l must be NULL")
+      assert(out(("short", l)) === None, s"8-day series lag $l must be NULL (< 8 pairs)")
+    }
+    // every defined coefficient is a correlation: |r| <= 1 (+ ulp)
+    assert(out.values.flatten.forall(v => math.abs(v) <= 1.0 + 1e-12))
+  }
 }

@@ -739,6 +739,21 @@ class ExplainSpec extends SparkTestBase {
       s"rollup must map-side combine:\n${p.take(3000)}")
   }
 
+  test("q91 acf: fact scans once into the cached daily mart; lag self-join is an equi-join") {
+    val df = CoreQueries.q91Autocorrelation(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    // both sides of the +lag self-join must read the cached types×days
+    // mart — without the cache each side re-derives the aggregate and
+    // the 100 TB fact scans twice. (The events FileScan still appears
+    // in the plan STRING, inside the printed InMemoryRelation subtree —
+    // that's the cache's definition, not a second scan.)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"a join side re-derives the daily mart instead of reading the cache:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lag join degenerated:\n${p.take(3000)}")
+  }
+
   test("tx24 keywords: top-k window partitions by doc_id; tf partial-aggs; df join not broadcast") {
     val df = graft.functions.TextFunctions.docTopTerms(
       Tables.documents(spark, Sf0001), 3)
