@@ -3262,6 +3262,87 @@ object CoreQueries {
       |FROM hop
       |ORDER BY event_type, lag""".stripMargin
 
+  /** q92: RFM SEGMENTATION — the classic customer-value grid: per
+    * customer, Recency (days since last order vs the corpus's last
+    * order day), Frequency (order count) and Monetary (lifetime cents),
+    * each scored into exact population QUINTILES, r·100+f·10+m as the
+    * segment code (555 = best). Scores use EXACT equi-depth boundaries
+    * at ranks ⌈k·N/5⌉ — q85's two-phase domain bucketing, NOT a global
+    * ntile window (the naive plan row_numbers every customer through
+    * ONE partition; boundaries cost three domain-bucketed passes and
+    * 12 collected longs of driver state, q64's runtime-literal
+    * pattern). bucket(v) = 1 + #{cuts < v}: assignment is a map-side
+    * CASE against broadcast literals, ties share a bucket on both
+    * engines (duplicate cut values collapse bucket labels — a
+    * deterministic, engine-identical rule; frequency's small domain
+    * does this routinely). Recency is integer day arithmetic off one
+    * broadcast 1-row global max (the documented ≤1-BNLJ scalar join);
+    * monetary is exact integer cents (q83's convention). Everything
+    * IEEE-free ⇒ every row hashes. */
+  def q92RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+      to_date(col("o_orderdate")).as("od"),
+      expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+    val cust = o.groupBy(col("custkey"))
+      .agg(max(col("od")).as("last_od"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+    val base = cust.crossJoin(broadcast(o.agg(max(col("od")).as("mxd"))))
+      .withColumn("recency_days", datediff(col("mxd"), col("last_od")).cast("long"))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"))
+    def cuts(metric: String, width: Long): Seq[Long] =
+      equiDepthBoundaries(base.select(col(metric).as("v")), 5, width)
+        .filter(col("bucket") <= 4).collect().map(_.getLong(2)).toSeq
+    def bucket(metric: String, cs: Seq[Long]): Column =
+      cs.map(c => when(col(metric) > c, 1L).otherwise(0L))
+        .foldLeft(lit(1L))(_ + _)
+    val (rc, fc, mc) =
+      (cuts("recency_days", 16L), cuts("frequency", 1L),
+        cuts("monetary_cents", 1L << 20))
+    base
+      .withColumn("r", lit(6L) - bucket("recency_days", rc))
+      .withColumn("f", bucket("frequency", fc))
+      .withColumn("m", bucket("monetary_cents", mc))
+      .withColumn("rfm_score", col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Same boundaries via the naive global row_number (q85's oracle
+    * statement), same >-cut counting — correlated COUNT against the
+    * 4-row cut sets. */
+  val q92Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS od,
+      |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |cust AS (
+      |  SELECT custkey, MAX(od) AS last_od, COUNT(*) AS frequency,
+      |   SUM(cents) AS monetary_cents
+      |  FROM o GROUP BY custkey),
+      |mx AS (SELECT MAX(od) AS mxd FROM o),
+      |base AS (
+      |  SELECT custkey, CAST(mxd - last_od AS BIGINT) AS recency_days,
+      |   frequency, CAST(monetary_cents AS BIGINT) AS monetary_cents
+      |  FROM cust, mx),
+      |n AS (SELECT COUNT(*) AS c FROM base),
+      |ks AS (SELECT unnest(generate_series(1, 4)) AS k),
+      |rr AS (SELECT recency_days AS v, row_number() OVER (ORDER BY recency_days) AS rn FROM base),
+      |ff AS (SELECT frequency AS v, row_number() OVER (ORDER BY frequency) AS rn FROM base),
+      |mm AS (SELECT monetary_cents AS v, row_number() OVER (ORDER BY monetary_cents) AS rn FROM base),
+      |rcut AS (SELECT rr.v FROM ks CROSS JOIN n JOIN rr ON rr.rn = (ks.k * n.c + 4) // 5),
+      |fcut AS (SELECT ff.v FROM ks CROSS JOIN n JOIN ff ON ff.rn = (ks.k * n.c + 4) // 5),
+      |mcut AS (SELECT mm.v FROM ks CROSS JOIN n JOIN mm ON mm.rn = (ks.k * n.c + 4) // 5),
+      |scored AS (
+      |  SELECT custkey, recency_days, frequency, monetary_cents,
+      |   6 - (1 + (SELECT COUNT(*) FROM rcut WHERE base.recency_days > rcut.v)) AS r,
+      |   1 + (SELECT COUNT(*) FROM fcut WHERE base.frequency > fcut.v) AS f,
+      |   1 + (SELECT COUNT(*) FROM mcut WHERE base.monetary_cents > mcut.v) AS m
+      |  FROM base)
+      |SELECT custkey, recency_days, frequency, monetary_cents,
+      | r, f, m, r * 100 + f * 10 + m AS rfm_score
+      |FROM scored
+      |ORDER BY custkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3345,5 +3426,6 @@ object CoreQueries {
     ("q89_pareto_front", q89ParetoFront _, q89Sql),
     ("q90_attribution", q90Attribution _, q90Sql),
     ("q91_autocorrelation", q91Autocorrelation _, q91Sql),
+    ("q92_rfm_segments", q92RfmSegments _, q92Sql),
   )
 }

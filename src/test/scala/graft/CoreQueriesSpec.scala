@@ -531,4 +531,29 @@ class CoreQueriesSpec extends SparkTestBase {
     // every defined coefficient is a correlation: |r| <= 1 (+ ulp)
     assert(out.values.flatten.forall(v => math.abs(v) <= 1.0 + 1e-12))
   }
+
+  test("q92 rfm: driver-side replay of the exact quintile cuts and scores") {
+    val out = CoreQueries.q92RfmSegments(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    // replay the definition literally: cut k = sorted value at rank
+    // ceil(k*N/5); bucket(v) = 1 + #{cuts < v}; r reversed
+    def cuts(vs: Array[Long]): Seq[Long] = {
+      val s = vs.sorted; val n = vs.length.toLong
+      (1 to 4).map(k => s(((k * n + 4) / 5).toInt - 1))
+    }
+    def b(v: Long, cs: Seq[Long]): Long = 1L + cs.count(v > _)
+    val rc = cuts(out.map(_.getLong(1)))
+    val fc = cuts(out.map(_.getLong(2)))
+    val mc = cuts(out.map(_.getLong(3)))
+    out.foreach { r =>
+      assert(r.getLong(4) === 6L - b(r.getLong(1), rc), s"r mismatch at ${r.getLong(0)}")
+      assert(r.getLong(5) === b(r.getLong(2), fc), s"f mismatch at ${r.getLong(0)}")
+      assert(r.getLong(6) === b(r.getLong(3), mc), s"m mismatch at ${r.getLong(0)}")
+      assert(r.getLong(7) === r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+      (4 to 6).foreach(i => assert(r.getLong(i) >= 1L && r.getLong(i) <= 5L))
+    }
+    // quintiles discriminate: monetary cents are near-unique, so all
+    // five m buckets are populated
+    assert(out.map(_.getLong(6)).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }

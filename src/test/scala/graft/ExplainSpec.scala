@@ -754,6 +754,21 @@ class ExplainSpec extends SparkTestBase {
       s"lag join degenerated:\n${p.take(3000)}")
   }
 
+  test("q92 rfm: scoring plan is windowless — no global ntile/row_number over customers") {
+    val df = CoreQueries.q92RfmSegments(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the quintile cuts were collected at build time (q64's
+    // runtime-literal pattern); the registry plan must be the customer
+    // aggregate + broadcast scalar + CASE projection — the naive ntile
+    // window would push every customer through ONE partition
+    assert(!p.contains("Window"),
+      s"rfm scoring regressed to a global rank window:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"more than the one documented 1-row max join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+  }
+
   test("tx24 keywords: top-k window partitions by doc_id; tf partial-aggs; df join not broadcast") {
     val df = graft.functions.TextFunctions.docTopTerms(
       Tables.documents(spark, Sf0001), 3)
