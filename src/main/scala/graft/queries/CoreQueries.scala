@@ -3343,6 +3343,66 @@ object CoreQueries {
       |FROM scored
       |ORDER BY custkey""".stripMargin
 
+  /** q93: ASSOCIATION RULES (market-basket) — support, directional
+    * confidence and lift for co-purchased part pairs, top-100 by lift:
+    * "customers who buy u also buy v" with the statistical strength
+    * that separates signal from popularity (lift > 1 ⇔ the pair beats
+    * independence). PROBES the same write-once co-purchase edge layout
+    * as q74/q75 (pair counting — the expensive self-join — is
+    * amortized build-time infrastructure); the registry adds one
+    * capped-distinct item-frequency pass and an O(edges) scoring join.
+    * All ratios are single IEEE divides of exact int64 counts/products
+    * (n_ab·N and n_a·n_b stay < 2⁵³), so every row hashes; top-100
+    * rides (lift DESC, u, v) — a total order, both engines pick the
+    * same rows via TakeOrdered, never a global sort. The cap shares
+    * q74's convention: heavy orders clip to the 64 lowest partkeys
+    * (capped ≡ uncapped on gate data, TrianglesSpec's mega-order
+    * fixture owns the boundary), and n_orders/n_item use the SAME
+    * capped item set so supports stay internally consistent. */
+  def q93BasketRules(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .distinct().withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxOrderItems).drop("rn")
+    val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val totals = li.agg(countDistinct(col("l_orderkey")).as("orders"))
+    copurchaseEdges(s, d).withColumnRenamed("c", "n_ab")
+      .filter(col("n_ab") >= 2)
+      .join(items.select(col("l_partkey").as("u"), col("cnt").as("n_a")), "u")
+      .join(items.select(col("l_partkey").as("v"), col("cnt").as("n_b")), "v")
+      .crossJoin(broadcast(totals))
+      .selectExpr("u", "v", "n_ab", "n_a", "n_b",
+        "cast(n_ab as double) / orders as support",
+        "cast(n_ab as double) / n_a as conf_uv",
+        "cast(n_ab as double) / n_b as conf_vu",
+        "cast(n_ab * orders as double) / (n_a * n_b) as lift")
+      .orderBy(desc("lift"), col("u"), col("v"))
+      .limit(100)
+  }
+
+  /** Uncapped restatement (no gate-data order exceeds the cap —
+    * q74's oracle convention); identical single-divide trees. */
+  val q93Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS orders FROM li),
+      |ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+      |pr AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT u, v, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+      | CAST(n_ab AS DOUBLE) / orders AS support,
+      | CAST(n_ab AS DOUBLE) / ia.cnt AS conf_uv,
+      | CAST(n_ab AS DOUBLE) / ib.cnt AS conf_vu,
+      | CAST(n_ab * orders AS DOUBLE) / (ia.cnt * ib.cnt) AS lift
+      |FROM pr JOIN ic ia ON pr.u = ia.l_partkey
+      |        JOIN ic ib ON pr.v = ib.l_partkey
+      |        CROSS JOIN n
+      |WHERE n_ab >= 2
+      |ORDER BY lift DESC, u, v
+      |LIMIT 100""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3427,5 +3487,6 @@ object CoreQueries {
     ("q90_attribution", q90Attribution _, q90Sql),
     ("q91_autocorrelation", q91Autocorrelation _, q91Sql),
     ("q92_rfm_segments", q92RfmSegments _, q92Sql),
+    ("q93_basket_rules", q93BasketRules _, q93Sql),
   )
 }

@@ -769,6 +769,23 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
   }
 
+  test("q93 basket rules: probes the co-purchase layout; top-100 is TakeOrdered, not a global sort") {
+    val df = CoreQueries.q93BasketRules(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // pair counting is amortized in the write-once edge layout — the
+    // registry plan must read it, never re-run the lineitem self-join
+    assert(p.contains("graft_copurchase_"),
+      s"q93 must probe the materialized co-purchase edges:\n${p.take(3000)}")
+    // bounded top-k: a LIMIT over a total order plans as TakeOrdered
+    // (per-partition heaps), not a full sort of the scored edges
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"more than the one documented 1-row totals join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+  }
+
   test("tx24 keywords: top-k window partitions by doc_id; tf partial-aggs; df join not broadcast") {
     val df = graft.functions.TextFunctions.docTopTerms(
       Tables.documents(spark, Sf0001), 3)
