@@ -364,6 +364,47 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm8: per-source CDC DEDUP SAVINGS — the blob-tier twin of dd14's
+    * per-source shrinkage, and the number a content-addressed store
+    * quotes before onboarding an ingest source: of this source's CDC
+    * chunks, how many are redundant at rest (dedup_ratio = 1 −
+    * distinct/total — chunk-level storage reclaimed by dedup within
+    * the source) and how many also occur in ANOTHER source
+    * (cross_source_ratio — the re-wrap/copy contamination signal
+    * between ingest feeds). Rides the same shift-resilient chunk ids
+    * as mm6/mm7, so a re-muxed copy with a prefix edit still
+    * deduplicates from the first re-aligned boundary on.
+    *
+    * Scale: chunk explode partial-aggregates to (source, chunk)
+    * map-side; the per-chunk source count is a second partial-agg'd
+    * shuffle over the already-collapsed pairs; output is O(sources).
+    * Never pairwise — sharing is counted through the chunk-id
+    * grouping, dd8's span-key shape. */
+  def cdcDedupBySource(docs: DataFrame): DataFrame = {
+    val ch = cdcChunkHashes(docs)
+      .select(col("doc_id"), explode(col("chunks")).as("ch"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sc = ch.groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+    val spread = sc.groupBy(col("ch")).agg(count(lit(1)).as("n_sources"))
+    val blobs = ch.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_blobs"))
+    sc.join(spread, "ch")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("n_sources") >= 2, col("n")).otherwise(0L))
+          .as("cross_source_chunks"))
+      .join(blobs, "source")
+      .select(col("source"), col("n_blobs"), col("total_chunks"),
+        col("distinct_chunks"),
+        (lit(1.0) - col("distinct_chunks").cast("double") / col("total_chunks"))
+          .as("dedup_ratio"),
+        (col("cross_source_chunks").cast("double") / col("total_chunks"))
+          .as("cross_source_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** mm7: blob-level near-duplicate PAIRS by CDC chunk-set overlap —
     * mm6 reports how much of each blob is shared with ≥1 other; this
     * reports WITH WHOM: (blob_a, blob_b, chunk-Jaccard ≥ τ), the

@@ -877,6 +877,12 @@ object PipelineQueries {
   def mm6(s: SparkSession, d: String): DataFrame =
     Multimodal.cdcChunkStats(Tables.documents(s, d))
 
+  /** Rows-gated like mm6/mm7 (xxhash64 chunk ids have no oracle
+    * engine); MultimodalSpec plants twin/unique/cross-source blobs
+    * and asserts the exact ratios. */
+  def mm8(s: SparkSession, d: String): DataFrame =
+    Multimodal.cdcDedupBySource(Tables.documents(s, d))
+
   /** (name, spark-fn, oracle-sql-or-null) for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dd1_exact", dd1 _, dd1Sql),
@@ -938,5 +944,6 @@ object PipelineQueries {
     ("mm5_phash_neardup", mm5 _, null),
     ("mm6_cdc_chunks", mm6 _, null),
     ("mm7_cdc_neardup", mm7 _, null),
+    ("mm8_dedup_savings", mm8 _, null),
   )
 }

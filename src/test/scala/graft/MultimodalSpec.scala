@@ -232,4 +232,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(uncapped.exists { case (x, y, _) => x == 1L && y == 2L })
     assert(uncapped.exists { case (x, y, _) => x == 3L && y == 4L })
   }
+
+  test("mm8 dedup savings: twin blobs halve distinct chunks; cross-source copy flagged") {
+    import spark.implicits._
+    val x = (1 to 400).map(i => s"xtok$i").mkString(" ")
+    val y = (1 to 400).map(i => s"ytok$i").mkString(" ")
+    val docs = Seq(
+      (1L, x, "srcA"), (2L, x, "srcA"), // exact twin within the source
+      (3L, y, "srcB"),                  // unique content
+      (4L, x, "srcC"))                  // cross-source copy of A's blob
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.cdcDedupBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("srcA", "srcB", "srcC"))
+    val a = out("srcA")
+    assert(a.getLong(1) === 2L, "srcA blob count")
+    assert(a.getLong(2) === 2 * a.getLong(3), "twin blobs: total = 2 x distinct")
+    assert(a.getDouble(4) === 0.5, "twin blobs reclaim exactly half")
+    assert(a.getDouble(5) === 1.0, "every srcA chunk also lives in srcC")
+    val b = out("srcB")
+    assert(b.getDouble(4) === 0.0 && b.getDouble(5) === 0.0,
+      "unique source neither dedups nor cross-shares")
+    val c = out("srcC")
+    assert(c.getDouble(4) === 0.0, "single copy has nothing to reclaim in-source")
+    assert(c.getDouble(5) === 1.0, "the copy is fully covered by srcA")
+    // determinism across runs (chunk ids are pure functions of bytes)
+    assert(Multimodal.cdcDedupBySource(docs).collect().toSeq ===
+      Multimodal.cdcDedupBySource(docs).collect().toSeq)
+  }
 }
