@@ -505,6 +505,7 @@ object PipelineQueries {
     graft.queries.CoreQueries.q65ZorderBox(s, d).count()
     graft.queries.CoreQueries.copurchaseEdges(s, d).count()
     graft.queries.CoreQueries.q84StandingViewPath(s, d)
+    graft.sources.OrcIngest.ordersOrc(s, d).count()
     ()
   }
 

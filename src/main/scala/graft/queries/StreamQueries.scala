@@ -972,6 +972,71 @@ object StreamQueries {
       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_new
       |ORDER BY d.doc_id""".stripMargin
 
+  /** st16: STREAMING ATTRIBUTION SUMMARY — st5's click⋈purchase
+    * interval join CHAINED into a second stateful operator: a
+    * watermarked hour×purchase aggregation that folds each purchase's
+    * touches to (n_touches, first/last click time, equal-split
+    * credit). q90 is the batch twin at assignment grain; this is the
+    * purchase-grain mart a live dashboard reads. The chain is the
+    * streaming shape st11 proved for agg→agg, here join→agg: pairs
+    * flow from join state into aggregation state within the same
+    * micro-batch, and groups close on the GLOBAL watermark — the MIN
+    * of both inputs' (ms-truncated max − 2 h) marks, which the oracle
+    * restates verbatim (LEAST of the two sides); closure is st12's
+    * non-strict `window end ≤ horizon`. Every emitted value is
+    * deterministic: counts, MIN/MAX click times, and ONE shared IEEE
+    * divide for credit (q90's convention). State is horizon-bounded
+    * on both stores: join rows leave when the band can no longer
+    * match, aggregation cells when their hour closes. */
+  def st16(s: SparkSession, d: String): DataFrame = {
+    val pairs = clickStream(s, d).join(purchaseStream(s, d),
+      expr("""c_user = p_user AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + interval 1 hour"""))
+    val agg = pairs
+      .groupBy(window(col("purchase_ts"), "1 hour").as("w"),
+        col("purchase_id"), col("p_user"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(col("click_ts")).as("first_click_ts"),
+        max(col("click_ts")).as("last_click_ts"))
+    runToTable(s, agg, "append")
+      .select(col("w.start").cast("timestamp_ntz").as("hour"),
+        col("purchase_id"), col("p_user").as("user_id"), col("n_touches"),
+        col("first_click_ts").cast("timestamp_ntz").as("first_click_ts"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"),
+        (lit(1.0) / col("n_touches")).as("credit"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** The global watermark after a two-input chain is the MIN of both
+    * sides' marks (each ms-truncated, st4's lesson, minus the 2 h
+    * delay); hour cells close non-strictly at the horizon (st12's
+    * rule). µs truncation FIRST, st5's boundary note. */
+  val st16Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |   make_timestamp(epoch_us(ts)) AS ts FROM events),
+      |mxc AS (SELECT date_trunc('milliseconds', MAX(ts)) AS m
+      |        FROM e WHERE event_type = 'click'),
+      |mxp AS (SELECT date_trunc('milliseconds', MAX(ts)) AS m
+      |        FROM e WHERE event_type = 'purchase'),
+      |hz AS (SELECT LEAST(mxc.m, mxp.m) - INTERVAL 2 HOUR AS h FROM mxc, mxp),
+      |pairs AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts, c.ts AS cts
+      |  FROM e c JOIN e p ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |  WHERE c.event_type = 'click' AND p.event_type = 'purchase'),
+      |agg AS (
+      |  SELECT date_trunc('hour', pts) AS hour, purchase_id, user_id,
+      |   COUNT(*) AS n_touches, MIN(cts) AS first_click_ts,
+      |   MAX(cts) AS last_click_ts
+      |  FROM pairs GROUP BY 1, 2, 3)
+      |SELECT CAST(hour AS TIMESTAMP) AS hour, purchase_id, user_id, n_touches,
+      | first_click_ts, last_click_ts,
+      | CAST(1.0 AS DOUBLE) / n_touches AS credit
+      |FROM agg, hz
+      |WHERE hour + INTERVAL 1 HOUR <= hz.h
+      |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -987,5 +1052,6 @@ object StreamQueries {
     ("st12_stream_topk", st12 _, st12Sql),
     ("st13_stream_merge_upsert", st13 _, st13Sql),
     ("st14_stream_anomaly", st14 _, st14Sql),
-    ("st15_stream_ingest_dedup", st15 _, st15Sql))
+    ("st15_stream_ingest_dedup", st15 _, st15Sql),
+    ("st16_stream_attribution", st16 _, st16Sql))
 }

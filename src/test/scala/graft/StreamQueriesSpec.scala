@@ -286,7 +286,7 @@ class StreamQueriesSpec extends SparkTestBase {
       ("purchase", 6L, 1L), ("purchase", 8L, 0L)))
   }
 
-  test("st3/st5/st6/st8/st9/st10/st11/st12/st14 under RocksDBStateStoreProvider ≡ default-provider outputs") {
+  test("st3/st5/st6/st8/st9/st10/st11/st12/st14/st16 under RocksDBStateStoreProvider ≡ default-provider outputs") {
     // The 100 TB deployment config keeps streaming state in RocksDB
     // (state outgrows the heap); this pins that every hard state shape
     // — the custom graft_bitmap TypedImperativeAggregate (st3),
@@ -297,14 +297,16 @@ class StreamQueriesSpec extends SparkTestBase {
     // likely to diverge, since correctness rides the store's eviction
     // scan, not just lookups), the chained two-store rollup (st11)
     // and append-mode day×user cells (st12), plus st14's day×type
-    // DECIMAL mart feeding the batch-shared z-score chain — serializes
+    // DECIMAL mart feeding the batch-shared z-score chain and st16's
+    // join→agg two-store chain (both stateful stores in ONE pipeline,
+    // closure on the min-of-inputs global watermark) — serializes
     // through the RocksDB provider with output identical to the
     // default HDFS-backed store. st13 is deliberately absent: its
     // state lives in its own versioned parquet tables (foreachBatch,
     // no streaming state store), so the provider is vacuous there.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
-    val names = Seq("st3", "st5", "st6", "st8", "st9", "st10", "st11", "st12", "st14")
+    val names = Seq("st3", "st5", "st6", "st8", "st9", "st10", "st11", "st12", "st14", "st16")
     def runAll(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
       StreamQueries.st3(spark, Sf0001).collect().toSeq,
       StreamQueries.st5(spark, Sf0001).collect().toSeq,
@@ -314,7 +316,8 @@ class StreamQueriesSpec extends SparkTestBase {
       StreamQueries.st10(spark, Sf0001).collect().toSeq,
       StreamQueries.st11(spark, Sf0001).collect().toSeq,
       StreamQueries.st12(spark, Sf0001).collect().toSeq,
-      StreamQueries.st14(spark, Sf0001).collect().toSeq)
+      StreamQueries.st14(spark, Sf0001).collect().toSeq,
+      StreamQueries.st16(spark, Sf0001).collect().toSeq)
     val base = runAll()
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
