@@ -61,20 +61,23 @@ object Dedup {
 
   /** One streaming-ingest micro-batch probed against the pre-shingled
     * standing corpus: exact jaccard ≥ threshold pairs with doc_new =
-    * batch doc, doc_old = base doc. Candidate generation is the PPJoin
-    * cross-side prefix path — exact-COMPLETE for any τ > 0 (a
-    * qualifying pair must share a prefix token under the fixed
-    * (df, token) order; the pigeonhole argument in
-    * [[incrementalPrefix]]), so the batch verdicts match the naive
-    * all-pairs oracle bit-for-bit. Only the batch side is tokenized
-    * here; the base df counts re-aggregate from the cached base rows —
-    * at production scale both come off the persisted shingle index
-    * ([[shingleWriteIndex]]'s df/ partition, dd2's probe shape). */
+    * batch doc, doc_old = base doc. Candidate generation goes through
+    * [[incrementalAdaptive]] — the SAME dispatch as dd9's nightly path
+    * (round 8: the first cut hardcoded the prefix path, which is
+    * exact-complete for any τ > 0 but DEGENERATES on replicated
+    * vocabularies exactly as its own scaladoc warns: 215 s vs dd9's
+    * 13 s on the x30 cipher-replica corpus, 7× super-linear; the
+    * shared dispatch keeps both ingest paths on one strategy). The
+    * union is cached — whichever branch wins references it multiple
+    * times (inverted index / mask probe + both verification sides).
+    * At production scale both sides come off the persisted shingle
+    * index ([[shingleWriteIndex]]'s df/ partition, dd2's probe). */
   private[graft] def ingestBatchPairs(baseSh: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame =
-    incrementalPrefix(
+    incrementalAdaptive(
       baseSh.withColumn("is_delta", lit(false))
-        .unionByName(withShingles(batch, 1).withColumn("is_delta", lit(true))),
+        .unionByName(withShingles(batch, 1).withColumn("is_delta", lit(true)))
+        .cache(),
       threshold)
 
   private val MaxCompVocab = 4096
@@ -708,16 +711,23 @@ object Dedup {
     val sh = withShingles(docs, n)
       .join(docs.select(col("doc_id"), isDelta.as("is_delta")), "doc_id")
       .cache()
+    incrementalAdaptive(sh, threshold)
+  }
+
+  /** The adaptive cross-side dispatch over a pre-shingled (doc_id,
+    * shingles, is_delta) relation — same split as dd2/dd3:
+    * component-local bitmaps when vocabularies are small (where
+    * prefix selectivity dies), the PPJoin cross-side prefix path for
+    * real corpora. Shared by [[incrementalPairs]] (nightly dd9) and
+    * [[ingestBatchPairs]] (st15's streaming gate) so the two ingest
+    * paths can never drift onto different candidate strategies. */
+  private def incrementalAdaptive(sh: DataFrame, threshold: Double): DataFrame =
     smallVocabMasks(sh) match {
-      // same adaptive split as dd2/dd3: component-local bitmaps when
-      // vocabularies are small (where prefix selectivity dies), the
-      // PPJoin cross-side prefix path for real corpora
       case Some(masks) =>
         incrementalByMask(masks.join(
           sh.select(col("doc_id"), col("is_delta")), "doc_id"), threshold)
       case None => incrementalPrefix(sh, threshold)
     }
-  }
 
   /** dd10: incremental duplicate-GROUP maintenance — fold a delta
     * batch into an existing (doc_id, group_id) labeling without

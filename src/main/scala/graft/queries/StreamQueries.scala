@@ -928,9 +928,19 @@ object StreamQueries {
       .writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val b = batch.toDF().localCheckpoint()
-          ingestVerdict(b,
-              Dedup.ingestBatchPairs(baseSh, b, PipelineQueries.JaccardThreshold))
+          // checkpoint the PAIRS before the verdict fold: max_by's
+          // value struct, its ordering struct and the τ filter each
+          // reference the jaccard column, and CollapseProject inlines
+          // the array_intersect verification into every site — the
+          // verdict WRITE re-ran the whole verification ~10× (probe:
+          // 296 s vs 29 s for the pair count at x10; invisible to
+          // count(), whose left join is eliminated outright). One
+          // materialization, then the fold touches narrow rows.
+          val pairs = Dedup.ingestBatchPairs(baseSh, b,
+            PipelineQueries.JaccardThreshold).localCheckpoint()
+          ingestVerdict(b, pairs)
             .write.mode("overwrite").parquet(s"$dir/batch_$id")
+          pairs.unpersist()
           ()
       }.option("checkpointLocation", s"$dir/chk")
       .trigger(Trigger.AvailableNow()).start()
