@@ -3403,6 +3403,101 @@ object CoreQueries {
       |ORDER BY lift DESC, u, v
       |LIMIT 100""".stripMargin
 
+  /** q94: TABLE DIFF (snapshot compare / CDC derivation) — given two
+    * versions of a keyed table, emit the change feed: I/U/D rows with
+    * the column-level change set. The REVERSE of q59's MERGE (that
+    * applies a change batch; this derives one), and the audit tool
+    * behind "what did last night's load actually change". The second
+    * snapshot is derived deterministically from the first (md5 hex
+    * bucket of the key: '0' → churned, '1'–'3' → balance +100.00,
+    * '4' → segment rewrite, 'f' → a new key): both engines rebuild
+    * the identical v2, so the diff itself — presence flags off one
+    * full-outer join, CASE typing, changed-column list — is the
+    * entire algebra under test. changed_cols emits as a
+    * comma-joined string in a FIXED column order (set semantics with
+    * deterministic rendering). Plan at 100 TB: ONE full-outer
+    * hash join on the key (both sides hash-partition; AQE handles
+    * skew), map-side CASE projection, unchanged rows dropped before
+    * the presentation sort — no window, no second scan of either
+    * snapshot beyond the derivation itself. */
+  def q94TableDiff(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = q94Snapshots(s, d)
+    q94DiffOf(v1, v2)
+  }
+
+  /** The two deterministic snapshot versions (see [[q94TableDiff]]). */
+  private[graft] def q94Snapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val v1 = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val h = substring(md5(col("c_custkey").cast("string")), 1, 1)
+    val hv = v1.withColumn("h", h)
+    val v2 = hv.filter(col("h") =!= "0")
+      .select(col("c_custkey"),
+        when(col("h").isin("1", "2", "3"), col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("h") === "4", lit("CHURN_RISK"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(hv.filter(col("h") === "f")
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          col("c_acctbal"), lit("NEW").as("c_mktsegment")))
+    (v1, v2)
+  }
+
+  /** The diff algebra alone, over any two (c_custkey, c_acctbal,
+    * c_mktsegment) snapshots — extracted so the spec can prove the
+    * inverse law: apply(v1, diff(v1, v2)) ≡ v2. */
+  private[graft] def q94DiffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("c_custkey").as("k"), lit(true).as("in_a"),
+      col("c_acctbal").as("old_acctbal"), col("c_mktsegment").as("old_seg"))
+    val b = v2.select(col("c_custkey").as("k"), lit(true).as("in_b"),
+      col("c_acctbal").as("new_acctbal"), col("c_mktsegment").as("new_seg"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k").as("custkey"),
+        when(col("in_b").isNull, "D").when(col("in_a").isNull, "I")
+          .otherwise("U").as("change_type"),
+        when(col("in_a").isNotNull && col("in_b").isNotNull,
+          array_join(filter(array(
+            when(col("old_acctbal") =!= col("new_acctbal"), "c_acctbal"),
+            when(col("old_seg") =!= col("new_seg"), "c_mktsegment")),
+            x => x.isNotNull), ","))
+          .otherwise("").as("changed_cols"),
+        col("old_acctbal"), col("new_acctbal"), col("old_seg"), col("new_seg"))
+      .filter(col("change_type") =!= "U" || col("changed_cols") =!= "")
+      .orderBy(col("custkey"))
+  }
+
+  val q94Sql: String =
+    """WITH v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |hv AS (
+      |  SELECT c_custkey, substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS h,
+      |   c_acctbal, c_mktsegment FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |   CASE WHEN h IN ('1','2','3') THEN c_acctbal + CAST(100.0 AS DOUBLE)
+      |        ELSE c_acctbal END AS c_acctbal,
+      |   CASE WHEN h = '4' THEN 'CHURN_RISK' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM hv WHERE h <> '0'
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_acctbal, 'NEW' FROM hv WHERE h = 'f'),
+      |j AS (
+      |  SELECT coalesce(a.c_custkey, b.c_custkey) AS custkey,
+      |   a.c_custkey IS NOT NULL AS in_a, b.c_custkey IS NOT NULL AS in_b,
+      |   a.c_acctbal AS old_acctbal, b.c_acctbal AS new_acctbal,
+      |   a.c_mktsegment AS old_seg, b.c_mktsegment AS new_seg
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+      |SELECT custkey,
+      | CASE WHEN NOT in_b THEN 'D' WHEN NOT in_a THEN 'I' ELSE 'U' END AS change_type,
+      | CASE WHEN in_a AND in_b THEN array_to_string(list_filter([
+      |    CASE WHEN old_acctbal <> new_acctbal THEN 'c_acctbal' END,
+      |    CASE WHEN old_seg <> new_seg THEN 'c_mktsegment' END],
+      |   x -> x IS NOT NULL), ',')
+      |  ELSE '' END AS changed_cols,
+      | old_acctbal, new_acctbal, old_seg, new_seg
+      |FROM j
+      |WHERE NOT (in_a AND in_b)
+      |   OR old_acctbal <> new_acctbal OR old_seg <> new_seg
+      |ORDER BY custkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3488,5 +3583,6 @@ object CoreQueries {
     ("q91_autocorrelation", q91Autocorrelation _, q91Sql),
     ("q92_rfm_segments", q92RfmSegments _, q92Sql),
     ("q93_basket_rules", q93BasketRules _, q93Sql),
+    ("q94_table_diff", q94TableDiff _, q94Sql),
   )
 }

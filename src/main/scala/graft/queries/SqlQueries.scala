@@ -264,6 +264,42 @@ object SqlQueries {
       |ORDER BY order_year, o_orderpriority""".stripMargin
 
   /** (name, spark-fn, oracle-sql) for SparkEntry. */
+  /** q95: CO-BUCKETED ZERO-SHUFFLE JOIN — per-priority revenue off
+    * orders⋈lineitem where BOTH sides are bucketed copies on the join
+    * key (graft.sources.BucketedTables, 8 buckets, sorted within):
+    * the scan itself reports the hash partitioning, so the forced
+    * SortMergeJoin plans with ZERO Exchange on either side — the
+    * write-once-shuffle-never contract the spec-only bucketed-layout
+    * row asserted since round 2, now carried through the oracle gate
+    * as a registry query. At 100 TB this is THE fact⋈fact shape: the
+    * one-time bucket shuffle is paid at ingest and amortized over
+    * every downstream orderkey join; only the 5-row priority rollup
+    * and the presentation sort exchange anything. Values exact:
+    * counts, integer cents, and one decimal→double hop on an
+    * integral-valued quantity sum. */
+  def q95BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.BucketedTables
+    val li = BucketedTables.bucketedTable(s, d, "lineitem", "l_orderkey",
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice")))
+    val ord = BucketedTables.bucketedTable(s, d, "orders", "o_orderkey",
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")))
+    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(expr("cast(round(l_extendedprice * 100) as long)")).as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q95Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q23_csv_ingest", q23 _, q23Sql),
     ("q24_sql_revenue", q24 _, q24Sql),
@@ -274,5 +310,6 @@ object SqlQueries {
     ("q54_summary_stats", q54 _, q54Sql),
     ("q71_regression", q71 _, q71Sql),
     ("q88_orc_ingest", q88 _, q88Sql),
+    ("q95_bucketed_join", q95BucketedJoin _, q95Sql),
   )
 }

@@ -37,4 +37,34 @@ object BucketedTables {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Build-if-missing BUCKETED copy of a source table under the
+    * write-once layout convention, returned as a catalog-backed
+    * DataFrame whose scan reports the bucketing. The bucket FILES are
+    * written once per corpus version (Tables.layoutKey) and survive
+    * across JVMs; the catalog METADATA is per-session (parquet itself
+    * has no bucket notion, and the default in-memory catalog dies with
+    * the JVM), so a warm start re-registers the existing files with
+    * `CREATE TABLE … CLUSTERED BY … LOCATION` — a metadata-only DDL,
+    * no data movement. Bucket ids ride the writer's part-file names,
+    * which is what makes the re-register sound: the reader derives
+    * each file's bucket from its name, not from catalog history. */
+  def bucketedTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tableName: String, bucketCol: String, df: => DataFrame,
+      nBuckets: Int = 8): DataFrame = {
+    val key = graft.Tables.layoutKey(dir, tableName, s"bk$nBuckets")
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val name = s"graft_bk_${tableName}_$key"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bk_${tableName}_$key"
+    if (!spark.catalog.tableExists(name)) {
+      if (graft.Tables.layoutReady(path)) {
+        spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS " +
+          s"LOCATION '$path'")
+      } else {
+        writeBucketed(df, name, path, bucketCol, nBuckets, Seq(bucketCol))
+      }
+    }
+    spark.table(name)
+  }
 }

@@ -33,4 +33,41 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("q95 registry entry: zero-exchange bucketed SMJ; warm-start re-register serves identical rows") {
+    import graft.queries.SqlQueries
+    val df = SqlQueries.q95BucketedJoin(spark, Sf0001)
+    val rows = df.collect().toSeq
+    assert(rows.size === 5)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p.take(2500))
+    // the join itself must exchange NOTHING: the only exchanges allowed
+    // are the 5-row priority rollup and the presentation sort
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"bucketed join shuffled its inputs:\n${p.take(2500)}")
+    // warm start: drop the catalog metadata (simulating a new JVM) —
+    // the rebuild must take the metadata-only CREATE TABLE path over
+    // the EXISTING bucket files and read back the identical result
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bk_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir")))
+    val bkDirs = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.filter(_.getFileName.toString.startsWith("graft_bk_"))
+        .map(d => d -> d.toFile.lastModified()).toMap
+    } finally files.close()
+    val again = SqlQueries.q95BucketedJoin(spark, Sf0001)
+    assert(again.collect().toSeq === rows, "re-registered table diverged")
+    // and the files were NOT rewritten (metadata-only re-register)
+    bkDirs.foreach { case (dir, mtime) =>
+      assert(dir.toFile.lastModified() === mtime,
+        s"warm start rewrote bucket files under $dir")
+    }
+    val p2 = again.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p2.contains("SortMergeJoin") &&
+      p2.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"re-registered table lost its bucketing:\n${p2.take(2500)}")
+  }
 }

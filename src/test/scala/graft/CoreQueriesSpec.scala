@@ -556,4 +556,30 @@ class CoreQueriesSpec extends SparkTestBase {
     // five m buckets are populated
     assert(out.map(_.getLong(6)).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("q94 table diff: the inverse law — applying the diff to v1 reconstructs v2 exactly") {
+    val (v1, v2) = CoreQueries.q94Snapshots(spark, Sf0001)
+    val diff = CoreQueries.q94DiffOf(v1, v2).collect()
+    assert(Set("I", "U", "D").subsetOf(diff.map(_.getString(1)).toSet),
+      "fixture must exercise all three change types")
+    // apply: drop D keys, overwrite U rows with the new values, add I rows
+    val byType = diff.groupBy(_.getString(1))
+    val dKeys = byType("D").map(_.getLong(0)).toSet
+    val uRows = byType("U").map(r => r.getLong(0) -> (r.getDouble(4), r.getString(6))).toMap
+    val iRows = byType("I").map(r => (r.getLong(0), r.getDouble(4), r.getString(6)))
+    val applied = v1.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .filterNot { case (k, _, _) => dKeys(k) }
+      .map { case (k, bal, seg) =>
+        uRows.get(k).fold((k, bal, seg)) { case (nb, ns) => (k, nb, ns) } } ++ iRows
+    val want = v2.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(applied.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq,
+      "apply(v1, diff) diverged from v2")
+    // U rows carry a non-empty, correctly-ordered change set
+    byType("U").foreach { r =>
+      assert(r.getString(2).nonEmpty)
+      assert(Seq("c_acctbal", "c_mktsegment", "c_acctbal,c_mktsegment")
+        .contains(r.getString(2)))
+    }
+  }
 }

@@ -786,6 +786,16 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
   }
 
+  test("q94 table diff: one full-outer hash join, no window, no cartesian") {
+    val df = CoreQueries.q94TableDiff(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("FullOuter"), s"diff must be one full-outer join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff degenerated:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"diff needs no window:\n${p.take(3000)}")
+  }
+
   test("tx24 keywords: top-k window partitions by doc_id; tf partial-aggs; df join not broadcast") {
     val df = graft.functions.TextFunctions.docTopTerms(
       Tables.documents(spark, Sf0001), 3)
