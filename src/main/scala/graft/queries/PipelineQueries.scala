@@ -378,7 +378,11 @@ object PipelineQueries {
   /** dd6's recursive-closure labeling rolled up per source; the
     * shrinkage tree is stated identically (CAST(1.0 AS DOUBLE) —
     * DuckDB's bare 1.0 is DECIMAL). */
-  val dd14Sql: String =
+  /** dd6's recursive-closure group labeling as a reusable CTE chain
+    * (ends at `lab`: doc_id, group_id) — shared by dd14's rollup and
+    * tx26's split so the oracle-side labeling can never drift from
+    * the one definition. */
+  private val GroupLabelCtes: String =
     s"""WITH RECURSIVE docsets AS (
       |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
       |  FROM documents),
@@ -394,7 +398,10 @@ object PipelineQueries {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT r.src, e.dst FROM rch r JOIN edges e ON r.dst = e.src),
-      |lab AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM rch GROUP BY src)
+      |lab AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM rch GROUP BY src)""".stripMargin
+
+  val dd14Sql: String =
+    s"""$GroupLabelCtes
       |SELECT d.source, COUNT(*) AS n_docs,
       | COUNT(DISTINCT l.group_id) AS n_groups,
       | CAST(1.0 AS DOUBLE) - CAST(COUNT(DISTINCT l.group_id) AS DOUBLE) / COUNT(*) AS shrinkage
@@ -844,6 +851,39 @@ object PipelineQueries {
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
   def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
   def tx24(s: SparkSession, d: String): DataFrame = TextFunctions.docTopTerms(Tables.documents(s, d), 3)
+
+  /** tx26: LEAKAGE-FREE TRAIN/VAL/TEST SPLIT — the split every
+    * benchmark-honest pipeline needs: assignment is by NEAR-DUP GROUP,
+    * not by document, so a doc and its near-duplicates land on the
+    * SAME side and the val/test sets can never leak paraphrases of
+    * training data (doc-level hashing — the naive split — leaks
+    * every duplicated document across the boundary; tx11/tx20 then
+    * *measure* that contamination, this *prevents* it). Deterministic
+    * and reproducible: split = md5 hex bucket of the GROUP label
+    * (12/2/2 train/val/test); probes the same materialized dup-groups
+    * index as dd7/dd13/dd14 — one O(docs) label join + a map-side
+    * CASE, no per-query CC. */
+  def tx26(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"))
+      .join(cachedGroupsIndex(s, d, "full", docs), "doc_id")
+      .withColumn("hx", substring(md5(col("group_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("hx").isin("c", "d"), "val")
+          .when(col("hx").isin("e", "f"), "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tx26Sql: String =
+    s"""$GroupLabelCtes
+      |SELECT doc_id, group_id,
+      | CASE WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |      WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |      ELSE 'train' END AS split
+      |FROM lab
+      |ORDER BY doc_id""".stripMargin
   def tx25(s: SparkSession, d: String): DataFrame = TextFunctions.ragChunks(Tables.documents(s, d), 64, 48)
   def tx7(s: SparkSession, d: String): DataFrame = TextFunctions.normalizeText(Tables.documents(s, d))
   def tx8(s: SparkSession, d: String): DataFrame = TextFunctions.repetitionStats(Tables.documents(s, d))
@@ -938,6 +978,7 @@ object PipelineQueries {
     ("tx23_lm_score", tx23 _, TextFunctions.lmScoreSql),
     ("tx24_keywords", tx24 _, TextFunctions.docTopTermsSql(3)),
     ("tx25_rag_chunks", tx25 _, TextFunctions.ragChunksSql(64, 48)),
+    ("tx26_leakage_split", tx26 _, tx26Sql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
