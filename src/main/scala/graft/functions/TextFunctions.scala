@@ -973,20 +973,34 @@ object TextFunctions {
     * scan — at 100 TB this is the embarrassing-parallel shape. */
   def ragChunks(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
     require(stride >= 1 && stride <= window, "ragChunks: need 1 <= stride <= window")
+    // tokenless docs drop INSIDE the lambda (the trailing filter(...,
+    // n_tokens > 0) element pass), and the explode is the OUTER
+    // variant with a null filter ABOVE the Generate. Both choices
+    // exist to keep the chunk expression evaluated ONCE per row: for
+    // a plain explode, InferFiltersFromGenerate injects a pre-Generate
+    // `size(chunks) > 0 AND isnotnull(chunks)` filter and
+    // CollapseProject inlines the ENTIRE chunk expression (regexp +
+    // every slice) into it — the whole computation ran twice per row
+    // just to test emptiness (the suite's plan pin caught 4 regexps).
+    // explode_outer keeps empty rows, so nothing is inferred below;
+    // the null test above the Generate references only the generated
+    // attribute and cannot be pushed into the projection.
     docs
       .select(col("doc_id"), expr(
         s"""flatten(transform(array($tokensExpr), toks ->
-           |  transform(
-           |    sequence(0L, if(size(toks) <= $window, 0L,
-           |                    (size(toks) - $window + $stride - 1) div $stride)),
-           |    i -> struct(
-           |      cast(size(toks) as bigint) as n_tokens,
-           |      i as chunk_id,
-           |      i * ${stride}L as start_tok,
-           |      slice(toks, cast(i * $stride + 1 as int), $window) as c))))
+           |  filter(
+           |    transform(
+           |      sequence(0L, if(size(toks) <= $window, 0L,
+           |                      (size(toks) - $window + $stride - 1) div $stride)),
+           |      i -> struct(
+           |        cast(size(toks) as bigint) as n_tokens,
+           |        i as chunk_id,
+           |        i * ${stride}L as start_tok,
+           |        slice(toks, cast(i * $stride + 1 as int), $window) as c)),
+           |    ch -> ch.n_tokens > 0)))
            |""".stripMargin).as("chunks"))
-      .select(col("doc_id"), explode(col("chunks")).as("ch"))
-      .filter(col("ch.n_tokens") > 0)
+      .select(col("doc_id"), explode_outer(col("chunks")).as("ch"))
+      .filter(col("ch").isNotNull)
       .select(col("doc_id"), col("ch.n_tokens").as("n_tokens"),
         col("ch.chunk_id").as("chunk_id"), col("ch.start_tok").as("start_tok"),
         size(col("ch.c")).cast("long").as("n_chunk_tokens"),
