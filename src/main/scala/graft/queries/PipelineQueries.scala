@@ -513,6 +513,9 @@ object PipelineQueries {
     graft.queries.CoreQueries.copurchaseEdges(s, d).count()
     graft.queries.CoreQueries.q84StandingViewPath(s, d)
     graft.sources.OrcIngest.ordersOrc(s, d).count()
+    // q95's bucketed copies: files are write-once; warm JVMs pay only
+    // the metadata-only re-register inside bucketedTable
+    graft.queries.SqlQueries.q95BucketedJoin(s, d).count()
     ()
   }
 
