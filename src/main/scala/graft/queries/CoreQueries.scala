@@ -2171,17 +2171,27 @@ object CoreQueries {
 
   /** The edge build itself, over any (l_orderkey, l_partkey) frame —
     * exposed for the cap spec. */
-  private[graft] def copurchaseEdgesFrom(li0: DataFrame, cap: Int): DataFrame = {
+  /** Distinct (order, part) rows with heavy orders clipped to the
+    * `cap` lowest partkeys — the shared base for edges, item
+    * frequencies and order totals (ONE definition: supports computed
+    * from a different item set than the pair counts would make q93's
+    * confidences internally inconsistent). */
+  private[graft] def cappedDistinctItems(li0: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-    val li = li0.select(col("l_orderkey"), col("l_partkey")).distinct()
+    li0.select(col("l_orderkey"), col("l_partkey")).distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap).drop("rn")
+  }
+
+  private def copurchasePairsOf(li: DataFrame): DataFrame =
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-  }
+
+  private[graft] def copurchaseEdgesFrom(li0: DataFrame, cap: Int): DataFrame =
+    copurchasePairsOf(cappedDistinctItems(li0, cap))
 
   /** The co-purchase layout root: edges/ (u, v, c) plus oriented/
     * (lo, hi) — the (deg, id) orientation is corpus-static, so the
@@ -2189,14 +2199,24 @@ object CoreQueries {
     * q74 starts at the wedge join (round 7; orientation was the last
     * per-run recompute in the graph family). */
   private def copurchaseLayout(s: SparkSession, d: String): String = {
+    // params v2 (round 8): the layout additionally carries items/
+    // (capped per-item order frequency) and totals/ (1-row distinct
+    // order count) so q93's rule scoring is a PURE index probe — the
+    // capped row_number window over lineitem is build-time cost, not
+    // per-query; the bumped params key retires v1 dirs via vacuum
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap${MaxOrderItems}o1")}"
+      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap${MaxOrderItems}o2")}"
     if (!Tables.layoutReady(path, "_done")) Tables.publishLayout(path) { tmp =>
-      val e = copurchaseEdgesFrom(Tables.lineitem(s, d), MaxOrderItems)
-        .localCheckpoint() // two writes below must not re-run the self-join
+      val li = cappedDistinctItems(Tables.lineitem(s, d), MaxOrderItems)
+        .localCheckpoint() // edges + items + totals must not re-run the cap window
+      val e = copurchasePairsOf(li).localCheckpoint() // two writes below must not re-run the self-join
       e.write.mode("overwrite").parquet(s"$tmp/edges")
       graft.operators.Triangles.orient(e.select(col("u"), col("v")))
         .write.mode("overwrite").parquet(s"$tmp/oriented")
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$tmp/items")
+      li.agg(countDistinct(col("l_orderkey")).as("orders"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/totals")
       new java.io.File(s"$tmp/_done").createNewFile(); ()
     }
     path
@@ -3347,10 +3367,12 @@ object CoreQueries {
     * confidence and lift for co-purchased part pairs, top-100 by lift:
     * "customers who buy u also buy v" with the statistical strength
     * that separates signal from popularity (lift > 1 ⇔ the pair beats
-    * independence). PROBES the same write-once co-purchase edge layout
-    * as q74/q75 (pair counting — the expensive self-join — is
-    * amortized build-time infrastructure); the registry adds one
-    * capped-distinct item-frequency pass and an O(edges) scoring join.
+    * independence). A PURE INDEX PROBE: edges/, items/ (capped
+    * per-item order frequency) and totals/ all live in the write-once
+    * co-purchase layout shared with q74/q75 (round 8 v2 — the first
+    * cut re-ran the capped row_number window over lineitem per query;
+    * now the fact table isn't touched at all), so the registry cost
+    * is an O(edges) scoring join over three layout scans.
     * All ratios are single IEEE divides of exact int64 counts/products
     * (n_ab·N and n_a·n_b stay < 2⁵³), so every row hashes; top-100
     * rides (lift DESC, u, v) — a total order, both engines pick the
@@ -3360,12 +3382,9 @@ object CoreQueries {
     * fixture owns the boundary), and n_orders/n_item use the SAME
     * capped item set so supports stay internally consistent. */
   def q93BasketRules(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      .distinct().withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= MaxOrderItems).drop("rn")
-    val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    val totals = li.agg(countDistinct(col("l_orderkey")).as("orders"))
+    val root = copurchaseLayout(s, d)
+    val items = s.read.parquet(s"$root/items")
+    val totals = s.read.parquet(s"$root/totals")
     copurchaseEdges(s, d).withColumnRenamed("c", "n_ab")
       .filter(col("n_ab") >= 2)
       .join(items.select(col("l_partkey").as("u"), col("cnt").as("n_a")), "u")

@@ -773,10 +773,15 @@ class ExplainSpec extends SparkTestBase {
     val df = CoreQueries.q93BasketRules(spark, Sf0001)
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
-    // pair counting is amortized in the write-once edge layout — the
-    // registry plan must read it, never re-run the lineitem self-join
+    // pair counting AND item frequencies are amortized in the
+    // write-once layout (v2 carries items/ + totals/) — the registry
+    // plan is a pure index probe that never touches the fact table
     assert(p.contains("graft_copurchase_"),
-      s"q93 must probe the materialized co-purchase edges:\n${p.take(3000)}")
+      s"q93 must probe the materialized co-purchase layout:\n${p.take(3000)}")
+    assert(!p.linesIterator.exists(l => l.contains("FileScan") && l.contains("lineitem")),
+      s"q93 re-scanned the fact table — item counts must come from the layout:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"the capped row_number window is build-time cost, not per-query:\n${p.take(3000)}")
     // bounded top-k: a LIMIT over a total order plans as TakeOrdered
     // (per-partition heaps), not a full sort of the scored edges
     assert(p.contains("TakeOrderedAndProject"),
