@@ -591,6 +591,31 @@ object PipelineQueries {
       "ivf_delta" -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf_delta"), q, TopK)))
   }
 
+  /** ss14: the nprobe→recall TUNING CURVE over the materialized IVF
+    * index — the table a user reads before fixing the probe budget
+    * (ss8 scores every variant at ONE operating point; this sweeps
+    * the IVF knob: recall@k vs nprobe ∈ {1,2,4,8,16}): exact top-k
+    * computed ONCE (annRecallOf caches it), each sweep point is one
+    * partition-pruned probe of the same on-disk index reading
+    * nprobe/nlist of the files. Two invariants make it spec-able
+    * without an oracle: per-query recall is MONOTONE non-decreasing
+    * in nprobe (a probed-list superset only adds candidates, and an
+    * exact-top-k member can only be displaced by another exact
+    * member), and nprobe = nlist probes everything ⇒ recall exactly
+    * 1.0 (same deterministic comparator as the brute-force side). */
+  def ss14(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQueries)
+    val idx = cachedAnnIndex(s, d, "ivf")
+    Similarity.annRecallOf(emb, q, TopK,
+      Seq(1, 2, 4, 8, 16).map(np =>
+        f"nprobe_$np%02d" -> Similarity.ivfProbeIndex(s, idx, q, TopK, nprobe = np)))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("recall")) / count(lit(1))).as("mean_recall"))
+      .orderBy(col("variant"))
+  }
+
   /** ss11: hybrid lexical+semantic retrieval — fully oracle-gated
     * (both fusion components exact; see Similarity.hybridTopK). The
     * documents and embeddings tables share one id space, so each id
@@ -954,6 +979,7 @@ object PipelineQueries {
     ("ss9_range_search", ss9 _, ss9Sql),
     ("ss10_kmeans", ss10 _, ss10Sql),
     ("ss13_cluster_stats", ss13 _, ss13Sql),
+    ("ss14_recall_curve", ss14 _, null),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),

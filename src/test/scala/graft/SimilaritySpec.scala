@@ -348,4 +348,22 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("ss14 recall curve: monotone non-decreasing in nprobe; nprobe = nlist reaches exactly 1.0") {
+    val out = graft.queries.PipelineQueries.ss14(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq ===
+      Seq("nprobe_01", "nprobe_02", "nprobe_04", "nprobe_08", "nprobe_16"))
+    // a probed-list superset only adds candidates, and an exact-top-k
+    // member can only be displaced by another exact member — so the
+    // curve never dips
+    out.sliding(2).foreach { case Array((a, _, ra), (b, _, rb)) =>
+      assert(rb >= ra, s"recall dipped $a=$ra -> $b=$rb")
+    }
+    // probing every list IS the brute-force scan under the same
+    // deterministic comparator: the endpoint is exactly 1.0
+    assert(out.last._3 === 1.0, s"full probe must be exact, got ${out.last._3}")
+    assert(out.head._3 < 1.0 || out.forall(_._3 == 1.0))
+    assert(out.forall(_._2 > 0))
+  }
 }
