@@ -3517,6 +3517,63 @@ object CoreQueries {
       |   OR old_acctbal <> new_acctbal OR old_seg <> new_seg
       |ORDER BY custkey""".stripMargin
 
+  /** q96: FULFILLMENT SLA — exact per-priority percentiles (p50/p90/
+    * p99) of order→ship latency plus the late share: the operations
+    * dashboard behind "are URGENT orders actually shipping faster".
+    * EXACT percentiles without any per-group sort: latency is integer
+    * days over a tiny natural domain, so the fact collapses to
+    * (priority, days) cells in one partial-agg'd pass and every
+    * percentile is a rank crossing (⌈q·n/100⌉, integer arithmetic
+    * shared verbatim with the oracle) over the |priorities|×|days|
+    * aggregate — q83/q85's domain-bucketing recipe at its simplest,
+    * vs the naive percentile plan that window-sorts every lineitem
+    * row per group. The only IEEE op is the late-share's single
+    * divide of exact counts. Plan at 100 TB: one orderkey shuffle
+    * join, map-side cell combine, windows over ≤ a few hundred rows
+    * per priority. */
+  def q96ShipLatency(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"), to_date(col("o_orderdate")).as("od"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      to_date(col("l_shipdate")).as("sd"))
+    val cells = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"), datediff(col("sd"), col("od")).cast("long").as("days"))
+      .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("c"))
+    val cum = cells
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("priority")).orderBy(col("days"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("priority"))))
+    cum.groupBy(col("priority"))
+      .agg(max(col("n")).as("n_items"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("days"))).as("p50_days"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("days"))).as("p90_days"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("days"))).as("p99_days"),
+        (sum(when(col("days") > 30, col("c")).otherwise(0L)).cast("double") /
+          max(col("n"))).as("pct_late"))
+      .orderBy(col("priority"))
+  }
+
+  val q96Sql: String =
+    """WITH lat AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |   CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cells AS (
+      |  SELECT priority, days, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT priority, days, c,
+      |   SUM(c) OVER (PARTITION BY priority ORDER BY days) AS cum,
+      |   SUM(c) OVER (PARTITION BY priority) AS n
+      |  FROM cells)
+      |SELECT priority, CAST(MAX(n) AS BIGINT) AS n_items,
+      | MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN days END) AS p50_days,
+      | MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN days END) AS p90_days,
+      | MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN days END) AS p99_days,
+      | CAST(SUM(CASE WHEN days > 30 THEN c ELSE 0 END) AS DOUBLE) / MAX(n) AS pct_late
+      |FROM cum
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3603,5 +3660,6 @@ object CoreQueries {
     ("q92_rfm_segments", q92RfmSegments _, q92Sql),
     ("q93_basket_rules", q93BasketRules _, q93Sql),
     ("q94_table_diff", q94TableDiff _, q94Sql),
+    ("q96_ship_latency", q96ShipLatency _, q96Sql),
   )
 }

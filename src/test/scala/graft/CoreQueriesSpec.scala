@@ -557,6 +557,30 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(out.map(_.getLong(6)).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("q96 ship latency: driver-side replay of the exact rank crossings") {
+    import org.apache.spark.sql.functions.{to_date, datediff}
+    val o = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"), to_date(col("o_orderdate")).as("od"))
+    val l = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val lat = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("long").as("days"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
+    def rank(vs: Array[Long], q: Long): Long = vs(((vs.length * q + 99) / 100 - 1).toInt)
+    val out = CoreQueries.q96ShipLatency(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vs = lat(r.getString(0))
+      assert(r.getLong(1) === vs.length.toLong)
+      assert(r.getLong(2) === rank(vs, 50), s"p50 mismatch for ${r.getString(0)}")
+      assert(r.getLong(3) === rank(vs, 90), s"p90 mismatch for ${r.getString(0)}")
+      assert(r.getLong(4) === rank(vs, 99), s"p99 mismatch for ${r.getString(0)}")
+      assert(r.getDouble(5) === vs.count(_ > 30).toDouble / vs.length)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
   test("q94 table diff: the inverse law — applying the diff to v1 reconstructs v2 exactly") {
     val (v1, v2) = CoreQueries.q94Snapshots(spark, Sf0001)
     val diff = CoreQueries.q94DiffOf(v1, v2).collect()

@@ -791,6 +791,23 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
   }
 
+  test("q96 ship latency: windows ride the cell aggregate, nothing global; cells partial-agg") {
+    val df = CoreQueries.q96ShipLatency(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // percentiles come from rank crossings over the (priority, days)
+    // aggregate — never a per-group sort of the fact table and never
+    // a single-partition window
+    assert(p.contains("windowspecdefinition(priority"),
+      s"rank crossings must partition by priority:\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"latency percentiles collapsed to one partition:\n${p.take(3000)}")
+    assert(p.contains("partial_count"),
+      s"cells must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"latency join degenerated:\n${p.take(3000)}")
+  }
+
   test("q94 table diff: one full-outer hash join, no window, no cartesian") {
     val df = CoreQueries.q94TableDiff(spark, Sf0001)
     df.collect()
