@@ -224,4 +224,31 @@ class RandomizedSpec extends SparkTestBase {
     assert(a.values.forall(_.nonEmpty))
     assert(a.nonEmpty)
   }
+
+  test("tx25 rag chunks: coverage/stride/length invariants on generated corpora across (W, S)") {
+    import spark.implicits._
+    val r = rng
+    val docs = (1L to 150L).map(i => (i, randText(r, 400))).toDF("doc_id", "text")
+    for ((w, s) <- Seq((8, 8), (16, 8), (5, 3))) {
+      val byDoc = TextFunctions.ragChunks(docs, w, s).collect().groupBy(_.getLong(0))
+      assert(byDoc.nonEmpty, s"(W=$w, S=$s) produced nothing")
+      byDoc.values.foreach { rows =>
+        val n = rows.head.getLong(1)
+        val sorted = rows.sortBy(_.getLong(2))
+        sorted.zipWithIndex.foreach { case (row, i) =>
+          // ids dense from 0; starts at exact stride multiples
+          assert(row.getLong(2) === i.toLong)
+          assert(row.getLong(3) === i.toLong * s)
+          // each chunk is exactly the slice it claims: min(W, n - start)
+          // tokens, rendered as that many space-joined tokens
+          assert(row.getLong(4) === math.min(w.toLong, n - row.getLong(3)))
+          assert(row.getString(5).split(' ').count(_.nonEmpty) === row.getLong(4))
+        }
+        // full coverage: the last chunk ends exactly at the last token,
+        // and (with S <= W) no token between chunks is skipped
+        assert(sorted.last.getLong(3) + sorted.last.getLong(4) === n)
+        assert(sorted.head.getLong(3) === 0L)
+      }
+    }
+  }
 }
