@@ -71,14 +71,25 @@ object Dedup {
     * union is cached — whichever branch wins references it multiple
     * times (inverted index / mask probe + both verification sides).
     * At production scale both sides come off the persisted shingle
-    * index ([[shingleWriteIndex]]'s df/ partition, dd2's probe). */
+    * index ([[shingleWriteIndex]]'s df/ partition, dd2's probe).
+    *
+    * The pairs are localCheckpointed HERE and the union cache released
+    * before returning (ADVICE r8): this runs once per micro-batch for
+    * the life of the stream, and the cached union embeds the FULL
+    * standing-corpus shingles — leaving one MEMORY_AND_DISK entry
+    * behind per batch is unbounded storage growth in exactly the
+    * long-running ingest scenario this operator serves. The checkpoint
+    * is also what st15's verdict fold needs anyway (the CollapseProject
+    * re-evaluation lesson in st15From). */
   private[graft] def ingestBatchPairs(baseSh: DataFrame, batch: DataFrame,
-      threshold: Double): DataFrame =
-    incrementalAdaptive(
-      baseSh.withColumn("is_delta", lit(false))
-        .unionByName(withShingles(batch, 1).withColumn("is_delta", lit(true)))
-        .cache(),
-      threshold)
+      threshold: Double): DataFrame = {
+    val union = baseSh.withColumn("is_delta", lit(false))
+      .unionByName(withShingles(batch, 1).withColumn("is_delta", lit(true)))
+      .cache()
+    val pairs = incrementalAdaptive(union, threshold).localCheckpoint()
+    union.unpersist()
+    pairs
+  }
 
   private val MaxCompVocab = 4096
 

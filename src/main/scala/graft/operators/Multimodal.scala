@@ -385,7 +385,7 @@ object Multimodal {
       .select(col("doc_id"), explode(col("chunks")).as("ch"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     val sc = ch.groupBy(col("source"), col("ch"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("n"))
     val spread = sc.groupBy(col("ch")).agg(count(lit(1)).as("n_sources"))
     val blobs = ch.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_blobs"))

@@ -3216,8 +3216,20 @@ object CoreQueries {
     * extracted so the spec can plant exact-period and constant
     * fixtures against the same decimal sums + IEEE tree. */
   private[graft] def acfOf(dailyIn: DataFrame): DataFrame = {
+    // The (16,6) Spark-side pin vs the oracle's (19,6) is exact only
+    // while |daily total| < 10¹⁰ (the (16,6) integral domain). Beyond
+    // it the two engines would DIVERGE SILENTLY — Spark nulls (or
+    // ANSI-errors) the down-cast while DuckDB keeps the value — so the
+    // guard fails loudly map-side instead (ADVICE r8): a corpus whose
+    // daily sums outgrow the domain needs the widths re-pinned, not a
+    // quiet null in one engine.
     val daily = dailyIn
-      .withColumn("v16", col("v").cast(DecimalType(16, 6)))
+      .withColumn("v16",
+        when(abs(col("v")) < lit(10000000000L),
+          col("v").cast(DecimalType(16, 6)))
+          .otherwise(raise_error(concat(
+            lit("q91 acf: |daily total| >= 1e10 overflows the pinned DECIMAL(16,6) — re-pin the cross-engine widths: "),
+            col("v").cast("string")))))
       .cache()
     val lags = daily.select(col("event_type"), col("day"), col("v16"),
       explode(expr("sequence(1, 7)")).as("lag"))

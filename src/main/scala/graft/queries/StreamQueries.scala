@@ -928,28 +928,52 @@ object StreamQueries {
       .writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val b = batch.toDF().localCheckpoint()
-          // checkpoint the PAIRS before the verdict fold: max_by's
-          // value struct, its ordering struct and the τ filter each
-          // reference the jaccard column, and CollapseProject inlines
-          // the array_intersect verification into every site — the
+          // ingestBatchPairs localCheckpoints the PAIRS before the
+          // verdict fold reads them: max_by's value struct, its
+          // ordering struct and the τ filter each reference the
+          // jaccard column, and CollapseProject inlines the
+          // array_intersect verification into every site — the
           // verdict WRITE re-ran the whole verification ~10× (probe:
           // 296 s vs 29 s for the pair count at x10; invisible to
           // count(), whose left join is eliminated outright). One
-          // materialization, then the fold touches narrow rows.
+          // materialization, then the fold touches narrow rows. It
+          // also releases its union cache per batch (ADVICE r8 — one
+          // standing-corpus-sized cache entry per batch otherwise
+          // accumulates for the life of the stream).
           val pairs = Dedup.ingestBatchPairs(baseSh, b,
-            PipelineQueries.JaccardThreshold).localCheckpoint()
+            PipelineQueries.JaccardThreshold)
           ingestVerdict(b, pairs)
             .write.mode("overwrite").parquet(s"$dir/batch_$id")
-          pairs.unpersist()
           ()
       }.option("checkpointLocation", s"$dir/chk")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
     baseSh.unpersist()
-    val parts = new java.io.File(dir).listFiles()
+    val parts = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("batch_")).map(_.getPath).sorted
-    s.read.parquet(parts.toIndexedSeq: _*).orderBy(col("doc_id"))
+    // a corpus whose delta split is EMPTY commits no batch partition:
+    // parquet() on a zero-path list throws, so return the verdict
+    // schema with no rows instead (ADVICE r8) — the gate semantics
+    // ("every delta doc gets a row") are vacuously satisfied
+    if (parts.isEmpty) {
+      deleteRecursively(new java.io.File(dir))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, jaccard DOUBLE, n_matches BIGINT"))
+    }
+    // materialize off the temp commit dir (executor-block barrier),
+    // then delete it — the scratch union of batch partitions must not
+    // outlive the query (ADVICE r8: the dir was never cleaned up)
+    val out = s.read.parquet(parts.toIndexedSeq: _*).orderBy(col("doc_id"))
+      .localCheckpoint()
+    deleteRecursively(new java.io.File(dir))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** dd9's naive cross-split all-pairs CTE folded to the per-doc

@@ -57,13 +57,29 @@ object BucketedTables {
     val name = s"graft_bk_${tableName}_$key"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bk_${tableName}_$key"
     if (!spark.catalog.tableExists(name)) {
-      if (graft.Tables.layoutReady(path)) {
-        spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING parquet " +
-          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS " +
-          s"LOCATION '$path'")
-      } else {
-        writeBucketed(df, name, path, bucketCol, nBuckets, Seq(bucketCol))
+      if (!graft.Tables.layoutReady(path)) {
+        // Bucket FILES go through publishLayout like every other
+        // write-once layout (ADVICE r8): saveAsTable straight into the
+        // final path let two concurrent sessions interleave
+        // overwrite-deletes and task files, and a reader could observe
+        // a mixed/partial directory. The build writes under a
+        // session-unique temp table + temp dir, drops the scaffold
+        // table (EXTERNAL — the files stay), and the atomic rename
+        // publishes a complete directory or nothing. Bucket ids ride
+        // the part-file NAMES, so the files survive both the table
+        // drop and the rename intact.
+        graft.Tables.publishLayout(path) { tmp =>
+          val scaffold = name + "_bld_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          writeBucketed(df, scaffold, tmp, bucketCol, nBuckets, Seq(bucketCol))
+          spark.sql(s"DROP TABLE IF EXISTS $scaffold")
+        }
       }
+      // registration is always the metadata-only DDL over the
+      // published LOCATION — same statement cold and warm
+      spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING parquet " +
+        s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$path'")
     }
     spark.table(name)
   }

@@ -37,6 +37,26 @@ class LayoutVacuumSpec extends AnyFunSuite {
     assert(newGen.exists() && otherParams.exists() && newNoP.exists() && bystander.exists())
   }
 
+  test("vacuum covers the bucketed-table family: graft_bk_* generations collapse to the newest") {
+    // the sanitized bucketed-layout name (BucketedTables.bucketedTable:
+    // layoutKey + [^A-Za-z0-9_]→_, params token _bk8) is the one
+    // family whose shape the Keyed regex was never tested against —
+    // and a stranded bucket copy is FACT-TABLE-sized, the costliest
+    // possible leak (VERDICT r8 #6)
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum-bk").toString
+    val oldGen = mkLayout(root, s"graft_bk_orders__root_testdata_sf0_01_${Hex}_3000_1000_bk8")
+    val newGen = mkLayout(root, s"graft_bk_orders__root_testdata_sf0_01_${Hex}_3100_2000_bk8")
+    // same table+source at a DIFFERENT bucket count — its own layout
+    // commitment, must coexist
+    val otherBk = mkLayout(root, s"graft_bk_orders__root_testdata_sf0_01_${Hex}_3100_2000_bk16")
+    // a different table over the same source dir — separate group
+    val otherTable = mkLayout(root, s"graft_bk_lineitem__root_testdata_sf0_01_${Hex}_900_500_bk8")
+    val deleted = Tables.layoutVacuum(root).toSet
+    assert(deleted === Set(oldGen.getPath))
+    assert(!oldGen.exists())
+    assert(newGen.exists() && otherBk.exists() && otherTable.exists())
+  }
+
   test("vacuum sweeps stale .build-* orphans but spares young (possibly in-flight) ones") {
     val root = java.nio.file.Files.createTempDirectory("graft-vacuum-b").toString
     val stale = mkLayout(root, s"graft_annidx_sf0.01_${Hex}_100_1000.build-deadbeef")
