@@ -896,12 +896,17 @@ object StreamQueries {
     * PipelineQueries.isDeltaDoc — the split predicates must never
     * drift between the batch and streaming paths).
     *
-    * Shape: the standing corpus's token sets materialize ONCE before
-    * the stream opens (localCheckpoint — the amortized standing state;
-    * at 100 TB this is the persisted shingle index and its df/
-    * partition, dd2's probe), then foreachBatch probes each batch
-    * through Dedup.ingestBatchPairs — the PPJoin prefix path, exact-
-    * complete, never all-pairs — and folds pairs to verdicts. Verdicts
+    * Shape: the standing corpus's token sets come off the PERSISTED
+    * shingle index over the non-delta split (round 9 — VERDICT r8 #8:
+    * the sh/ arrays, already tokenized and df-sorted at build time;
+    * `shingleAppendDelta` is what keeps that index fresh between
+    * ingest windows in production — the registry query does NOT
+    * append its admits, so verdicts stay batch-split-invariant), then
+    * foreachBatch probes each batch through Dedup.ingestBatchPairs —
+    * the PPJoin prefix path, exact-complete, never all-pairs — and
+    * folds pairs to verdicts. The pre-round-9 localCheckpoint-standing
+    * twin ([[st15CheckpointFrom]]) is kept for the spec that pins the
+    * two standing representations verdict-identical. Verdicts
     * are per-doc facts depending only on (batch doc, standing corpus),
     * NOT on other delta docs, so batch splitting cannot change any row
     * (spec: multi-file maxFilesPerTrigger=1 run ≡ single-batch run).
@@ -917,12 +922,32 @@ object StreamQueries {
   def st15(s: SparkSession, d: String): DataFrame =
     st15From(s, d, None)
 
+  /** Registry shape: standing side = the persisted non-delta shingle
+    * index's sh/ arrays — one parquet scan per batch probe, zero
+    * per-stream tokenization. */
   private[graft] def st15From(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame =
+    st15Run(s, d, maxFilesPerTrigger, s.read.parquet(
+      s"${PipelineQueries.cachedShingleIndexNondelta(s, d)}/sh"))
+
+  /** The pre-round-9 twin: standing token sets re-derived from the
+    * documents table and pinned in executor memory for the stream's
+    * life. Kept so the spec can assert index-standing ≡
+    * checkpoint-standing verdicts — the two representations must be
+    * interchangeable (same set algebra over the same sets). */
+  private[graft] def st15CheckpointFrom(s: SparkSession, d: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     import graft.operators.Dedup
-    val dir = java.nio.file.Files.createTempDirectory("graft_st15").toString
     val baseSh = Dedup.shingled(
       Tables.documents(s, d).filter(!PipelineQueries.isDeltaDoc), 1).localCheckpoint()
+    try st15Run(s, d, maxFilesPerTrigger, baseSh)
+    finally { baseSh.unpersist(); () }
+  }
+
+  private def st15Run(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int], baseSh: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15").toString
     val q = documentsStreamFrom(s, d, maxFilesPerTrigger)
       .filter(PipelineQueries.isDeltaDoc)
       .writeStream.foreachBatch {
@@ -949,7 +974,6 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
-    baseSh.unpersist()
     val parts = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("batch_")).map(_.getPath).sorted
     // a corpus whose delta split is EMPTY commits no batch partition:

@@ -193,6 +193,43 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!codeScan.get.contains("embedding"), s"probe scan reads embeddings:\n$p")
   }
 
+  test("ivfRecluster: re-trained appended index ≡ fresh full build bit-for-bit; append history erased") {
+    // round 9 (VERDICT r8 #2) — the ACT of the observe-decide-act
+    // loop: retrain over base ⊕ appended deltas, publish a new
+    // generation. The contract leans on trainCentroids' order-
+    // independent decimal means: centroids are a pure function of the
+    // vector SET, so the reclustered index and a one-shot build over
+    // the union must agree in every byte that matters — centroid
+    // table, per-cid membership, probe output.
+    val (emb, base, delta) = splitEmb()
+    val q = emb.filter(col("vec_id") < 5)
+    val appended = java.nio.file.Files.createTempDirectory("graft-ivf-recl-a").toString
+    Similarity.ivfWriteIndex(base, appended, nlist = 16, iters = 2)
+    Similarity.ivfAppendDelta(delta, appended)
+    val reclustered = java.nio.file.Files.createTempDirectory("graft-ivf-recl-b").toString
+    Similarity.ivfRecluster(spark, appended, reclustered, nlist = 16, iters = 2)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-recl-c").toString
+    Similarity.ivfWriteIndex(emb, fresh, nlist = 16, iters = 2)
+    // trained state identical
+    assert(Similarity.readCentroids(spark, s"$reclustered/centroids").map(_.toSeq).toSeq ===
+      Similarity.readCentroids(spark, s"$fresh/centroids").map(_.toSeq).toSeq)
+    // per-list membership identical (the at-rest partitioning)
+    def members(p: String) = spark.read.parquet(s"$p/vectors")
+      .select(col("cid"), col("vec_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(members(reclustered) === members(fresh))
+    // probe identical
+    val a = Similarity.ivfProbeIndex(spark, reclustered, q, k = 10, nprobe = 2).collect().toSeq
+    assert(a === Similarity.ivfProbeIndex(spark, fresh, q, k = 10, nprobe = 2).collect().toSeq)
+    assert(a.nonEmpty)
+    // (balance DIRECTION is deliberately not asserted: the driver
+    // delta is drawn from the same distribution as the base, so the
+    // before/after imbalance is measurement noise here — the
+    // drifted-delta rebalance effect is BENCH_NOTES evidence, and the
+    // bit-equality above already proves the retrain forgot the
+    // append history)
+  }
+
   test("clusterStats over the REAL materialized IVF index: counts conserve across delta append") {
     // ss13's fold applied to the at-rest cid partitions — the
     // re-cluster gauge in numbers: imbalance per list, and how a

@@ -430,6 +430,21 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(single.map(_.getLong(0)).distinct.size.toLong === nDelta)
   }
 
+  test("st15 ingest dedup: index-standing verdicts ≡ checkpoint-standing twin (round 9)") {
+    // VERDICT r8 #8: the registry st15 reads its standing side off the
+    // persisted non-delta shingle index; the pre-round-9 shape pinned
+    // re-tokenized sets in executor memory. The two representations
+    // carry the same sets (the index arrays are df-SORTED, and every
+    // step of the probe — vocabulary probe, mask encode, prefix
+    // re-derivation, array_intersect verification — is order-
+    // insensitive set algebra), so the verdicts must be identical.
+    val viaIndex = StreamQueries.st15(spark, Sf0001).collect().toSeq
+    val viaCheckpoint = StreamQueries.st15CheckpointFrom(spark, Sf0001, None)
+      .collect().toSeq
+    assert(viaIndex === viaCheckpoint)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("st15 ingest dedup: planted fixture — exact copy, τ-boundary near-copy, unique doc, lowest-id tie") {
     import spark.implicits._
     // ids chosen by their md5 first hex digit: 27/59/60 are delta
