@@ -94,6 +94,56 @@ object DeltaBench {
       val tApp = minTimeOnCopy(proto)(fam.append)
       println(f"| ${fam.name} | $tFull%.2f s | $tApp%.2f s | ${tFull / tApp}%.1f× |")
     }
+
+    // ---- round 9 (VERDICT r8 #1): the compaction cadence line ----
+    // Four disjoint nightly appends fragment the data dirs (LSH worst:
+    // one file per touched bucket dir per append), then ONE
+    // compactIndex pass rewrites them to byte-targeted files — file
+    // counts and a min-of-reps probe before/after show what the
+    // cadence buys and that it costs one bounded rewrite.
+    case class Cf(name: String, buildBase: String => Unit,
+        appendSlice: (Int, String) => Unit, dataSub: String, probe: String => Long)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val cfs = Seq(
+      Cf("shingle", p => Dedup.shingleWriteIndex(docsBase, 1, p),
+        (i, p) => Dedup.shingleAppendDelta(
+          docs.filter(col("doc_id") % 32 === i * 8), 1, p), "sh",
+        p => Dedup.ngramJaccardProbe(spark, p, 0.9).count()),
+      Cf("ivf", p => Similarity.ivfWriteIndex(embBase, p),
+        (i, p) => Similarity.ivfAppendDelta(
+          emb.filter(col("vec_id") % 32 === i * 8), p), "vectors",
+        p => Similarity.ivfProbeIndex(spark, p, q5, 10).count()),
+      Cf("lsh", p => Similarity.lshWriteIndex(embBase, p, dim),
+        (i, p) => Similarity.lshAppendDelta(
+          emb.filter(col("vec_id") % 32 === i * 8), p, dim), "buckets",
+        p => Similarity.lshProbeIndex(spark, p, q5, dim, 10).count()))
+    def fileCount(d: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-")) 1
+        else 0
+      walk(new java.io.File(d))
+    }
+    println()
+    println(s"| index | files after 4 appends | probe pre | compact | files post | probe post |")
+    println(s"| --- | --- | --- | --- | --- | --- |")
+    cfs.foreach { cf =>
+      val p = fresh()
+      cf.buildBase(p)
+      (0 until 4).foreach(i => cf.appendSlice(i, p))
+      val filesPre = fileCount(s"$p/${cf.dataSub}")
+      def probeMin(): Double = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); cf.probe(p); (System.nanoTime() - t0) / 1e9
+      }.min
+      val tPre = probeMin()
+      val t0 = System.nanoTime()
+      graft.sources.Compact.compactIndex(spark, s"$p/${cf.dataSub}")
+      val tC = (System.nanoTime() - t0) / 1e9
+      val filesPost = fileCount(s"$p/${cf.dataSub}")
+      val tPost = probeMin()
+      println(f"| ${cf.name} | $filesPre | $tPre%.2f s | $tC%.2f s | $filesPost | $tPost%.2f s |")
+    }
     spark.stop()
   }
 }

@@ -1027,6 +1027,68 @@ object TextFunctions {
       |FROM k
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** tx27 (round 9): CODE-vs-PROSE detection signals — the mixture
+    * router a pretraining pipeline runs before weighting code
+    * separately from prose (code wants different dedup thresholds,
+    * different quality gates, its own mixture temperature; routing it
+    * with prose heuristics misgrades both). Three structural signals
+    * no natural-language doc exhibits together: code-symbol density
+    * (braces/brackets/operators per char), indented-line share
+    * (leading tab / 2+ spaces — block structure), and line count;
+    * is_code = symbol density ≥ 6 % OR indent share ≥ 25 % (a
+    * threshold rule, not a model — deterministic and explainable,
+    * tx3's heuristic policy). Exactness: every count is an exact
+    * integer (length-of-replace for symbols, split for lines,
+    * regexp_extract_all for indents — patterns passed as literal
+    * columns so neither engine's string-escape rules touch them),
+    * each ratio ONE IEEE divide of identical operands, and the
+    * boolean compares identical doubles — every row hashes. Pure
+    * map-side scan, no shuffle (the §2.D contract). */
+  def codeSignals(docs: DataFrame): DataFrame = {
+    val symCls = "[{}\\[\\]();=<>#|&*+-]"
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), symCls, ""))).cast("long").as("n_symbols"),
+        size(regexp_extract_all(col("text"),
+          lit("(?:^|\n)(?:\t|  )"), lit(0))).cast("long").as("indent_lines"))
+      .withColumn("symbol_ratio",
+        when(col("n_chars") > 0,
+          col("n_symbols").cast("double") / col("n_chars")).otherwise(lit(0.0)))
+      .withColumn("indent_ratio",
+        col("indent_lines").cast("double") / col("n_lines"))
+      .withColumn("is_code",
+        col("symbol_ratio") >= 0.06 || col("indent_ratio") >= 0.25)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB strings keep backslashes literal (no escape processing),
+    * so the newline/tab in the indent pattern are spliced via
+    * chr(10)/chr(9) — the same literal characters the Spark side
+    * passes through lit(). */
+  val codeSignalsSql: String =
+    """WITH b AS (
+      | SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(length(text) -
+      |    length(regexp_replace(text, '[{}\[\]();=<>#|&*+-]', '', 'g')) AS BIGINT) AS n_symbols,
+      |  CAST(len(regexp_extract_all(text,
+      |    '(?:^|' || chr(10) || ')(?:' || chr(9) || '|  )')) AS BIGINT) AS indent_lines
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, n_chars, n_lines, n_symbols, indent_lines,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE) / n_chars
+      |       ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
+      |  CAST(indent_lines AS DOUBLE) / n_lines AS indent_ratio
+      | FROM b)
+      |SELECT doc_id, n_chars, n_lines, n_symbols, indent_lines,
+      | symbol_ratio, indent_ratio,
+      | symbol_ratio >= 0.06 OR indent_ratio >= 0.25 AS is_code
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   def diversity(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(expr(tokensExpr)).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))

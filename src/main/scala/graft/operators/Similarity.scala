@@ -564,6 +564,53 @@ object Similarity {
     ivfWriteIndex(corpus, newPath, nlist, iters)
   }
 
+  /** ss15 (round 9): CENTROID DRIFT — the DECIDE gauge between ss8's
+    * recall rows (observe) and [[ivfRecluster]] (act): per inverted
+    * list, the Euclidean displacement between the index's TRAINED
+    * centroid and the CURRENT member mean. A freshly trained list
+    * sits near its mass (Lloyd's fixed point); appended mass the
+    * trainer never saw drags the true mean away while the stored
+    * centroid stays frozen — drift is that gap in embedding units,
+    * the per-list early warning that fires BEFORE recall visibly
+    * degrades (recall needs a query workload to measure; drift needs
+    * only the index itself, so nightly maintenance can threshold it).
+    *
+    * Determinism (rows-gated): per-(cid, pos) means accumulate in
+    * order-independent DECIMAL(18,6) sums (trainCentroids' recipe) and
+    * string-hop to double for ONE divide; the squared-difference fold
+    * runs left-to-right over the pos-sorted mean array against the
+    * stored centroid literal — a fixed IEEE evaluation order, so the
+    * drift value is identical run-to-run and spec-pinnable (exact 0.0
+    * on a corpus of centroid copies, > 0 after a shifted append).
+    *
+    * Scale: one partial-agg'd pass over the index's vectors/ to
+    * nlist×dim rows; the fold and join ride the tiny aggregate with
+    * the centroid table broadcast — O(index) scan, O(nlist) output. */
+  def centroidDrift(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val cents = readCentroids(spark, s"$path/centroids")
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cid", "centroid")
+    spark.read.parquet(s"$path/vectors")
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("col").cast("double").cast(DecimalType(18, 6))).as("sdec"))
+      .selectExpr("cid", "pos", "n",
+        "cast(cast(sdec as string) as double) / n as m")
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, m)), " +
+          "(a, b) -> a.pos - b.pos), x -> x.m)").as("mean"))
+      .join(broadcast(cdf), "cid")
+      .withColumn("drift2", expr(
+        "aggregate(zip_with(mean, centroid, (a, b) -> " +
+          "(a - cast(b as double)) * (a - cast(b as double))), " +
+          "cast(0.0 as double), (acc, v) -> acc + v)"))
+      .select(col("cid"), col("n_vecs"), sqrt(col("drift2")).as("drift"))
+      .orderBy(col("cid"))
+  }
+
   /** Probe a materialized IVF index. The `cid` filter lands on the
     * PARTITION column of the index layout, so Spark prunes non-probed
     * directories at planning time — the scan never opens them

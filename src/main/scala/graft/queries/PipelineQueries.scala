@@ -450,6 +450,59 @@ object PipelineQueries {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** dd15: the same recursive-closure labeling folded to group sizes,
+    * banded with the identical CASE, doc_share = the same single
+    * divide of exact counts. */
+  val dd15Sql: String =
+    s"""$GroupLabelCtes,
+      |sz AS (SELECT group_id, COUNT(*) AS sz FROM lab GROUP BY group_id),
+      |b AS (
+      |  SELECT CASE WHEN sz = 1 THEN '1_singleton'
+      |              WHEN sz = 2 THEN '2_pair'
+      |              WHEN sz <= 9 THEN '3_cluster_3_9'
+      |              ELSE '4_mega_10_plus' END AS band, sz
+      |  FROM sz),
+      |a AS (
+      |  SELECT band, COUNT(*) AS n_groups, CAST(SUM(sz) AS BIGINT) AS n_docs
+      |  FROM b GROUP BY band),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM a)
+      |SELECT band, n_groups, n_docs,
+      | CAST(n_docs AS DOUBLE) / n_total AS doc_share
+      |FROM a, t
+      |ORDER BY band""".stripMargin
+
+  /** dd15 (round 9): duplicate-GROUP SIZE distribution — the shape of
+    * the duplication a corpus carries, where dd14 reports only its
+    * volume: singletons (unique docs), pairs (mirrors/reposts), small
+    * clusters (template families) and 10+ mega-groups (boilerplate
+    * explosions — the band a curator investigates first, because one
+    * mega-group at size 10⁴ means a template leak, not organic
+    * duplication). Probes the SAME materialized dup-groups index as
+    * dd7/dd14 (the CC labeling is amortized, never recomputed); one
+    * O(docs) label join → O(groups) size aggregate → 4-row band
+    * rollup, doc_share as one IEEE divide of exact counts riding a
+    * global window over the 4-row aggregate (q87's shape). Band
+    * labels carry a sort prefix so both engines order identically. */
+  def dd15(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sizes = docs.select(col("doc_id"))
+      .join(cachedGroupsIndex(s, d, "full", docs), "doc_id")
+      .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+    sizes
+      .withColumn("band",
+        when(col("sz") === 1, "1_singleton")
+          .when(col("sz") === 2, "2_pair")
+          .when(col("sz") <= 9, "3_cluster_3_9")
+          .otherwise("4_mega_10_plus"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_docs"))
+      .withColumn("n_total",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("band"), col("n_groups"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total")).as("doc_share"))
+      .orderBy(col("band"))
+  }
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -671,6 +724,15 @@ object PipelineQueries {
         (sum(col("recall")) / count(lit(1))).as("mean_recall"))
       .orderBy(col("variant"))
   }
+
+  /** ss15 (round 9): per-list centroid drift over the delta-appended
+    * IVF index — the DECIDE gauge of the observe-decide-act loop
+    * (Similarity.centroidDrift; ss8 observes recall, ivfRecluster
+    * acts). Rows-gated: the trained centroids are index state, not
+    * SQL-derivable; determinism + planted-drift behavior spec'd in
+    * IvfIndexSpec. */
+  def ss15(s: SparkSession, d: String): DataFrame =
+    Similarity.centroidDrift(s, cachedAnnIndex(s, d, "ivf_delta"))
 
   /** ss11: hybrid lexical+semantic retrieval — fully oracle-gated
     * (both fusion components exact; see Similarity.hybridTopK). The
@@ -933,6 +995,7 @@ object PipelineQueries {
   def tx20(s: SparkSession, d: String): DataFrame = TextFunctions.decontaminate(Tables.documents(s, d))
   def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
+  def tx27(s: SparkSession, d: String): DataFrame = TextFunctions.codeSignals(Tables.documents(s, d))
   def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
   def tx24(s: SparkSession, d: String): DataFrame = TextFunctions.docTopTerms(Tables.documents(s, d), 3)
 
@@ -1024,6 +1087,7 @@ object PipelineQueries {
     ("dd12_edit_distance", dd12 _, dd12Sql),
     ("dd13_containment_groups", dd13 _, dd13Sql),
     ("dd14_dedup_stats", dd14 _, dd14Sql),
+    ("dd15_group_sizes", dd15 _, dd15Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),
@@ -1036,6 +1100,7 @@ object PipelineQueries {
     ("ss10_kmeans", ss10 _, ss10Sql),
     ("ss13_cluster_stats", ss13 _, ss13Sql),
     ("ss14_recall_curve", ss14 _, null),
+    ("ss15_centroid_drift", ss15 _, null),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),
@@ -1064,6 +1129,7 @@ object PipelineQueries {
     ("tx24_keywords", tx24 _, TextFunctions.docTopTermsSql(3)),
     ("tx25_rag_chunks", tx25 _, TextFunctions.ragChunksSql(64, 48)),
     ("tx26_leakage_split", tx26 _, tx26Sql),
+    ("tx27_code_detect", tx27 _, TextFunctions.codeSignalsSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

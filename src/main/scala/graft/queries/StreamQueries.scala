@@ -78,6 +78,13 @@ object StreamQueries {
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
+    // bench diagnosis lever (round 9 — VERDICT r8 #4): per-run
+    // micro-batch count + row flow, to separate "the engine planned
+    // more batches" from host contention when a streaming entry's
+    // wall-clock moves between rounds
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DIAG"))
+      System.err.println(s"[stream-diag] $name batches=${q.recentProgress.length}" +
+        s" rows=${q.recentProgress.map(_.numInputRows).mkString(",")}")
     val out = s.table(name).localCheckpoint()
     s.catalog.dropTempView(name)
     out

@@ -78,6 +78,12 @@ class BucketedJoinSpec extends SparkTestBase {
     // only the current generation's FILES survive, and a fresh-JVM
     // re-register over them (metadata-only DDL) still serves rows
     val scratch = java.nio.file.Files.createTempDirectory("graft-bkgen").toString
+    // scope every directory assertion to THIS run's scratch dir: the
+    // sanitized dir tag rides the layout name, and earlier suite runs
+    // leave graft_bk_t_* generations for OTHER scratch dirs behind —
+    // different vacuum groups by design, never reclaimed here
+    val scratchTag = scratch.replaceAll("[^A-Za-z0-9.-]", "_")
+      .stripPrefix("_").replaceAll("[^A-Za-z0-9_]", "_")
     def writeSource(n: Int): Unit =
       spark.range(n).selectExpr("id AS k", "id * 2 AS v")
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/t.parquet")
@@ -88,12 +94,12 @@ class BucketedJoinSpec extends SparkTestBase {
     // filesystem-timestamp tick would otherwise collide keys
     new java.io.File(s"$scratch/t.parquet").setLastModified(1000000000000L)
     assert(build().count() === 100)
-    val gen1 = bucketDirsFor("t")
+    val gen1 = bucketDirsFor("t", scratchTag)
     assert(gen1.nonEmpty)
     writeSource(150)
     new java.io.File(s"$scratch/t.parquet").setLastModified(1000000002000L)
     assert(build().count() === 150)
-    val gen2 = bucketDirsFor("t") -- gen1
+    val gen2 = bucketDirsFor("t", scratchTag) -- gen1
     assert(gen2.nonEmpty, "source refresh must key a NEW bucket layout")
     val deleted = Tables.layoutVacuum().toSet
     assert(gen1.forall(deleted.contains),
@@ -114,10 +120,11 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
-  private def bucketDirsFor(table: String): Set[String] = {
+  private def bucketDirsFor(table: String, scratchTag: String): Set[String] = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(s"graft_bk_${table}_"))
+      .filter(f => f.isDirectory && f.getName.startsWith(s"graft_bk_${table}_") &&
+        f.getName.contains(scratchTag))
       .map(_.getPath).toSet
   }
 }

@@ -428,6 +428,25 @@ class DedupSpec extends SparkTestBase {
     assert(probed.nonEmpty)
   }
 
+  test("dd15 group-size bands: partition the corpus exactly; bands agree with the raw group sizes") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = graft.queries.PipelineQueries.dd15(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bands partition the corpus: doc counts sum to |docs|, shares to 1
+    assert(out.map(_._3).sum === docs.count())
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    assert(out.map(_._1).distinct.length === out.length)
+    // cross-check against the raw size distribution off dd6's labeling
+    val sizes = graft.queries.PipelineQueries.dd6(spark, Sf0001).collect()
+      .groupBy(_.getLong(1)).map(_._2.length)
+    def band(sz: Int) = if (sz == 1) "1_singleton" else if (sz == 2) "2_pair"
+      else if (sz <= 9) "3_cluster_3_9" else "4_mega_10_plus"
+    val expect = sizes.groupBy(band).map { case (b, gs) =>
+      b -> (gs.size.toLong, gs.map(_.toLong).sum)
+    }
+    out.foreach { case (b, ng, nd, _) => assert(expect(b) === ((ng, nd)), s"band $b") }
+  }
+
   test("dupGroups reliable-checkpoint path produces the same labeling") {
     import spark.implicits._
     val w = (1 to 20).map(i => s"w$i")

@@ -230,6 +230,43 @@ class IvfIndexSpec extends SparkTestBase {
     // append history)
   }
 
+  test("ss15 centroid drift: exact 0.0 at Lloyd's fixed point; a shifted append drags it up; deterministic") {
+    import spark.implicits._
+    // 16 distinct DIRECTIONS (assignment is cosine-based, so the
+    // points must differ in direction, not scale), each duplicated:
+    // seeds pick one copy per direction, every Lloyd mean equals its
+    // point exactly (integer values — exact in DECIMAL(18,6) and
+    // float), so the trained centroid IS the member mean — drift must
+    // be EXACTLY 0.0
+    val pts = (0 until 16).map(i =>
+      Array.tabulate(16)(j => if (j == i) (i + 1).toFloat else 0f))
+    val base = (0 until 32).map(i => (i.toLong, pts(i % 16).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Similarity.ivfWriteIndex(base, dir, nlist = 16, iters = 2)
+    val d0 = Similarity.centroidDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(d0.nonEmpty)
+    assert(d0.forall(_._3 === 0.0),
+      s"fresh fixed-point index must have zero drift: ${d0.mkString(",")}")
+    // append mass the trainer never saw — shifted copies of point 0 —
+    // and ONLY the receiving list's mean moves off its frozen centroid
+    val delta = (100L until 104L).map(i => (i, pts(0).map(_ + 0.1f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    Similarity.ivfAppendDelta(delta, dir)
+    val d1 = Similarity.centroidDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(d1.exists(_._3 > 0.0), "shifted append must register as drift")
+    assert(d1.count(_._3 > 0.0) === 1, "only the receiving list drifts")
+    // deterministic: the gauge is a maintenance threshold — re-reads
+    // must produce identical bits
+    val d2 = Similarity.centroidDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(d1.toSeq === d2.toSeq)
+  }
+
   test("clusterStats over the REAL materialized IVF index: counts conserve across delta append") {
     // ss13's fold applied to the at-rest cid partitions — the
     // re-cluster gauge in numbers: imbalance per list, and how a
