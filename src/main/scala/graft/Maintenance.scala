@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Compact
+
+/** The NIGHTLY INDEX MAINTENANCE CYCLE — round 9's pieces wired into
+  * the one pass a 100 TB deployment actually schedules, instead of
+  * four tools a human remembers to run in the right order:
+  *
+  *   append (done upstream by the ingest job via `*AppendDelta`)
+  *     → COMPACT   the fragmented data dirs (Compact.compactIndex —
+  *                 file-count ceiling; LSH dirs degrade first)
+  *     → OBSERVE   per-list centroid drift (Similarity.centroidDrift —
+  *                 needs no query workload, unlike recall)
+  *     → DECIDE    max drift vs the caller's threshold
+  *     → ACT       ivfRecluster into a FRESH generation directory when
+  *                 the threshold trips (bit-identical to a full
+  *                 rebuild — the append history leaves no trace)
+  *     → RECLAIM   Tables.layoutVacuum sweeps the superseded
+  *                 generation (and any other stranded layout).
+  *
+  * Every step is individually spec-gated elsewhere; this module's own
+  * spec pins the COMPOSITION: a quiet corpus compacts and keeps its
+  * index (probe byte-identical), a drifted corpus triggers the
+  * recluster arm and the new generation serves exactly the full
+  * rebuild's answers. Decisions return as an audit log — a scheduler
+  * alerts on "reclustered" lines, a dashboard plots the drift number.
+  */
+object Maintenance {
+
+  /** One cycle over a materialized IVF index at `path`. When max
+    * per-list drift exceeds `driftThreshold` (embedding-space units —
+    * tune against ss14's recall curve for the corpus), the index is
+    * re-trained into `reclusterTo` and that path should replace
+    * `path` for subsequent probes (generation swap — the caller owns
+    * the pointer, e.g. a layoutKey-versioned directory name).
+    * Returns the audit log. */
+  def ivfCycle(spark: SparkSession, path: String, reclusterTo: String,
+      driftThreshold: Double): Seq[(String, String)] = {
+    val compacted = Compact.compactIndex(spark, s"$path/vectors")
+    val drift = Similarity.centroidDrift(spark, path)
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    val maxDrift = if (drift.isEmpty) 0.0 else drift.map(_._2).max
+    val log = Seq(
+      "compact" -> s"${compacted.size} dir(s) rewritten",
+      "observe" -> f"max_drift=$maxDrift%.6f over ${drift.length} lists")
+    if (maxDrift > driftThreshold) {
+      Similarity.ivfRecluster(spark, path, reclusterTo)
+      log :+ ("act" -> s"reclustered -> $reclusterTo (drift $maxDrift > $driftThreshold)")
+    } else
+      log :+ ("act" -> s"kept (drift $maxDrift <= $driftThreshold)")
+  }
+
+  /** One cycle over a materialized shingle index: compaction only —
+    * the shingle index has no trained-state drift (df staleness costs
+    * prefix SELECTIVITY, never correctness — shingleAppendDelta's
+    * contract — and is repriced at the corpus-refresh rebuild). */
+  def shingleCycle(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val sh = Compact.compactIndex(spark, s"$path/sh")
+    val masks =
+      if (new java.io.File(s"$path/masks").exists())
+        Compact.compactIndex(spark, s"$path/masks")
+      else Seq.empty
+    Seq("compact" -> s"${sh.size + masks.size} dir(s) rewritten")
+  }
+
+  /** `runMain graft.Maintenance ivf <path> <reclusterTo> [threshold]`
+    * or `runMain graft.Maintenance shingle <path>` — the scheduler
+    * entry point; prints the audit log, then vacuums superseded
+    * layout generations. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Maintenance ivf <path> <reclusterTo> [threshold] | shingle <path>")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val log = args(0) match {
+      case "ivf" =>
+        ivfCycle(spark, args(1), args(2),
+          args.lift(3).map(_.toDouble).getOrElse(0.05))
+      case "shingle" => shingleCycle(spark, args(1))
+      case other => throw new IllegalArgumentException(s"unknown index kind $other")
+    }
+    log.foreach { case (step, msg) => println(s"[maintenance] $step: $msg") }
+    val swept = Tables.layoutVacuum()
+    println(s"[maintenance] vacuum: ${swept.size} superseded layout dir(s) removed")
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+/** The composed nightly maintenance cycle (graft.Maintenance) — each
+  * stage is spec-gated on its own (CompactSpec, IvfIndexSpec); this
+  * pins the COMPOSITION: compaction always runs, the drift gauge
+  * decides, the recluster arm fires only past the threshold, and the
+  * index serves identical answers through the whole cycle. */
+class MaintenanceSpec extends SparkTestBase {
+
+  // 16 duplicated one-hot directions — Lloyd's fixed point, drift
+  // exactly 0.0 (ss15's fixture)
+  private def fixedPointCorpus = {
+    import spark.implicits._
+    val pts = (0 until 16).map(i =>
+      Array.tabulate(16)(j => if (j == i) (i + 1).toFloat else 0f))
+    (0 until 32).map(i => (i.toLong, pts(i % 16).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  private def shiftedDelta = {
+    import spark.implicits._
+    (100L until 104L).map(i =>
+      (i, Array.tabulate(16)(j => (if (j == 0) 1f else 0f) + 0.1f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  private def sameDistDelta = {
+    import spark.implicits._
+    (200L until 204L).map(i =>
+      (i, Array.tabulate(16)(j => if (j == 2) 3f else 0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  test("quiet index: cycle compacts, gauges zero-ish drift, KEEPS; probe byte-identical through the cycle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-q").toString
+    Similarity.ivfWriteIndex(fixedPointCorpus, s"$dir/gen1", nlist = 16, iters = 2)
+    // a same-distribution append (exact copies of direction 2) moves
+    // no mean — drift stays 0.0 — but fragments the cid dir
+    Similarity.ivfAppendDelta(sameDistDelta, s"$dir/gen1")
+    val q = fixedPointCorpus.filter(col("vec_id") < 3)
+    val before = Similarity.ivfProbeIndex(spark, s"$dir/gen1", q, k = 5, nprobe = 16)
+      .collect().toSeq
+    val log = Maintenance.ivfCycle(spark, s"$dir/gen1", s"$dir/gen2",
+      driftThreshold = 0.05).toMap
+    assert(!log("compact").startsWith("0 "), log.toString)
+    assert(log("act").startsWith("kept"), log.toString)
+    assert(!new java.io.File(s"$dir/gen2").exists(),
+      "kept cycle must not publish a new generation")
+    val after = Similarity.ivfProbeIndex(spark, s"$dir/gen1", q, k = 5, nprobe = 16)
+      .collect().toSeq
+    assert(after === before)
+  }
+
+  test("drifted index: cycle fires the recluster arm; the new generation ≡ a fresh full build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-d").toString
+    Similarity.ivfWriteIndex(fixedPointCorpus, s"$dir/gen1", nlist = 16, iters = 2)
+    Similarity.ivfAppendDelta(shiftedDelta, s"$dir/gen1")
+    val log = Maintenance.ivfCycle(spark, s"$dir/gen1", s"$dir/gen2",
+      driftThreshold = 0.05).toMap
+    assert(log("act").startsWith("reclustered"), log.toString)
+    // the published generation serves exactly what a one-shot build
+    // over the union serves (ivfRecluster's bit-equality contract)
+    Similarity.ivfWriteIndex(fixedPointCorpus.unionByName(shiftedDelta),
+      s"$dir/fresh", nlist = 16, iters = 2)
+    val q = fixedPointCorpus.filter(col("vec_id") < 3)
+    val a = Similarity.ivfProbeIndex(spark, s"$dir/gen2", q, k = 5, nprobe = 16)
+      .collect().toSeq
+    val b = Similarity.ivfProbeIndex(spark, s"$dir/fresh", q, k = 5, nprobe = 16)
+      .collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("shingle cycle: compaction in place, probe identical, trained df/ untouched") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-sh").toString
+    Dedup.shingleWriteIndex(docs.filter(col("doc_id") % 2 === 0), 1, dir)
+    Dedup.shingleAppendDelta(docs.filter(col("doc_id") % 2 =!= 0), 1, dir)
+    val dfMtime = new java.io.File(s"$dir/df").lastModified()
+    val before = Dedup.ngramJaccardProbe(spark, dir, 0.9).collect().toSeq
+    val log = Maintenance.shingleCycle(spark, dir).toMap
+    assert(!log("compact").startsWith("0 "), log.toString)
+    assert(Dedup.ngramJaccardProbe(spark, dir, 0.9).collect().toSeq === before)
+    assert(new java.io.File(s"$dir/df").lastModified() === dfMtime)
+  }
+}
