@@ -27,6 +27,15 @@ import graft.sources.Compact
   * recluster arm and the new generation serves exactly the full
   * rebuild's answers. Decisions return as an audit log — a scheduler
   * alerts on "reclustered" lines, a dashboard plots the drift number.
+  *
+  * Why the act arm is IVF-only: IVF is the one index whose at-rest
+  * rows carry the RAW vectors, so retraining needs nothing but the
+  * index itself. PQ / IVF+PQ store lossy codes — re-deriving a
+  * codebook from its own quantization would compound the error — so
+  * their act stage is the upstream full build over the source corpus
+  * (the same pqWriteIndex/ivfPqWriteIndex call the ingest pipeline
+  * owns); LSH has no trained state at all (integer-mix hyperplanes),
+  * so its cycle is compaction alone, like the shingle index's.
   */
 object Maintenance {
 
