@@ -444,13 +444,19 @@ object Dedup {
     * over the df-sorted arrays); output ≡ inline ngramJaccard
     * (DedupSpec pins both paths). */
   def ngramJaccardProbe(spark: org.apache.spark.sql.SparkSession, path: String,
-      threshold: Double): DataFrame = {
-    val pairs =
-      if (new java.io.File(s"$path/masks").exists())
-        jaccardByMask(spark.read.parquet(s"$path/masks"), threshold)
-      else ngramJaccardPrefixSorted(spark.read.parquet(s"$path/sh"), threshold)
-    pairs.orderBy(col("doc_a"), col("doc_b"))
-  }
+      threshold: Double): DataFrame =
+    ngramJaccardProbePairs(spark, path, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The probe WITHOUT the output-presentation sort — the composition
+    * entry point (dd16 aggregates the pairs per threshold, where a
+    * global range-partition + sort would be pure waste;
+    * ngramJaccardPairs' rationale on the index path). */
+  private[graft] def ngramJaccardProbePairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, threshold: Double): DataFrame =
+    if (new java.io.File(s"$path/masks").exists())
+      jaccardByMask(spark.read.parquet(s"$path/masks"), threshold)
+    else ngramJaccardPrefixSorted(spark.read.parquet(s"$path/sh"), threshold)
 
   /** dd3 probing the same index — the mask path is shared with dd2
     * (tiny vocabularies make exact popcounts strictly dominate LSH,

@@ -429,10 +429,40 @@ object Multimodal {
     * array_intersect on the real sets, so the cap prunes candidate
     * GENERATION only, never the score. Shuffles: O(chunks) postings
     * + O(candidate pairs); never all-pairs. */
-  def cdcNearDupPairs(docs: DataFrame, tau: Double, dfCap: Int = 256): DataFrame = {
+  def cdcNearDupPairs(docs: DataFrame, tau: Double, dfCap: Int = 256): DataFrame =
+    cdcNearDupFrom(cdcChunkHashes(docs), tau, dfCap)
+
+  /** Materialized CDC CHUNK index (round 9) — the blob family's
+    * shingle-index twin, completing "no index needs a full-corpus
+    * rebuild on delta ingest" for §2.E: chunks/ holds (doc_id,
+    * distinct chunk-id array), written once per corpus version.
+    * Chunk ids are PURE per-row functions of the blob bytes
+    * (rolling-hash boundaries + xxhash64 — NO trained state, LSH's
+    * argument), so the delta append is a plain file append and
+    * probe(base ⊕ delta) ≡ a one-shot union build exactly; there is
+    * nothing to drift and nothing to demote. Probes skip the per-query
+    * chunking pass entirely — at 100 TB that pass is a full
+    * decode-and-scan of the blob tier, the most expensive map stage
+    * the family has. */
+  def cdcWriteIndex(docs: DataFrame, path: String): Unit =
+    cdcChunkHashes(docs).write.mode("overwrite").parquet(s"$path/chunks")
+
+  def cdcAppendDelta(deltaDocs: DataFrame, path: String): Unit =
+    cdcChunkHashes(deltaDocs).write.mode("append").parquet(s"$path/chunks")
+
+  /** mm7 probing the chunk index: the pair machinery runs off the
+    * stored arrays — zero chunking work per query. Probe ≡ inline is
+    * spec-pinned (MultimodalSpec). */
+  def cdcNearDupProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      tau: Double, dfCap: Int = 256): DataFrame =
+    cdcNearDupFrom(spark.read.parquet(s"$path/chunks"), tau, dfCap)
+
+  private def cdcNearDupFrom(chIn: DataFrame, tau: Double, dfCap: Int): DataFrame = {
     // chunks are array_distinct per blob (cdcChunkHashes), so posting
-    // rows are (chunk, blob) with no within-blob repeats
-    val ch = cdcChunkHashes(docs).cache()
+    // rows are (chunk, blob) with no within-blob repeats; the narrow
+    // relation caches — three consumers (postings + both verification
+    // sides), dd8's fan-out lesson
+    val ch = chIn.cache()
     val inv = ch.select(col("doc_id"), explode(col("chunks")).as("c"))
     val keep = inv.groupBy(col("c")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap).select(col("c"))

@@ -3636,6 +3636,43 @@ object CoreQueries {
       |GROUP BY priority
       |ORDER BY priority""".stripMargin
 
+  /** q97 (round 9): JOIN-KEY SKEW REPORT — the diagnostic read BEFORE
+    * reaching for q48's salting or trusting AQE's skew split: the
+    * top-10 heaviest join keys with their row share and skew factor
+    * n·|keys|/N (1.0 = uniform; a 50× key is the one that parks a
+    * straggler task for the whole stage). One partial-agg'd pass to
+    * the per-key counts; |keys| and N ride a broadcast 1-row
+    * aggregate (the documented ≤1-BNLJ scalar join); top-10 is the
+    * (n_rows DESC, key ASC) total order through TakeOrdered
+    * per-partition heaps — never a global sort or a window. Both IEEE
+    * values are single divides of exact int64 operands (n·|keys| ≪
+    * 2⁵³) ⇒ every row hashes. At 100 TB this runs on a SAMPLE or on
+    * the partial-agg'd key counts of a prior run — either way the
+    * heavy hitters dominate any sample (tx15's sketch is the
+    * streaming twin). */
+  def q97SkewReport(s: SparkSession, d: String): DataFrame = {
+    val k = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_rows"))
+    val stats = k.agg(count(lit(1)).as("n_keys"), sum(col("n_rows")).as("n_total"))
+    k.crossJoin(broadcast(stats))
+      .select(col("key"), col("n_rows"),
+        (col("n_rows").cast("double") / col("n_total")).as("share"),
+        ((col("n_rows") * col("n_keys")).cast("double") / col("n_total"))
+          .as("skew_factor"))
+      .orderBy(col("n_rows").desc, col("key")).limit(10)
+  }
+
+  val q97Sql: String =
+    """WITH k AS (
+      |  SELECT o_custkey AS key, COUNT(*) AS n_rows FROM orders GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS n_total FROM k)
+      |SELECT key, n_rows,
+      | CAST(n_rows AS DOUBLE) / n_total AS share,
+      | CAST(n_rows * n_keys AS DOUBLE) / n_total AS skew_factor
+      |FROM k, s
+      |ORDER BY n_rows DESC, key
+      |LIMIT 10""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3723,5 +3760,6 @@ object CoreQueries {
     ("q93_basket_rules", q93BasketRules _, q93Sql),
     ("q94_table_diff", q94TableDiff _, q94Sql),
     ("q96_ship_latency", q96ShipLatency _, q96Sql),
+    ("q97_skew_report", q97SkewReport _, q97Sql),
   )
 }

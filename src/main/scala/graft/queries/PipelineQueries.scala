@@ -503,6 +503,65 @@ object PipelineQueries {
       .orderBy(col("band"))
   }
 
+  /** dd16 (round 9): the THRESHOLD-TUNING CURVE for near-dup dedup —
+    * ss14's nprobe sweep translated to the dedup family: before fixing
+    * τ, a curator reads how pair volume and affected-document share
+    * move across candidate thresholds (τ 0.7 / 0.8 / 0.9). Too high
+    * and template families survive; too low and paraphrase-adjacent
+    * docs collapse — this is the table that decision reads. All three
+    * sweep points probe the SAME materialized shingle index (the
+    * prefix rule is threshold-parametric over one fixed df order —
+    * shingleWriteIndex's any-threshold design finally exercised with
+    * more than one τ); per point the pair set folds map-side to
+    * (doc → appearance count), so n_pairs = Σc/2 and
+    * n_docs_with_dup = |keys| come from ONE aggregation chain, no
+    * second pass over the pairs. Counts exact integers; the share is
+    * one IEEE divide by the corpus size (driver scalar, q64's
+    * pattern) ⇒ every row hashes. */
+  def dd16(s: SparkSession, d: String): DataFrame = {
+    val idx = cachedShingleIndex(s, d)
+    val nDocs = Tables.documents(s, d).count()
+    Seq(0.7, 0.8, 0.9).map { tau =>
+      Dedup.ngramJaccardProbePairs(s, idx, tau)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("doc")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_docs_with_dup"),
+          expr("CAST(coalesce(sum(c), 0) / 2 AS BIGINT)").as("n_pairs"))
+        .select(lit(tau).as("tau"), col("n_pairs"), col("n_docs_with_dup"),
+          (col("n_docs_with_dup").cast("double") / nDocs).as("dup_doc_share"))
+    }.reduce(_ unionByName _).orderBy(col("tau"))
+  }
+
+  /** dd2's all-pairs CTE swept across the same τ literals; the
+    * per-doc appearance fold is restated as UNION ALL + COUNT
+    * DISTINCT, n_pairs directly. */
+  val dd16Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |   CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+      |  FROM docs a, docs b
+      |  WHERE a.doc_id < b.doc_id AND len(a.ws) > 0 AND len(b.ws) > 0),
+      |n AS (SELECT COUNT(*) AS c FROM documents),
+      |taus AS (SELECT unnest([CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+      |                        CAST(0.9 AS DOUBLE)]) AS tau),
+      |f AS (SELECT t.tau, p.da, p.db FROM taus t JOIN pairs p ON p.jac >= t.tau),
+      |agg AS (SELECT tau, COUNT(*) AS n_pairs FROM f GROUP BY tau),
+      |dc AS (
+      |  SELECT tau, COUNT(DISTINCT doc) AS nd FROM (
+      |    SELECT tau, da AS doc FROM f UNION ALL SELECT tau, db FROM f)
+      |  GROUP BY tau)
+      |SELECT t.tau, COALESCE(a.n_pairs, 0) AS n_pairs,
+      | COALESCE(dc.nd, 0) AS n_docs_with_dup,
+      | CAST(COALESCE(dc.nd, 0) AS DOUBLE) / n.c AS dup_doc_share
+      |FROM taus t CROSS JOIN n
+      |LEFT JOIN agg a ON a.tau = t.tau
+      |LEFT JOIN dc ON dc.tau = t.tau
+      |ORDER BY t.tau""".stripMargin
+
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)
 
@@ -609,6 +668,7 @@ object PipelineQueries {
     cachedShingleIndex(s, d)
     cachedShingleIndexNondelta(s, d)
     cachedContainIndex(s, d)
+    cachedCdcIndex(s, d)
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster")
       .foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
@@ -1059,8 +1119,26 @@ object PipelineQueries {
     * Rows-gated like mm6 (chunk ids ride Spark's xxhash64 — no
     * oracle engine reproduces them; MultimodalSpec plants the
     * ground truth). */
+  /** mm7 probes the write-once CDC chunk index (round 9) — the
+    * per-query chunking pass (a full decode-and-scan of the blob
+    * tier at 100 TB) is build-time cost; probe ≡ inline spec-pinned,
+    * and Multimodal.cdcAppendDelta keeps the layout fresh on ingest
+    * (chunk ids carry no trained state, so append ≡ union exactly). */
   def mm7(s: SparkSession, d: String): DataFrame =
-    Multimodal.cdcNearDupPairs(Tables.documents(s, d), tau = 0.5)
+    Multimodal.cdcNearDupProbe(s, cachedCdcIndex(s, d), tau = 0.5)
+
+  /** Build-if-missing CDC chunk index over the documents-as-blobs
+    * table, [[cachedShingleIndex]]'s convention for §2.E. */
+  private def cachedCdcIndex(s: SparkSession, d: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_cdcidx_${Tables.layoutKey(d, "documents", "v1")}"
+    if (!Tables.layoutReady(path, "_done"))
+      Tables.publishLayout(path) { tmp =>
+        Multimodal.cdcWriteIndex(Tables.documents(s, d), tmp)
+        new java.io.File(s"$tmp/_done").createNewFile(); ()
+      }
+    path
+  }
 
   def mm6(s: SparkSession, d: String): DataFrame =
     Multimodal.cdcChunkStats(Tables.documents(s, d))
@@ -1088,6 +1166,7 @@ object PipelineQueries {
     ("dd13_containment_groups", dd13 _, dd13Sql),
     ("dd14_dedup_stats", dd14 _, dd14Sql),
     ("dd15_group_sizes", dd15 _, dd15Sql),
+    ("dd16_threshold_curve", dd16 _, dd16Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),

@@ -606,4 +606,19 @@ class CoreQueriesSpec extends SparkTestBase {
         .contains(r.getString(2)))
     }
   }
+
+  test("q97 skew report: driver-side replay of top-10 keys, shares and skew factors") {
+    val out = CoreQueries.q97SkewReport(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val counts = Tables.orders(spark, Sf0001)
+      .groupBy("o_custkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nKeys = counts.length.toLong
+    val nTotal = counts.map(_._2).sum
+    val expect = counts.sortBy { case (k, n) => (-n, k) }.take(10)
+      .map { case (k, n) =>
+        (k, n, n.toDouble / nTotal, (n * nKeys).toDouble / nTotal) }
+    assert(out.toSeq === expect.toSeq)
+    assert(out.length === 10)
+  }
 }

@@ -447,6 +447,23 @@ class DedupSpec extends SparkTestBase {
     out.foreach { case (b, ng, nd, _) => assert(expect(b) === ((ng, nd)), s"band $b") }
   }
 
+  test("dd16 threshold curve: counts shrink monotonically in tau; the 0.9 point equals dd2's pair set") {
+    val out = graft.queries.PipelineQueries.dd16(spark, Sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(0.7, 0.8, 0.9))
+    // relaxing tau only ADDS pairs: all three columns are monotone
+    // non-increasing in tau
+    out.sliding(2).foreach { case Array((_, p1, d1, s1), (_, p2, d2, s2)) =>
+      assert(p1 >= p2 && d1 >= d2 && s1 >= s2, out.mkString(","))
+    case _ => }
+    // the 0.9 sweep point must agree with dd2's own pair set exactly
+    val dd2Pairs = graft.queries.PipelineQueries.dd2(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val at9 = out.find(_._1 == 0.9).get
+    assert(at9._2 === dd2Pairs.length.toLong)
+    assert(at9._3 === dd2Pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+  }
+
   test("dupGroups reliable-checkpoint path produces the same labeling") {
     import spark.implicits._
     val w = (1 to 20).map(i => s"w$i")

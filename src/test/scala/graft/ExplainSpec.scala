@@ -850,6 +850,23 @@ class ExplainSpec extends SparkTestBase {
       s"latency join degenerated:\n${p.take(3000)}")
   }
 
+  test("q97 skew report: TakeOrdered top-10, windowless, one scalar broadcast") {
+    val df = CoreQueries.q97SkewReport(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // top-10 over the (n_rows desc, key) total order must plan as
+    // per-partition heaps, never a global sort or a rank window
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no window needed:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"more than the one documented 1-row stats join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+    // per-key counts partial-agg map-side
+    assert(p.contains("partial_count"),
+      s"key counts must map-side combine:\n${p.take(3000)}")
+  }
+
   test("q94 table diff: one full-outer hash join, no window, no cartesian") {
     val df = CoreQueries.q94TableDiff(spark, Sf0001)
     df.collect()

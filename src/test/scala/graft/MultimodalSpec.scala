@@ -260,4 +260,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.cdcDedupBySource(docs).collect().toSeq ===
       Multimodal.cdcDedupBySource(docs).collect().toSeq)
   }
+
+  test("CDC chunk index: probe ≡ inline; delta append ≡ union build; base files untouched") {
+    // round 9 — the blob family's shingle-index twin: chunk ids carry
+    // NO trained state (rolling-hash boundaries + xxhash64 are pure
+    // per-row functions of the bytes), so the append-equivalence
+    // argument is LSH's, exactly
+    val docs = Tables.documents(spark, Sf0001)
+    val (base, delta) =
+      (docs.filter(org.apache.spark.sql.functions.col("doc_id") % 8 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 8 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcidx").toString
+    Multimodal.cdcWriteIndex(base, dir)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/chunks"))
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.length).toMap
+    }
+    val before = files()
+    Multimodal.cdcAppendDelta(delta, dir)
+    val after = files()
+    assert(before.forall { case (p, len) => after.get(p).contains(len) },
+      "append rewrote base files")
+    assert(after.size > before.size)
+    val probe = Multimodal.cdcNearDupProbe(spark, dir, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Multimodal.cdcNearDupPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probe === inline)
+    // and the registry mm7 now serves exactly the inline answer too
+    val reg = graft.queries.PipelineQueries.mm7(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(reg === inline)
+  }
 }
