@@ -1089,6 +1089,77 @@ object TextFunctions {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** tx28 (round 9): BOILERPLATE LINE REMOVAL — strip lines that
+    * repeat across ≥ `minDf` distinct documents (nav bars, headers,
+    * footers, cookie banners — the crawl-cleaning step between dd8,
+    * which DETECTS span duplication, and tx20, which removes spans
+    * matching an eval set; this removes lines duplicated across the
+    * corpus itself). A line is boilerplate iff it is non-empty and
+    * occurs verbatim in ≥ minDf distinct docs — empty lines are
+    * formatting, never stripped. Output per doc: line counts and the
+    * CLEANED text with surviving lines in their original order (a doc
+    * that was all boilerplate keeps an empty string — the doc row
+    * survives, its content doesn't, tx20's keep-the-document policy).
+    *
+    * Exactness: pure string identity + integer counts; the rebuild is
+    * position-sorted array_join — every byte deterministic. Plan:
+    * posexplode to (doc, pos, line), ONE df-count shuffle keyed on
+    * the line (partial-agg'd; dd8's span-key shape — never pairwise),
+    * anti/semi joins against the ≤ \|boilerplate lines\| set, one
+    * per-doc rebuild aggregation. O(lines) shuffles end to end. */
+  def boilerplateLines(docs: DataFrame, minDf: Int): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+      .cache() // three consumers: df count, anti-join, semi-join (dd8's lesson)
+    val boiler = lines.filter(col("line") =!= "")
+      .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") >= minDf).select(col("line"))
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_lines"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
+          "x -> x.line), chr(10))").as("clean_text"))
+    val removed = lines.join(boiler, Seq("line"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler_lines"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateLinesSql(minDf: Int): String =
+    s"""WITH l AS (
+      |  SELECT doc_id, gs - 1 AS pos, ln FROM (
+      |    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln,
+      |           generate_subscripts(string_split(text, chr(10)), 1) AS gs
+      |    FROM documents)),
+      |b AS (
+      |  SELECT ln FROM l WHERE ln <> ''
+      |  GROUP BY ln HAVING COUNT(DISTINCT doc_id) >= $minDf),
+      |kept AS (
+      |  SELECT l.doc_id, COUNT(*) AS n_kept,
+      |   string_agg(l.ln, chr(10) ORDER BY l.pos) AS clean_text
+      |  FROM l LEFT JOIN b ON l.ln = b.ln
+      |  WHERE b.ln IS NULL
+      |  GROUP BY l.doc_id),
+      |removed AS (
+      |  SELECT l.doc_id, COUNT(*) AS n_boiler
+      |  FROM l JOIN b ON l.ln = b.ln
+      |  GROUP BY l.doc_id)
+      |SELECT d.doc_id,
+      | CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+      | COALESCE(r.n_boiler, 0) AS n_boiler_lines,
+      | COALESCE(k.clean_text, '') AS clean_text
+      |FROM documents d
+      |LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |LEFT JOIN removed r ON r.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def diversity(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(expr(tokensExpr)).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))

@@ -3673,6 +3673,66 @@ object CoreQueries {
       |ORDER BY n_rows DESC, key
       |LIMIT 10""".stripMargin
 
+  /** q98 (round 9): COHORT LTV CURVE — per acquisition cohort (the
+    * calendar month of a customer's FIRST order) and months-of-age,
+    * the active-customer count, period revenue and cumulative revenue,
+    * with LTV-per-customer dividing by the cohort's FIXED size (the
+    * denominator a finance model wants: value per acquired customer,
+    * not per survivor — q50's retention matrix priced in cents).
+    * Exactness: months ride integer year·12+month arithmetic, revenue
+    * is exact integer cents (q83's convention), the running total is
+    * an integer window over the cohorts×ages aggregate, and the one
+    * IEEE value is a single divide of exact int64 operands. Plan: one
+    * custkey-keyed join of orders against the per-customer first-month
+    * aggregate (dimension scales with fact — never broadcast), cells
+    * partial-agg map-side, windows ride the tiny cohort×age aggregate
+    * partitioned by cohort — no global window, no fact sort. */
+  def q98CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+      (year(to_date(col("o_orderdate"))) * 12 +
+        month(to_date(col("o_orderdate")))).as("ym"),
+      expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+    val first = o.groupBy(col("ck")).agg(min(col("ym")).as("cym"))
+    val cohortSize = first.groupBy(col("cym")).agg(count(lit(1)).as("n_customers"))
+    val cells = o.join(first, "ck")
+      .groupBy(col("cym"), (col("ym") - col("cym")).cast("long").as("age_months"))
+      .agg(countDistinct(col("ck")).as("n_active"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cym")).orderBy(col("age_months"))
+    cells.withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .join(cohortSize, "cym")
+      .select(col("cym").cast("long").as("cohort_ym"), col("age_months"),
+        col("n_active"), col("revenue_cents"), col("cum_revenue_cents"),
+        col("n_customers"),
+        (col("cum_revenue_cents").cast("double") / col("n_customers"))
+          .as("ltv_cents_per_customer"))
+      .orderBy(col("cohort_ym"), col("age_months"))
+  }
+
+  val q98Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS ck,
+      |   year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS ym,
+      |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT ck, MIN(ym) AS cym FROM o GROUP BY ck),
+      |cs AS (SELECT cym, COUNT(*) AS n_customers FROM f GROUP BY cym),
+      |cells AS (
+      |  SELECT f.cym, CAST(o.ym - f.cym AS BIGINT) AS age_months,
+      |   COUNT(DISTINCT o.ck) AS n_active,
+      |   CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+      |  FROM o JOIN f USING (ck)
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(SUM(revenue_cents) OVER (PARTITION BY cym
+      |    ORDER BY age_months) AS BIGINT) AS cum_revenue_cents
+      |  FROM cells)
+      |SELECT CAST(c.cym AS BIGINT) AS cohort_ym, c.age_months, c.n_active,
+      | c.revenue_cents, c.cum_revenue_cents, cs.n_customers,
+      | CAST(c.cum_revenue_cents AS DOUBLE) / cs.n_customers AS ltv_cents_per_customer
+      |FROM cum c JOIN cs USING (cym)
+      |ORDER BY cohort_ym, age_months""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3761,5 +3821,6 @@ object CoreQueries {
     ("q94_table_diff", q94TableDiff _, q94Sql),
     ("q96_ship_latency", q96ShipLatency _, q96Sql),
     ("q97_skew_report", q97SkewReport _, q97Sql),
+    ("q98_cohort_ltv", q98CohortLtv _, q98Sql),
   )
 }

@@ -1056,6 +1056,8 @@ object PipelineQueries {
   def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
   def tx27(s: SparkSession, d: String): DataFrame = TextFunctions.codeSignals(Tables.documents(s, d))
+  def tx28(s: SparkSession, d: String): DataFrame =
+    TextFunctions.boilerplateLines(Tables.documents(s, d), minDf = 3)
   def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
   def tx24(s: SparkSession, d: String): DataFrame = TextFunctions.docTopTerms(Tables.documents(s, d), 3)
 
@@ -1209,6 +1211,7 @@ object PipelineQueries {
     ("tx25_rag_chunks", tx25 _, TextFunctions.ragChunksSql(64, 48)),
     ("tx26_leakage_split", tx26 _, tx26Sql),
     ("tx27_code_detect", tx27 _, TextFunctions.codeSignalsSql),
+    ("tx28_boilerplate_lines", tx28 _, TextFunctions.boilerplateLinesSql(3)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

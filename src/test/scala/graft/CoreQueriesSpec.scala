@@ -621,4 +621,25 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(out.toSeq === expect.toSeq)
     assert(out.length === 10)
   }
+
+  test("q98 cohort ltv: driver-side replay of cohorts, ages, running totals and per-customer value") {
+    val out = CoreQueries.q98CohortLtv(spark, Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val orders = Tables.orders(spark, Sf0001)
+      .selectExpr("o_custkey", "year(cast(o_orderdate as date)) * 12 + month(cast(o_orderdate as date)) as ym",
+        "cast(round(o_totalprice * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val first = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSize = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = orders.groupBy(o => (first(o._1).toLong, (o._2 - first(o._1)).toLong))
+      .map { case (k, os) => k -> (os.map(_._1).distinct.size.toLong, os.map(_._3).sum) }
+    assert(out.keySet === cells.keySet)
+    cells.foreach { case ((cym, age), (nActive, rev)) =>
+      val cum = cells.filter { case ((c, a), _) => c == cym && a <= age }.values.map(_._2).sum
+      val n = cohortSize(cym.toInt)
+      assert(out((cym, age)) === ((nActive, rev, cum, n, cum.toDouble / n)),
+        s"cohort $cym age $age")
+    }
+  }
 }

@@ -251,4 +251,39 @@ class RandomizedSpec extends SparkTestBase {
       }
     }
   }
+
+  test("equiDepthBoundariesMulti equals sorted-multiset ranks on generated multi-metric data") {
+    import spark.implicits._
+    val r = rng
+    // three metrics with wildly different domains and widths, heavy
+    // ties included (small-domain metric) — the shapes that expose an
+    // off-by-one in the rank-crossing walk or a width mixup across
+    // metrics in the shared pass
+    val n = 500
+    val rows = (1 to n).flatMap { i =>
+      Seq(("a", r.nextInt(20).toLong),              // tiny domain, massive ties
+        ("b", r.nextInt(1000000).toLong),           // wide domain
+        ("c", (r.nextInt(50) * 1024).toLong))       // clustered values
+    }
+    val df = rows.toDF("metric", "v")
+    for (buckets <- Seq(4, 7, 16)) {
+      val out = graft.queries.CoreQueries.equiDepthBoundariesMulti(
+        df, buckets, Seq("a" -> 1L, "b" -> 4096L, "c" -> 512L)).collect()
+        .map(rw => (rw.getString(0), rw.getLong(1), rw.getLong(2), rw.getLong(3)))
+      assert(out.length === 3 * buckets)
+      val byMetric = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      out.foreach { case (m, k, rk, boundary) =>
+        val sortedVs = byMetric(m)
+        val expectRk = (k * sortedVs.length + buckets - 1) / buckets
+        assert(rk === expectRk, s"metric $m bucket $k rank")
+        assert(boundary === sortedVs((rk - 1).toInt),
+          s"metric $m bucket $k: boundary != value at rank $rk")
+      }
+      // boundaries monotone within each metric
+      out.groupBy(_._1).values.foreach { ms =>
+        val bs = ms.sortBy(_._2).map(_._4)
+        assert(bs.zip(bs.tail).forall { case (x, y) => x <= y })
+      }
+    }
+  }
 }
