@@ -556,9 +556,19 @@ object Similarity {
     * pure function of the vector SET, so reclustering the appended
     * index is BIT-IDENTICAL — centroids, cid dirs, probe output — to
     * a one-shot [[ivfWriteIndex]] over the union corpus: the append
-    * history leaves no trace. */
+    * history leaves no trace.
+    *
+    * GEOMETRY IS READ FROM THE SOURCE INDEX (round 10 — ADVICE r9):
+    * `nlist` is the length of the stored centroids table, never a
+    * parameter — a recluster that silently rebuilt a 64-list index
+    * with a default 16 would keep the contract's words and break its
+    * meaning (a differently-shaped index is not "the same index,
+    * re-trained"). Only `iters` is caller-tunable; bit-equality with
+    * a fresh full build then needs the same iters on both sides,
+    * which is the fresh build's own default. */
   def ivfRecluster(spark: org.apache.spark.sql.SparkSession, oldPath: String,
-      newPath: String, nlist: Int = 16, iters: Int = 2): Unit = {
+      newPath: String, iters: Int = 2): Unit = {
+    val nlist = readCentroids(spark, s"$oldPath/centroids").length
     val corpus = spark.read.parquet(s"$oldPath/vectors")
       .select(col("vec_id"), col("embedding"))
     ivfWriteIndex(corpus, newPath, nlist, iters)

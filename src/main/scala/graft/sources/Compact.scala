@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -85,8 +85,12 @@ object Compact {
     * metadata ops, documented as this pass's maintenance-window
     * requirement (a manifest-committing table format removes even
     * that at 100 TB). Crash leftovers (`.compact-*`/`.old-*`) are
-    * swept at the start of the next run; the pass is a per-layout
-    * singleton like layoutVacuum, not a concurrent job.
+    * RECOVERED, then swept, at the start of the next run (round 10 —
+    * ADVICE r9: a crash between the two renames leaves `.old-*` as
+    * the partition's ONLY data copy, so the sweep renames it back
+    * whenever the live dir is missing and only deletes leftovers
+    * whose live target exists); the pass is a per-layout singleton
+    * like layoutVacuum, not a concurrent job.
     *
     * Returns (directory, files before, files after) for each rewritten
     * directory. Content is bit-preserved: the rewrite is one
@@ -97,16 +101,18 @@ object Compact {
       targetBytes: Long = DefaultTargetBytes): Seq[(String, Int, Int)] = {
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the UNPARTITIONED case swaps through hidden siblings in the data
+    // dir's PARENT, so after a mid-swap crash the data dir itself may
+    // exist only as `.old-*` there — recover it FIRST (scoped to this
+    // dir's name: the parent is a layout root whose sibling dirs may
+    // be mid-compaction by their own singleton pass)
+    sweepLeftovers(fs, root.getParent, only = Some(root.getName))
     if (!fs.exists(root)) return Seq.empty
-    // sweep crash leftovers from a previous interrupted pass — hidden,
-    // so no reader ever saw them as data
-    fs.listStatus(root).foreach { s =>
-      val n = s.getPath.getName
-      if (n.startsWith(".compact-") || n.startsWith(".old-"))
-        fs.delete(s.getPath, true)
-    }
+    // partitioned-case leftovers are partition-dir siblings inside root
+    sweepLeftovers(fs, root, only = None)
     val children = fs.listStatus(root).toSeq
-    val partDirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    val partDirs = children.filter(s => s.isDirectory &&
+      s.getPath.getName.contains("=") && !s.getPath.getName.startsWith("."))
     val targets = if (partDirs.nonEmpty) partDirs.map(_.getPath) else Seq(root)
     // per-dir rewrites are tiny independent Spark jobs (an LSH layout
     // has 2^bits×tables of them); submit them CONCURRENTLY so the
@@ -118,6 +124,52 @@ object Compact {
       new java.util.concurrent.ForkJoinPool(8))
     par.flatMap(d => compactDirInPlace(spark, fs, d, targetBytes))
       .toList.sortBy(_._1)
+  }
+
+  /** Crash-leftover recovery for one directory's hidden compaction
+    * siblings (round 10 — ADVICE r9 high+medium). The swap's crash
+    * states and their remedies, in the order the sweep applies them:
+    *
+    *  - `.old-<tag>-<name>` present, live `<name>` MISSING — the crash
+    *    hit between the two renames; `.old-*` is the only data copy.
+    *    RENAME IT BACK (deleting it here is permanent index loss — the
+    *    exact bug this replaces).
+    *  - `.old-<tag>-<name>` present, live `<name>` present — the crash
+    *    hit after the second rename, before the delete. The live dir
+    *    is the compacted data; drop the old copy.
+    *  - `.compact-<tag>-<name>` — either an incomplete rewrite or one
+    *    already swapped in under the live name; always droppable, but
+    *    only AFTER the `.old-*` recovery pass so a missing live dir is
+    *    restored from the full-fidelity old copy, never confused with
+    *    a possibly-partial tmp.
+    *
+    * `only` scopes the sweep to one target name when `parent` is a
+    * shared directory (the unpartitioned case sweeps the layout root,
+    * where sibling dirs may belong to another pass). */
+  private val LeftoverRe = """^\.(old|compact)-[0-9a-f]{8}-(.+)$""".r
+
+  private def sweepLeftovers(fs: FileSystem, parent: Path, only: Option[String]): Unit = {
+    if (parent == null || !fs.exists(parent)) return
+    val entries = fs.listStatus(parent)
+    entries.foreach { s =>
+      s.getPath.getName match {
+        case LeftoverRe("old", target) if only.forall(_ == target) =>
+          val live = new Path(parent, target)
+          if (!fs.exists(live)) {
+            if (!fs.rename(s.getPath, live))
+              throw new IllegalStateException(
+                s"compactIndex: crash recovery rename ${s.getPath} -> $live failed")
+          } else fs.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
+    entries.foreach { s =>
+      s.getPath.getName match {
+        case LeftoverRe("compact", target) if only.forall(_ == target) =>
+          fs.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
   }
 
   private def compactDirInPlace(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,

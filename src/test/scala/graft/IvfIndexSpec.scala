@@ -207,7 +207,7 @@ class IvfIndexSpec extends SparkTestBase {
     Similarity.ivfWriteIndex(base, appended, nlist = 16, iters = 2)
     Similarity.ivfAppendDelta(delta, appended)
     val reclustered = java.nio.file.Files.createTempDirectory("graft-ivf-recl-b").toString
-    Similarity.ivfRecluster(spark, appended, reclustered, nlist = 16, iters = 2)
+    Similarity.ivfRecluster(spark, appended, reclustered, iters = 2)
     val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-recl-c").toString
     Similarity.ivfWriteIndex(emb, fresh, nlist = 16, iters = 2)
     // trained state identical
@@ -228,6 +228,24 @@ class IvfIndexSpec extends SparkTestBase {
     // drifted-delta rebalance effect is BENCH_NOTES evidence, and the
     // bit-equality above already proves the retrain forgot the
     // append history)
+  }
+
+  test("ivfRecluster preserves non-default source geometry: nlist is read from the index, never defaulted") {
+    // round 10 (ADVICE r9): a recluster that rebuilt a non-default
+    // index with a hardcoded nlist=16 would keep the bit-equality
+    // contract's words and break its meaning for every such index —
+    // geometry must come from the stored centroids table.
+    val (emb, base, delta) = splitEmb()
+    val appended = java.nio.file.Files.createTempDirectory("graft-ivf-recl8-a").toString
+    Similarity.ivfWriteIndex(base, appended, nlist = 8, iters = 2)
+    Similarity.ivfAppendDelta(delta, appended)
+    val reclustered = java.nio.file.Files.createTempDirectory("graft-ivf-recl8-b").toString
+    Similarity.ivfRecluster(spark, appended, reclustered)
+    assert(Similarity.readCentroids(spark, s"$reclustered/centroids").length === 8)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-recl8-c").toString
+    Similarity.ivfWriteIndex(emb, fresh, nlist = 8, iters = 2)
+    assert(Similarity.readCentroids(spark, s"$reclustered/centroids").map(_.toSeq).toSeq ===
+      Similarity.readCentroids(spark, s"$fresh/centroids").map(_.toSeq).toSeq)
   }
 
   test("ss15 centroid drift: exact 0.0 at Lloyd's fixed point; a shifted append drags it up; deterministic") {
