@@ -126,6 +126,11 @@ object Compact {
       .toList.sortBy(_._1)
   }
 
+  /** The hidden-sibling name convention both the swap and the sweep
+    * share: kind (`old`/`compact`), an 8-hex-char run tag, and the
+    * live target's name. */
+  private val LeftoverRe = """^\.(old|compact)-[0-9a-f]{8}-(.+)$""".r
+
   /** Crash-leftover recovery for one directory's hidden compaction
     * siblings (round 10 — ADVICE r9 high+medium). The swap's crash
     * states and their remedies, in the order the sweep applies them:
@@ -146,8 +151,6 @@ object Compact {
     * `only` scopes the sweep to one target name when `parent` is a
     * shared directory (the unpartitioned case sweeps the layout root,
     * where sibling dirs may belong to another pass). */
-  private val LeftoverRe = """^\.(old|compact)-[0-9a-f]{8}-(.+)$""".r
-
   private def sweepLeftovers(fs: FileSystem, parent: Path, only: Option[String]): Unit = {
     if (parent == null || !fs.exists(parent)) return
     val entries = fs.listStatus(parent)

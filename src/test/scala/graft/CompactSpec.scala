@@ -96,6 +96,85 @@ class CompactSpec extends SparkTestBase {
     assert(new java.io.File(s"$path/df").lastModified() === dfMtime)
   }
 
+  test("indexCompact crash recovery: .old-* with live missing restores; with live present drops; .compact-* never survives") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.xxhash64
+    val emb = Tables.embeddings(spark, Sf0001)
+    val path = Files.createTempDirectory("graft-crashrec").toString
+    Similarity.lshWriteIndex(emb, path, 64)
+    val buckets = new java.io.File(s"$path/buckets")
+    // order-independent content fingerprint over ALL rows incl. the
+    // partition column — recovery must restore the index EXACTLY
+    def bucketsHash(): java.math.BigDecimal = {
+      spark.catalog.clearCache()
+      val df = spark.read.parquet(buckets.toString)
+      df.agg(ssum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    }
+    val pre = bucketsHash()
+    val dirs = buckets.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket=")).sortBy(_.getName)
+    assert(dirs.length >= 2)
+    val x = dirs(0); val z = dirs(1)
+    // state 1 — crash BETWEEN the two renames: `.old-*` is the
+    // partition's ONLY data copy (the pre-round-10 sweep deleted it:
+    // permanent index loss). Plus the same partition's stray tmp.
+    val oldX = new java.io.File(buckets, s".old-deadbeef-${x.getName}")
+    assert(x.renameTo(oldX))
+    val tmpX = new java.io.File(buckets, s".compact-deadbeef-${x.getName}")
+    assert(tmpX.mkdir())
+    Files.write(tmpX.toPath.resolve("part-partial.parquet"), Array[Byte](1, 2, 3))
+    // state 2 — crash AFTER the swap, before the delete: live dir is
+    // the current data; the stale `.old-*` must be dropped, never
+    // renamed back over it
+    val oldZ = new java.io.File(buckets, s".old-cafebabe-${z.getName}")
+    assert(oldZ.mkdir())
+    Files.write(oldZ.toPath.resolve("part-stale.parquet"), Array[Byte](9))
+    Compact.compactIndex(spark, s"$path/buckets")
+    assert(x.exists, "crash-state partition was not restored")
+    assert(z.exists, "live partition vanished")
+    assert(bucketsHash() === pre, "recovered index content differs from pre-crash")
+    val leftovers = buckets.listFiles().map(_.getName)
+      .filter(n => n.startsWith(".old-") || n.startsWith(".compact-"))
+    assert(leftovers.isEmpty, s"crash leftovers survived: ${leftovers.mkString(",")}")
+  }
+
+  test("indexCompact crash recovery: unpartitioned dir restored from shared parent; sibling layouts' leftovers untouched") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, Sf0001)
+    val path = Files.createTempDirectory("graft-crashrec-sh").toString
+    Dedup.shingleWriteIndex(docs, 1, path)
+    val root = new java.io.File(path)
+    val sh = new java.io.File(root, "sh")
+    def probe(): Seq[(Long, Long, Double)] = {
+      spark.catalog.clearCache()
+      Dedup.ngramJaccardProbe(spark, path, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val pre = probe()
+    // the unpartitioned swap goes through hidden siblings in the data
+    // dir's PARENT (the layout root) — crash between renames leaves
+    // sh/ existing only as `.old-*` there
+    assert(sh.renameTo(new java.io.File(root, ".old-0badf00d-sh")))
+    val tmpSh = new java.io.File(root, ".compact-0badf00d-sh")
+    assert(tmpSh.mkdir())
+    Files.write(tmpSh.toPath.resolve("part-partial.parquet"), Array[Byte](1))
+    // a SIBLING target's leftover in the same shared parent: another
+    // pass's state, out of this sweep's scope — must survive untouched
+    val sib = new java.io.File(root, ".old-0badf00d-othersib")
+    assert(sib.mkdir())
+    Files.write(sib.toPath.resolve("keep.parquet"), Array[Byte](7))
+    Compact.compactIndex(spark, s"$path/sh")
+    assert(sh.exists, "sh/ was not restored from its .old-* copy")
+    assert(probe() === pre, "recovered probe differs from pre-crash")
+    assert(!new java.io.File(root, ".old-0badf00d-sh").exists)
+    assert(!tmpSh.exists, ".compact-* survived the sweep")
+    assert(sib.exists, "out-of-scope sibling leftover was swept")
+    // the sibling's own pass (its target name) recovers it
+    Compact.compactIndex(spark, s"$path/othersib")
+    assert(new java.io.File(root, "othersib").exists && !sib.exists)
+  }
+
   test("clustered compaction yields disjoint per-file doc_id ranges") {
     val base = Files.createTempDirectory("graft-compact-cl").toString
     val in = s"$base/in"

@@ -642,6 +642,31 @@ class ExplainSpec extends SparkTestBase {
       s"hybrid ranking must use heaps, not a corpus window:\n${p.take(3000)}")
   }
 
+  test("dd16: ONE index probe serves the whole τ sweep — higher-τ points are filters, not re-probes") {
+    val df = graft.queries.PipelineQueries.dd16(spark, Sf0001)
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Union}
+    // candidate generation appears exactly once: the mask path's
+    // Hamming band explode or the array path's prefix-slice explode.
+    // The old per-τ shape ran it three times (58.9 s at x30, linear in
+    // the τ-point count); pairs(τ>τmin) are exact subsets of the τmin
+    // probe's verified output, so re-probing is pure redundancy.
+    // one probe self-joins its candidate relation, so the generator
+    // appears exactly twice (join left + right); the old per-τ shape
+    // showed six
+    val probes = df.queryExecution.optimizedPlan.collect {
+      case g: Generate if g.generator.toString.contains("band") ||
+        g.generator.toString.contains("shingles") => g
+    }
+    assert(probes.size === 2,
+      s"expected exactly 1 candidate-generation pass (2 self-join sides), got ${probes.size}")
+    // and the per-τ 3-branch union is gone — the three curve rows come
+    // out of ONE (τ, doc) aggregation chain
+    val fanUnions = df.queryExecution.optimizedPlan.collect {
+      case u: Union if u.children.size >= 3 => u
+    }
+    assert(fanUnions.isEmpty, "per-τ union branches are back")
+  }
+
   test("q87 contribution: ONE orders scan (conditional agg, not per-period scans); cells partial-agg; no cartesian") {
     val p = plan(CoreQueries.q87Contribution(spark, Sf0001))
     // both period revenues come out of one pass — a UNION of two
