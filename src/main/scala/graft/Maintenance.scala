@@ -62,6 +62,39 @@ object Maintenance {
       log :+ ("act" -> s"kept (drift $maxDrift <= $driftThreshold)")
   }
 
+  /** One cycle over a materialized PQ (or IVF+PQ) index at `path`:
+    * compact the code table, gauge the per-subspace quantization
+    * residual of `appended` — the nightly batch's RAW rows, which the
+    * ingest job still holds when it calls this — against the
+    * build-time base residual (Similarity.pqResidualDrift), and ALERT
+    * when any subspace's RMS residual exceeds `ratioThreshold` × its
+    * base. The act arm is an alert, never a retrain: PQ rows store
+    * lossy codes, so re-deriving a codebook from the index itself
+    * would compound quantization error — the documented remedy is the
+    * upstream full rebuild (pqWriteIndex over the source corpus) by
+    * the job that owns the raw embeddings. The `rmse > thr × base`
+    * form also decides sanely when base = 0 (a losslessly-coded
+    * corpus: any nonzero residual fires). */
+  def pqCycle(spark: SparkSession, path: String,
+      appended: org.apache.spark.sql.DataFrame,
+      ratioThreshold: Double): Seq[(String, String)] = {
+    val compacted = Compact.compactIndex(spark, s"$path/codes")
+    val drift = Similarity.pqResidualDrift(spark, path, appended)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    val worst = drift.filter { case (_, base, rmse) => rmse > ratioThreshold * base }
+    val maxRmse = if (drift.isEmpty) 0.0 else drift.map(_._3).max
+    val log = Seq(
+      "compact" -> s"${compacted.size} dir(s) rewritten",
+      "observe" -> (f"max_rmse=$maxRmse%.6f over ${drift.length} subspaces" +
+        s" (${worst.length} past ${ratioThreshold}x base)"))
+    if (worst.nonEmpty)
+      log :+ ("act" -> ("ALERT upstream full rebuild required: subspaces " +
+        s"${worst.map(_._1).mkString(",")} past ${ratioThreshold}x base residual " +
+        "(retraining from codes is unsound)"))
+    else
+      log :+ ("act" -> s"kept (all ${drift.length} subspaces within ${ratioThreshold}x base)")
+  }
+
   /** One cycle over a materialized shingle index: compaction only —
     * the shingle index has no trained-state drift (df staleness costs
     * prefix SELECTIVITY, never correctness — shingleAppendDelta's
@@ -75,12 +108,14 @@ object Maintenance {
     Seq("compact" -> s"${sh.size + masks.size} dir(s) rewritten")
   }
 
-  /** `runMain graft.Maintenance ivf <path> <reclusterTo> [threshold]`
-    * or `runMain graft.Maintenance shingle <path>` — the scheduler
-    * entry point; prints the audit log, then vacuums superseded
-    * layout generations. */
+  /** `runMain graft.Maintenance ivf <path> <reclusterTo> [threshold]`,
+    * `... pq <path> <appendedParquet> [ratioThreshold]` (the appended
+    * batch's raw rows, as the ingest job staged them), or
+    * `... shingle <path>` — the scheduler entry point; prints the
+    * audit log, then vacuums superseded layout generations. */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Maintenance ivf <path> <reclusterTo> [threshold] | shingle <path>")
+    require(args.length >= 2, "usage: Maintenance ivf <path> <reclusterTo> [threshold] " +
+      "| pq <path> <appendedParquet> [ratioThreshold] | shingle <path>")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -89,6 +124,9 @@ object Maintenance {
       case "ivf" =>
         ivfCycle(spark, args(1), args(2),
           args.lift(3).map(_.toDouble).getOrElse(0.05))
+      case "pq" =>
+        pqCycle(spark, args(1), spark.read.parquet(args(2)),
+          args.lift(3).map(_.toDouble).getOrElse(1.5))
       case "shingle" => shingleCycle(spark, args(1))
       case other => throw new IllegalArgumentException(s"unknown index kind $other")
     }

@@ -777,6 +777,70 @@ object Similarity {
       element_at(book, col("codes").getItem(s) + lit(1))
     }: _*)
 
+  /** Per-subspace mean SQUARED quantization residual of `rows` under a
+    * frozen codebook — the scalar that says how well the books still
+    * speak for the data. Determinism (ss15's recipe): each row's r² is
+    * a fixed left-to-right IEEE fold over its sub-vector vs its
+    * nearest entry; the per-subspace mean accumulates the r² values in
+    * order-independent DECIMAL(18,6) and string-hops to double for ONE
+    * divide — bit-stable under Spark's partition merge order.
+    * Scale: one assignment pass (codebook broadcast, m·ksub rows) +
+    * a partial-agg'd m-row aggregate — O(rows), never pairwise. */
+  private[graft] def pqSubResiduals(rows: DataFrame, dim: Int,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val cb = codebookDF(rows, books)
+    assignSubs(subVectorRows(rows, dim, books.length), cb)
+      .join(broadcast(cb.select(col("s"), col("c"), col("cent"))), Seq("s", "c"))
+      .withColumn("r2", expr(
+        "aggregate(zip_with(sub, cent, (a, b) -> " +
+          "(cast(a as double) - cast(b as double)) * " +
+          "(cast(a as double) - cast(b as double))), " +
+          "cast(0.0 as double), (acc, v) -> acc + v)"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2").cast(DecimalType(18, 6))).as("sdec"))
+      .selectExpr("s", "n", "cast(cast(sdec as string) as double) / n as mean_r2")
+  }
+
+  /** ss16 (round 11): CODEBOOK RESIDUAL DRIFT — ss15's twin for the
+    * PQ family (VERDICT r10 #4). The IVF gauge reads drift off the
+    * index itself because IVF stores raw vectors; PQ stores lossy
+    * codes, so the at-rest rows carry no signal about how badly the
+    * frozen codebook now quantizes NEW data. The gauge therefore runs
+    * where the raw rows still exist — the ingest job hands the
+    * appended batch here before (or after) `pqAppendDelta` encodes
+    * it — and compares its per-subspace RMS quantization residual to
+    * the BASE residual the build recorded as trained state
+    * (`residuals/`, written by pqWriteIndex/ivfPqWriteIndex under the
+    * final books; m rows). A same-distribution batch lands at ratio
+    * ≈ 1; a distribution shift raises precisely the shifted
+    * subspaces' residuals, BEFORE recall visibly degrades.
+    *
+    * The remedy is NOT a recluster: retraining a codebook from its
+    * own codes would compound quantization error, so the ACT arm
+    * (Maintenance.pqCycle) is an upstream full-rebuild alert. `ratio`
+    * is null when the base residual is exactly 0.0 (a corpus the
+    * books represent losslessly — synthetic fixtures); consumers
+    * should compare `rmse` against `base_rmse` directly, as the cycle
+    * does. Requires an index whose layout carries `residuals/`
+    * (round 11+ builds; the registry's pq_delta variant always
+    * does). */
+  def pqResidualDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame): DataFrame = {
+    VectorFunctions.register(spark)
+    val books = readCodebook(spark, s"$path/codebook")
+    val dim = books.length * books(0)(0).length
+    val base = spark.read.parquet(s"$path/residuals")
+      .select(col("s"), col("mean_r2").as("base_r2"))
+    pqSubResiduals(rows, dim, books)
+      .join(broadcast(base), "s")
+      .select(col("s"), col("n").as("n_rows"),
+        sqrt(col("base_r2")).as("base_rmse"), sqrt(col("mean_r2")).as("rmse"),
+        when(col("base_r2") > 0d, sqrt(col("mean_r2")) / sqrt(col("base_r2")))
+          .as("ratio"))
+      .orderBy(col("s"))
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
@@ -809,6 +873,11 @@ object Similarity {
       cs.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
     }.toIndexedSeq.toDF("s", "c", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // trained state for the codebook drift gauge (round 11): the base
+    // corpus's per-subspace mean squared residual under the final
+    // books — the floor pqResidualDrift compares appended batches to
+    pqSubResiduals(corpus, dim, cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/residuals")
   }
 
   private[graft] def readCodebook(spark: org.apache.spark.sql.SparkSession,
@@ -930,6 +999,10 @@ object Similarity {
       cs.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
     }.toIndexedSeq.toDF("s", "c", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // same codebook-drift trained state as pqWriteIndex — the gauge
+    // reads only codebook/ + residuals/, so it serves both layouts
+    pqSubResiduals(corpus, dim, books)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/residuals")
   }
 
   /** Append a delta batch to a materialized IVF+PQ index: delta rows

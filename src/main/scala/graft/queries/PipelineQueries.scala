@@ -658,6 +658,13 @@ object PipelineQueries {
           // recall recovering to the full-build level
           case "ivf_recluster" =>
             Similarity.ivfRecluster(s, cachedAnnIndex(s, d, "ivf_delta"), tmp)
+          // ivf_delta's twin for the PQ family (round 11): codebook
+          // trained on the base 7/8, the delta 1/8 encoded against the
+          // FROZEN books and appended — ss16 gauges the residual drift
+          // this accepts
+          case "pq_delta" =>
+            Similarity.pqWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp, EmbDim)
+            Similarity.pqAppendDelta(emb.filter(col("vec_id") % 8 === 0), tmp, EmbDim)
         }
         new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
@@ -682,7 +689,7 @@ object PipelineQueries {
     cachedShingleIndexNondelta(s, d)
     cachedContainIndex(s, d)
     cachedCdcIndex(s, d)
-    Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster")
+    Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta")
       .foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()
@@ -806,6 +813,17 @@ object PipelineQueries {
     * IvfIndexSpec. */
   def ss15(s: SparkSession, d: String): DataFrame =
     Similarity.centroidDrift(s, cachedAnnIndex(s, d, "ivf_delta"))
+
+  /** ss16 (round 11): per-subspace PQ codebook residual drift — the
+    * delta eighth's raw rows gauged against the frozen codebook's
+    * build-time residual floor (see Similarity.pqResidualDrift; the
+    * delta split is ivf_delta's, so the two DECIDE gauges read the
+    * same nightly shape). Rows + spec gated: the value chain ends in
+    * sqrt/divide over DECIMAL-exact means, deterministic run-to-run
+    * but not ANSI-SQL-expressible without re-stating Lloyd. */
+  def ss16(s: SparkSession, d: String): DataFrame =
+    Similarity.pqResidualDrift(s, cachedAnnIndex(s, d, "pq_delta"),
+      Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0))
 
   /** ss11: hybrid lexical+semantic retrieval — fully oracle-gated
     * (both fusion components exact; see Similarity.hybridTopK). The
@@ -1195,6 +1213,7 @@ object PipelineQueries {
     ("ss13_cluster_stats", ss13 _, ss13Sql),
     ("ss14_recall_curve", ss14 _, null),
     ("ss15_centroid_drift", ss15 _, null),
+    ("ss16_pq_drift", ss16 _, null),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),

@@ -78,6 +78,49 @@ class MaintenanceSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  // fixedPointCorpus shifted ONLY in PQ subspace 0 (dims 0–1 at the
+  // default m=8 over dim 16): every other subspace's slices remain
+  // exact codebook entries, so the gauge must fire on s=0 alone
+  private def pqShiftedDelta = {
+    import spark.implicits._
+    (300L until 304L).map(i =>
+      (i, Array.tabulate(16)(j => (if (j == 0) 1f else 0f) +
+        (if (j <= 1) 0.5f else 0f)).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  test("pq cycle: quiet delta keeps; single-subspace shift fires the rebuild ALERT on precisely that subspace") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-pq").toString
+    // the 16 seeds ARE the 16 distinct directions, so the trained
+    // books code the base corpus losslessly — residual floor exactly 0
+    Similarity.pqWriteIndex(fixedPointCorpus, s"$dir/idx", dim = 16)
+    Similarity.pqAppendDelta(sameDistDelta, s"$dir/idx", 16)
+    val q = fixedPointCorpus.filter(col("vec_id") < 3)
+    val before = Similarity.pqProbeIndex(spark, s"$dir/idx", q, k = 5)
+      .collect().toSeq
+    // quiet: appended copies of an existing direction — zero residual
+    val quiet = Maintenance.pqCycle(spark, s"$dir/idx", sameDistDelta, 1.5).toMap
+    assert(quiet("act").startsWith("kept"), quiet.toString)
+    // the cycle's compaction must not perturb what the index serves
+    assert(Similarity.pqProbeIndex(spark, s"$dir/idx", q, k = 5)
+      .collect().toSeq === before)
+    // drifted: the gauge localizes the shift to subspace 0 exactly
+    Similarity.pqAppendDelta(pqShiftedDelta, s"$dir/idx", 16)
+    val drift = Similarity.pqResidualDrift(spark, s"$dir/idx", pqShiftedDelta)
+      .collect()
+    assert(drift.length === 8)
+    drift.foreach { r =>
+      val (s, rmse) = (r.getInt(0), r.getDouble(3))
+      assert(r.getDouble(2) === 0.0, s"base floor not 0 on s=$s")
+      if (s == 0) assert(rmse > 0.1, s"shifted subspace did not fire: $rmse")
+      else assert(rmse === 0.0, s"unshifted subspace $s fired: $rmse")
+    }
+    val log = Maintenance.pqCycle(spark, s"$dir/idx", pqShiftedDelta, 1.5).toMap
+    assert(log("act").contains("ALERT") && log("act").contains("subspaces 0 past"),
+      log.toString)
+  }
+
   test("shingle cycle: compaction in place, probe identical, trained df/ untouched") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, Sf0001)
