@@ -46,18 +46,27 @@ object Maintenance {
     * `path` for subsequent probes (generation swap — the caller owns
     * the pointer, e.g. a layoutKey-versioned directory name).
     * Returns the audit log. */
+  /** Phase timer: every audit-log line carries its stage's wall
+    * seconds, so DeltaBench's cycle-pricing table reads the split
+    * straight off the one real dispatch (never a re-implemented
+    * timing twin that could drift from the cycle it prices). */
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def ivfCycle(spark: SparkSession, path: String, reclusterTo: String,
       driftThreshold: Double): Seq[(String, String)] = {
-    val compacted = Compact.compactIndex(spark, s"$path/vectors")
-    val drift = Similarity.centroidDrift(spark, path)
-      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    val (compacted, tC) = timed(Compact.compactIndex(spark, s"$path/vectors"))
+    val (drift, tO) = timed(Similarity.centroidDrift(spark, path)
+      .collect().map(r => (r.getInt(0), r.getDouble(2))))
     val maxDrift = if (drift.isEmpty) 0.0 else drift.map(_._2).max
     val log = Seq(
-      "compact" -> s"${compacted.size} dir(s) rewritten",
-      "observe" -> f"max_drift=$maxDrift%.6f over ${drift.length} lists")
+      "compact" -> f"${compacted.size} dir(s) rewritten ($tC%.2f s)",
+      "observe" -> f"max_drift=$maxDrift%.6f over ${drift.length} lists ($tO%.2f s)")
     if (maxDrift > driftThreshold) {
-      Similarity.ivfRecluster(spark, path, reclusterTo)
-      log :+ ("act" -> s"reclustered -> $reclusterTo (drift $maxDrift > $driftThreshold)")
+      val (_, tA) = timed(Similarity.ivfRecluster(spark, path, reclusterTo))
+      log :+ ("act" -> (s"reclustered -> $reclusterTo " +
+        f"(drift $maxDrift > $driftThreshold) ($tA%.2f s)"))
     } else
       log :+ ("act" -> s"kept (drift $maxDrift <= $driftThreshold)")
   }
@@ -78,15 +87,15 @@ object Maintenance {
   def pqCycle(spark: SparkSession, path: String,
       appended: org.apache.spark.sql.DataFrame,
       ratioThreshold: Double): Seq[(String, String)] = {
-    val compacted = Compact.compactIndex(spark, s"$path/codes")
-    val drift = Similarity.pqResidualDrift(spark, path, appended)
-      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    val (compacted, tC) = timed(Compact.compactIndex(spark, s"$path/codes"))
+    val (drift, tO) = timed(Similarity.pqResidualDrift(spark, path, appended)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))))
     val worst = drift.filter { case (_, base, rmse) => rmse > ratioThreshold * base }
     val maxRmse = if (drift.isEmpty) 0.0 else drift.map(_._3).max
     val log = Seq(
-      "compact" -> s"${compacted.size} dir(s) rewritten",
+      "compact" -> f"${compacted.size} dir(s) rewritten ($tC%.2f s)",
       "observe" -> (f"max_rmse=$maxRmse%.6f over ${drift.length} subspaces" +
-        s" (${worst.length} past ${ratioThreshold}x base)"))
+        f" (${worst.length} past ${ratioThreshold}x base) ($tO%.2f s)"))
     if (worst.nonEmpty)
       log :+ ("act" -> ("ALERT upstream full rebuild required: subspaces " +
         s"${worst.map(_._1).mkString(",")} past ${ratioThreshold}x base residual " +
@@ -100,12 +109,15 @@ object Maintenance {
     * prefix SELECTIVITY, never correctness — shingleAppendDelta's
     * contract — and is repriced at the corpus-refresh rebuild). */
   def shingleCycle(spark: SparkSession, path: String): Seq[(String, String)] = {
-    val sh = Compact.compactIndex(spark, s"$path/sh")
-    val masks =
-      if (new java.io.File(s"$path/masks").exists())
-        Compact.compactIndex(spark, s"$path/masks")
-      else Seq.empty
-    Seq("compact" -> s"${sh.size + masks.size} dir(s) rewritten")
+    val (n, tC) = timed {
+      val sh = Compact.compactIndex(spark, s"$path/sh")
+      val masks =
+        if (new java.io.File(s"$path/masks").exists())
+          Compact.compactIndex(spark, s"$path/masks")
+        else Seq.empty
+      sh.size + masks.size
+    }
+    Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
   }
 
   /** `runMain graft.Maintenance ivf <path> <reclusterTo> [threshold]`,

@@ -1107,28 +1107,42 @@ object TextFunctions {
     * the line (partial-agg'd; dd8's span-key shape — never pairwise),
     * anti/semi joins against the ≤ \|boilerplate lines\| set, one
     * per-doc rebuild aggregation. O(lines) shuffles end to end. */
-  def boilerplateLines(docs: DataFrame, minDf: Int): DataFrame = {
-    val lines = docs
-      .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)))
-      .select(col("doc_id"), col("pos"), col("col").as("line"))
-      .cache() // three consumers: df count, anti-join, semi-join (dd8's lesson)
-    val boiler = lines.filter(col("line") =!= "")
+  def boilerplateLines(docs: DataFrame, minDf: Int): DataFrame =
+    boilerplateStrip(docs, boilerplateSet(docs, minDf))
+
+  /** The BUILD stage of boilerplate removal (round 11 — VERDICT r10
+    * #6): the corpus-wide boilerplate line SET, one (line) row per
+    * non-empty line occurring verbatim in ≥ `minDf` distinct docs.
+    * This is the O(corpus-lines) df-count aggregation — write-once
+    * per corpus version (PipelineQueries' layout convention), so the
+    * per-query probe never re-prices it and the old three-consumer
+    * cache of the full lines relation is gone with the fan-out. */
+  def boilerplateSet(docs: DataFrame, minDf: Int): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\n", -1)).as("line"))
+      .filter(col("line") =!= "")
       .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("ddf"))
       .filter(col("ddf") >= minDf).select(col("line"))
-    val kept = lines.join(boiler, Seq("line"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept_lines"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
+
+  /** The PROBE stage: strip a given boiler set from the corpus in ONE
+    * pass — posexplode to (doc, pos, line), one left join against the
+    * (small) set, one per-doc rebuild aggregation in which kept/boiler
+    * line counts are conditional counts and the clean text collects
+    * only unmarked lines (collect_list drops the nulls the boiler-line
+    * CASE leaves). No relation is consumed twice, so nothing needs a
+    * cache; O(lines) shuffles end to end. */
+  def boilerplateStrip(docs: DataFrame, boiler: DataFrame): DataFrame = {
+    val marked = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+      .join(boiler.select(col("line"), lit(true).as("is_b")), Seq("line"), "left")
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("is_b"), lit(1))).as("n_boiler_lines"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN is_b IS NULL THEN struct(pos, line) END)), " +
           "x -> x.line), chr(10))").as("clean_text"))
-    val removed = lines.join(boiler, Seq("line"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler_lines"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler_lines"),
+        col("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1214,9 +1228,12 @@ object TextFunctions {
       length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
       length(col("text")).cast("long").as("n_chars"))
       // two consumers (lang-grain sums + the distinct-hash count) —
-      // cache the narrow stats relation so tokenization runs once
-      // (dd8's lesson; without the barrier each agg re-tokenizes)
-      .cache()
+      // materialize the narrow stats relation so tokenization runs
+      // once (dd8's lesson; without the barrier each agg
+      // re-tokenizes). localCheckpoint, not cache (round 11 — ADVICE
+      // r9): blocks free with the RDD's GC instead of accumulating in
+      // the session cache manager
+      .localCheckpoint()
     val perLang = base.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"), sum(col("n_stop")).as("n_stop"),

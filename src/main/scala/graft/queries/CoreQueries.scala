@@ -2901,13 +2901,16 @@ object CoreQueries {
     val bucketed = values.join(broadcast(wdf), "metric")
       .withColumn("bkt", expr("v div w"))
     val wc = Window.partitionBy(col("metric")).orderBy(col("bkt"))
-    // cached: the domain aggregate feeds the per-metric totals AND the
-    // target resolution — without the barrier each reference re-scans
-    // the input relation (the dd8 fan-out lesson); the aggregate is
-    // |metrics|×|domain buckets| rows, executor-trivial
+    // materialized once: the domain aggregate feeds the per-metric
+    // totals AND the target resolution — without the barrier each
+    // reference re-scans the input relation (the dd8 fan-out lesson).
+    // localCheckpoint, not cache (round 11 — ADVICE r9): the blocks
+    // free with the RDD's GC instead of accumulating in the session
+    // cache manager for its lifetime; the aggregate is
+    // |metrics|×|domain buckets| rows, executor-trivial either way
     val cumB = bucketed.groupBy(col("metric"), col("bkt")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wc))
-      .cache()
+      .localCheckpoint()
     val ks = cumB.groupBy(col("metric")).agg(max(col("cum")).as("n"))
       .crossJoin(s.range(1, buckets + 1).select(col("id").as("k")))
       .select(col("metric"), col("k"),
@@ -3356,14 +3359,16 @@ object CoreQueries {
       .agg(max(col("od")).as("last_od"), count(lit(1)).as("frequency"),
         sum(col("cents")).as("monetary_cents"))
     // ONE derivation of the customer aggregate (round 9 — VERDICT r8
-    // #5): the cache barrier serves the single unpivoted boundary pass
-    // pair AND the final scoring projection; the old shape re-derived
-    // the orders groupBy nine times (3 metrics × count/domain/target)
+    // #5): the barrier serves the single unpivoted boundary pass pair
+    // AND the final scoring projection; the old shape re-derived the
+    // orders groupBy nine times (3 metrics × count/domain/target).
+    // localCheckpoint, not cache (round 11 — ADVICE r9): blocks free
+    // with the RDD's GC, never pinning the session cache manager
     val base = cust.crossJoin(broadcast(o.agg(max(col("od")).as("mxd"))))
       .withColumn("recency_days", datediff(col("mxd"), col("last_od")).cast("long"))
       .select(col("custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"))
-      .cache()
+      .localCheckpoint()
     // all three metrics' quintile cuts resolve in one multi-metric
     // pass pair over the unpivoted (metric, v) form — map-side
     // explode, never a join of three separate boundary plans

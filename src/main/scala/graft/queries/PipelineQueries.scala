@@ -689,6 +689,7 @@ object PipelineQueries {
     cachedShingleIndexNondelta(s, d)
     cachedContainIndex(s, d)
     cachedCdcIndex(s, d)
+    cachedBoilerIndex(s, d, 3)
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta")
       .foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
@@ -1087,8 +1088,28 @@ object PipelineQueries {
   def tx21(s: SparkSession, d: String): DataFrame = TextFunctions.diversity(Tables.documents(s, d))
   def tx22(s: SparkSession, d: String): DataFrame = TextFunctions.datasheet(Tables.documents(s, d))
   def tx27(s: SparkSession, d: String): DataFrame = TextFunctions.codeSignals(Tables.documents(s, d))
+  /** Build-if-missing materialized BOILERPLATE LINE SET (round 11 —
+    * VERDICT r10 #6): the O(corpus-lines) df-count aggregation behind
+    * tx28 is corpus-static, so it is priced once per corpus version
+    * like every other index; the per-query probe is one join + one
+    * per-doc rebuild, and the old session-lifetime cache of the full
+    * lines relation is retired with the fan-out that needed it.
+    * Params token carries minDf: a different threshold is a different
+    * set, never a silently-served stale one. */
+  private def cachedBoilerIndex(s: SparkSession, d: String, minDf: Int): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_blidx_${Tables.layoutKey(d, "documents", s"df${minDf}v1")}"
+    if (!Tables.layoutReady(path))
+      Tables.publishLayout(path) { tmp =>
+        TextFunctions.boilerplateSet(Tables.documents(s, d), minDf)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    path
+  }
+
   def tx28(s: SparkSession, d: String): DataFrame =
-    TextFunctions.boilerplateLines(Tables.documents(s, d), minDf = 3)
+    TextFunctions.boilerplateStrip(Tables.documents(s, d),
+      s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
   def tx23(s: SparkSession, d: String): DataFrame = TextFunctions.lmScore(Tables.documents(s, d))
   def tx24(s: SparkSession, d: String): DataFrame = TextFunctions.docTopTerms(Tables.documents(s, d), 3)
 

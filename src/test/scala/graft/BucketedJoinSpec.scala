@@ -71,6 +71,70 @@ class BucketedJoinSpec extends SparkTestBase {
       s"re-registered table lost its bucketing:\n${p2.take(2500)}")
   }
 
+  test("bucketed delta append: rows ≡ full rebuild, zero-exchange SMJ survives, warm re-register reads base ⊕ delta") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkdelta").toString
+    val li = Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_orderpriority"))
+    val (base, delta) =
+      (li.filter(col("l_orderkey") % 4 =!= 0), li.filter(col("l_orderkey") % 4 === 0))
+    BucketedTables.writeBucketed(base, "li_d", s"$tmp/li", "l_orderkey", 8, Seq("l_orderkey"))
+    BucketedTables.writeBucketed(ord, "ord_d", s"$tmp/ord", "o_orderkey", 8, Seq("o_orderkey"))
+    def partFiles() = new java.io.File(s"$tmp/li").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified()).toMap
+    val baseFiles = partFiles()
+    def tableHash(t: String): java.math.BigDecimal =
+      spark.table(t).agg(sum(xxhash64(col("l_orderkey"), col("l_quantity"))
+        .cast("decimal(38,0)"))).head().getDecimal(0)
+    val fullHash = {
+      // a FULL one-shot rebuild of the same content, as the reference point
+      BucketedTables.writeBucketed(li, "li_full", s"$tmp/lifull", "l_orderkey", 8,
+        Seq("l_orderkey"))
+      tableHash("li_full")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      BucketedTables.appendBucketedDelta(spark, "li_d", delta)
+      // base files untouched; every appended file carries a bucket id
+      // in its name (the _NNNNN suffix readers derive buckets from)
+      val after = partFiles()
+      baseFiles.foreach { case (n, m) =>
+        assert(after.get(n).contains(m), s"append rewrote base file $n") }
+      val appended = (after.keySet -- baseFiles.keySet).toSeq
+      assert(appended.nonEmpty)
+      appended.foreach(n => assert(n.matches(""".*_\d{5}(\..*)?\.parquet"""),
+        s"appended file $n lost its bucket-id name"))
+      // content ≡ the full rebuild, row-for-row
+      assert(spark.table("li_d").count() === li.count())
+      assert(tableHash("li_d") === fullHash, "append diverged from full rebuild")
+      // the co-bucketed SMJ still plans with ZERO exchanges over
+      // base ⊕ delta, and its answers match the raw-frame join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def agg(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+          .orderBy(col("o_orderpriority"))
+      val j = agg(spark.table("li_d"), spark.table("ord_d"))
+      val got = j.collect().toSeq
+      val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), p.take(2500))
+      // the join inputs exchange nothing; only the 5-row priority
+      // rollup and presentation sort may
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+        s"append broke the zero-exchange contract:\n${p.take(2500)}")
+      assert(got === agg(li, ord).collect().toSeq, "bucketed answers diverged from raw join")
+      // warm re-register (new JVM shape): metadata-only DDL over the
+      // appended directory serves the identical base ⊕ delta content
+      spark.sql("DROP TABLE li_d")
+      spark.sql(s"CREATE TABLE li_d (${li.schema.toDDL}) USING parquet " +
+        "CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS " +
+        s"LOCATION '$tmp/li'")
+      assert(tableHash("li_d") === fullHash, "re-register lost the delta")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("li_d", "ord_d", "li_full").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("source refresh strands the old bucket generation; vacuum reclaims it and warm re-register still works") {
     // the LIVE twin of LayoutVacuumSpec's graft_bk_* regex case
     // (VERDICT r8 #6): build a real bucketed layout, regenerate its

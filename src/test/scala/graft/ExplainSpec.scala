@@ -667,6 +667,25 @@ class ExplainSpec extends SparkTestBase {
     assert(fanUnions.isEmpty, "per-τ union branches are back")
   }
 
+  test("tx28: probe reads the stored boiler set — no per-query df-count, one pass over the lines") {
+    val df = graft.queries.PipelineQueries.tx28(spark, Sf0001)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val lp = df.queryExecution.optimizedPlan
+    // exactly ONE aggregate (the per-doc rebuild): the O(corpus-lines)
+    // boilerplate df-count is amortized in the graft_blidx layout, so
+    // a second aggregate means the probe re-prices the build
+    val aggs = lp.collect { case a: Aggregate => a }
+    assert(aggs.size === 1, s"expected 1 aggregate (rebuild only), got ${aggs.size}")
+    // and the lines relation explodes once — the old three-consumer
+    // fan-out (df count + anti + semi) needed a session-lifetime cache
+    val gens = lp.collect { case g: Generate => g }
+    assert(gens.size === 1, s"expected 1 line explode, got ${gens.size}")
+    val scans = lp.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("graft_blidx")) ||
+      plan(df).contains("graft_blidx"),
+      "probe does not read the materialized boiler set")
+  }
+
   test("q87 contribution: ONE orders scan (conditional agg, not per-period scans); cells partial-agg; no cartesian") {
     val p = plan(CoreQueries.q87Contribution(spark, Sf0001))
     // both period revenues come out of one pass — a UNION of two
@@ -690,15 +709,15 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("tx22 datasheet: one cached tokenize pass; rollups partial-agg; rank rides the tiny grain") {
+  test("tx22 datasheet: one materialized tokenize pass; rollups partial-agg; rank rides the tiny grain") {
     val df = graft.queries.PipelineQueries.tx22(spark, Sf0001)
-    df.collect() // populate the cache so the executed plan shows the reuse
+    df.collect()
     val p = plan(df)
-    // the expensive tokenize stage must be served from the cached
-    // narrow relation — the plan reads InMemoryTableScan, not N
-    // parquet-scan+regexp pipelines
-    assert(p.contains("InMemoryTableScan"),
-      s"doc stats must come off the cached relation:\n${p.take(3000)}")
+    // the expensive tokenize stage must be served from the
+    // localCheckpoint'd narrow relation — the plan reads the
+    // materialized RDD, not N parquet-scan+regexp pipelines
+    assert(p.contains("Scan ExistingRDD"),
+      s"doc stats must come off the materialized relation:\n${p.take(3000)}")
     assert(p.contains("partial"), s"grain rollups must map-side combine:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the rank window rides (source, lang) — never a document row set
@@ -829,11 +848,12 @@ class ExplainSpec extends SparkTestBase {
       s"more than the one documented 1-row max join:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
     // ONE base-aggregate derivation (VERDICT r8 #5): the scoring
-    // projection must read the CACHED customer aggregate the boundary
-    // pass pair already materialized — a plan that re-derives the
-    // orders groupBy would scan the fact table a fourth time
-    assert(p.contains("InMemoryTableScan"),
-      s"rfm scoring re-derives the customer aggregate instead of reading the cache:\n${p.take(3000)}")
+    // projection must read the localCheckpoint'd customer aggregate
+    // the boundary pass pair already materialized — a plan that
+    // re-derives the orders groupBy would scan the fact table a
+    // fourth time
+    assert(p.contains("Scan ExistingRDD"),
+      s"rfm scoring re-derives the customer aggregate instead of the materialized relation:\n${p.take(3000)}")
   }
 
   test("q93 basket rules: probes the co-purchase layout; top-100 is TakeOrdered, not a global sort") {

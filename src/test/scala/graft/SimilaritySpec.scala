@@ -255,24 +255,34 @@ class SimilaritySpec extends SparkTestBase {
     val exact = Similarity.hybridTopK(docs, emb, nQueries = 5, k = k)
       .select(col("query_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val probe = Similarity.hybridProbe(spark, docs, emb, dir, nQueries = 5, k = k)
+    // OPERATING POINT (round 11 — VERDICT r10 #9): nprobe=8, dfCap=64,
+    // from graft.HybridCurve's sweep — recall@10 0.90 at sf0.001 and
+    // 0.86 at sf0.01 (dfCap saturates on the synthetic vocabulary:
+    // every token the lexical probe wants has df ≤ 16, so nprobe is
+    // the live knob at these SFs; the cap matters at web-scale vocab).
+    // Floor 0.8 leaves margin for testdata regeneration, replacing
+    // the historical ≥ 0.5 placeholder. BENCH_NOTES round 11 carries
+    // the full curve.
+    val probe = Similarity.hybridProbe(spark, docs, emb, dir, nQueries = 5, k = k,
+      nprobe = 8, dfCap = 64)
     val probeRows = probe.collect()
     // every probe hit is scored by the SAME fusion tree — ranks are
     // contiguous 1..k per query
     assert(probeRows.length === 5 * k)
     val hits = probeRows.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
     val recall = hits.toDouble / exact.size
-    assert(recall >= 0.5, s"hybrid-probe recall@$k $recall below floor")
+    assert(recall >= 0.8, s"hybrid-probe recall@$k $recall below the nprobe=8 operating floor")
     // the pruning claim, asserted not inferred: candidate pairs ≪
     // the queries×corpus pairs the exhaustive path scores
-    val nCand = Similarity.hybridCandidatesOf(spark, docs, emb, dir, nQueries = 5).count()
+    val nCand = Similarity.hybridCandidatesOf(spark, docs, emb, dir, nQueries = 5,
+      nprobe = 8, dfCap = 64).count()
     val nCorpus = emb.count()
     assert(nCand < 5L * (nCorpus - 1) / 2,
       s"candidate union $nCand does not prune (corpus pairs ${5L * (nCorpus - 1)})")
     // both probes contribute: dropping either signal's candidates
     // must lose at least one of the winners the union keeps
     val denseOnly = Similarity.hybridCandidatesOf(spark, docs, emb, dir,
-      nQueries = 5, dfCap = 0).count()
+      nQueries = 5, nprobe = 8, dfCap = 0).count()
     assert(denseOnly < nCand, "token probe contributed no candidates — union degenerate")
   }
 
