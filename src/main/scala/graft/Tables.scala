@@ -186,6 +186,19 @@ object Tables {
     }
   }
 
+  /** Recursive file copy — for callers that MUTATE a published
+    * write-once layout (delta appends in a spec or a streaming ingest
+    * run): the shared layout stays pristine, the run owns its copy. */
+  private[graft] def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten.foreach(f =>
+        copyDir(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath); ()
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(); ()

@@ -538,6 +538,41 @@ object Similarity {
       .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
   }
 
+  /** EXACTLY-ONCE [[ivfAppendDelta]] for AT-LEAST-ONCE callers
+    * (round 11 — st17's streaming ingest; equally the crashed-and-
+    * rerun nightly job): before appending, the delta anti-joins
+    * against the vec_ids already present in PRECISELY the cid
+    * partitions this batch would write into — the existence check is
+    * planning-time partition-pruned, so it reads a slice of the index
+    * proportional to the batch's cid spread, never the corpus. A
+    * re-delivery of any subset of the batch therefore appends nothing:
+    * appends are idempotent keyed on vec_id, the index's primary key
+    * (re-ingesting a CHANGED row under an existing vec_id is an upsert,
+    * which is the rebuild/recluster path's job, not an append's).
+    * Crash window: the parquet job commit is all-or-nothing per attempt,
+    * so a retry sees either none or all of the previous attempt's rows
+    * — both resolve correctly through the anti-join. Returns the
+    * number of rows actually appended. */
+  def ivfAppendDeltaIdempotent(delta: DataFrame, path: String): Long = {
+    VectorFunctions.register(delta.sparkSession)
+    val spark = delta.sparkSession
+    val centroids = readCentroids(spark, s"$path/centroids")
+    val assigned = delta.select(col("vec_id"), col("embedding"))
+      .withColumn("cid", assignExpr(col("embedding"), centroids))
+    val targetCids = assigned.select("cid").distinct().collect().map(_.getInt(0))
+    if (targetCids.isEmpty) return 0L
+    val existing = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(targetCids.toIndexedSeq: _*))
+      .select(col("vec_id"))
+    val fresh = assigned.join(existing, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // one evaluation serves the count AND the write
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
+    fresh.unpersist()
+    n
+  }
+
   /** RE-CLUSTER a delta-appended IVF index (round 9 — VERDICT r8 #2:
     * ss8's `ivf_delta` recall row, ss13's imbalance factor and ss14's
     * nprobe curve tell a user WHEN appended drift warrants

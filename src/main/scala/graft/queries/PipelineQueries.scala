@@ -21,8 +21,8 @@ object PipelineQueries {
   private[graft] val JaccardThreshold = 0.9
   private val EmbDim = 64
   private val CosineDupThreshold = 0.35
-  private val TopK = 10
-  private val NQueries = 5
+  private[graft] val TopK = 10
+  private[graft] val NQueries = 5
 
   def dd1(s: SparkSession, d: String): DataFrame = Dedup.exact(Tables.documents(s, d))
   val dd1Sql: String =
@@ -629,7 +629,7 @@ object PipelineQueries {
     * 8-byte PQ code rows) — at 100 TB nobody re-trains Lloyd per
     * query batch. Probe ≡ inline is spec-asserted per variant
     * (IvfIndexSpec). */
-  private def cachedAnnIndex(s: SparkSession, d: String, variant: String): String = {
+  private[graft] def cachedAnnIndex(s: SparkSession, d: String, variant: String): String = {
     // v2 = the registry build defaults: nlist 16, nprobe 4, m 8,
     // ksub 16, 2 Lloyd iters over EmbDim dims — bump on any change
     // (v1→v2: trainCentroids means moved to order-independent
@@ -665,6 +665,10 @@ object PipelineQueries {
           case "pq_delta" =>
             Similarity.pqWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp, EmbDim)
             Similarity.pqAppendDelta(emb.filter(col("vec_id") % 8 === 0), tmp, EmbDim)
+          // the standing 7/8 WITHOUT its delta — st17's streaming
+          // ingest copies this per run and streams the delta eighth in
+          case "ivf_base" =>
+            Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp)
         }
         new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
@@ -690,8 +694,8 @@ object PipelineQueries {
     cachedContainIndex(s, d)
     cachedCdcIndex(s, d)
     cachedBoilerIndex(s, d, 3)
-    Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta")
-      .foreach(v => cachedAnnIndex(s, d, v))
+    Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta",
+      "ivf_base").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()
     graft.sources.AvroIngest.supplierAvro(s, d).count()

@@ -1102,6 +1102,51 @@ object StreamQueries {
       |WHERE hour + INTERVAL 1 HOUR <= hz.h
       |ORDER BY purchase_id""".stripMargin
 
+  /** st17 (round 11): STREAMING ANN INDEX INGEST — the index-append
+    * family's continuous front door, st15's twin for the vector side:
+    * embedding micro-batches stream into a materialized IVF index via
+    * foreachBatch + [[graft.operators.Similarity.ivfAppendDeltaIdempotent]].
+    * The checkpoint makes redelivery ACROSS restarts at-least-once;
+    * the idempotent append (anti-join against exactly the cid
+    * partitions the batch writes into, planning-time pruned) closes
+    * that to EXACTLY-ONCE — st13's idempotence argument lifted to a
+    * layout a writer can only ever APPEND to. Each run ingests into a
+    * fresh COPY of the standing 7/8 base index (the shared layout
+    * stays pristine; production points this at its live generation),
+    * then the emitted table is the ingested index's top-k probe —
+    * deterministic, and by ivfAppendDelta's contract bit-identical to
+    * probing a one-shot union build under the same centroids, however
+    * the stream happened to batch the delta (StreamingSpec pins 4-file
+    * ≡ single ≡ one-shot, and that a replayed batch appends zero). */
+  def st17(s: SparkSession, d: String): DataFrame = st17From(s, d, None)
+
+  private[graft] def st17From(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.operators.Similarity
+    val base = PipelineQueries.cachedAnnIndex(s, d, "ivf_base")
+    val run = java.nio.file.Files.createTempDirectory("graft_st17").toString
+    Tables.copyDir(new java.io.File(base), new java.io.File(s"$run/idx"))
+    val q = embeddingsStreamFrom(s, d, maxFilesPerTrigger)
+      .filter(col("vec_id") % 8 === 0)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.ivfAppendDeltaIdempotent(batch.toDF(), s"$run/idx"); ()
+      }.option("checkpointLocation", s"$run/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    Similarity.ivfProbeIndex(s, s"$run/idx",
+      Tables.embeddings(s, d).filter(col("vec_id") < PipelineQueries.NQueries),
+      PipelineQueries.TopK)
+  }
+
+  private[graft] def embeddingsStreamFrom(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val rdr = s.readStream.schema(s.read.parquet(s"$d/embeddings.parquet").schema)
+    maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
+      .parquet(s"$d/embeddings.parque*")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -1118,5 +1163,6 @@ object StreamQueries {
     ("st13_stream_merge_upsert", st13 _, st13Sql),
     ("st14_stream_anomaly", st14 _, st14Sql),
     ("st15_stream_ingest_dedup", st15 _, st15Sql),
-    ("st16_stream_attribution", st16 _, st16Sql))
+    ("st16_stream_attribution", st16 _, st16Sql),
+    ("st17_stream_ann_ingest", st17 _, null))
 }

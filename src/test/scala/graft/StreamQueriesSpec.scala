@@ -430,6 +430,48 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(single.map(_.getLong(0)).distinct.size.toLong === nDelta)
   }
 
+  test("st17 ANN ingest: multi-batch (4-file, 1/trigger) ≡ single ≡ one-shot union build; replayed batch appends zero") {
+    import graft.operators.Similarity
+    import graft.queries.PipelineQueries
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // batch-split invariance: ivf assignment is a pure per-row function
+    // of the frozen centroids, so HOW the stream slices the delta must
+    // leave the ingested index's probe bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-st17-src").toString
+    spark.read.parquet(s"$Sf0001/embeddings.parquet").repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val multi = rows(StreamQueries.st17From(spark, dir, Some(1)))
+    val single = rows(StreamQueries.st17(spark, Sf0001))
+    assert(multi === single && single.nonEmpty)
+    // ...and ≡ a one-shot batch append of the whole delta under the
+    // same trained state (ivfAppendDelta's union-build contract)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val base = PipelineQueries.cachedAnnIndex(spark, Sf0001, "ivf_base")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-st17-one").toString
+    Tables.copyDir(new java.io.File(base), new java.io.File(s"$oneShot/idx"))
+    Similarity.ivfAppendDelta(emb.filter(col("vec_id") % 8 === 0), s"$oneShot/idx")
+    val q = emb.filter(col("vec_id") < PipelineQueries.NQueries)
+    assert(rows(Similarity.ivfProbeIndex(spark, s"$oneShot/idx", q,
+      PipelineQueries.TopK)) === single)
+    // exactly-once: replaying the SAME batch (and a subset of it)
+    // against the idempotent append adds nothing — st13's idempotence
+    // argument on an append-only layout
+    val replay = java.nio.file.Files.createTempDirectory("graft-st17-rep").toString
+    Tables.copyDir(new java.io.File(base), new java.io.File(s"$replay/idx"))
+    val delta = emb.filter(col("vec_id") % 8 === 0)
+    val n1 = Similarity.ivfAppendDeltaIdempotent(delta, s"$replay/idx")
+    assert(n1 === delta.count())
+    val probe1 = rows(Similarity.ivfProbeIndex(spark, s"$replay/idx", q,
+      PipelineQueries.TopK))
+    assert(Similarity.ivfAppendDeltaIdempotent(delta, s"$replay/idx") === 0L)
+    assert(Similarity.ivfAppendDeltaIdempotent(
+      delta.filter(col("vec_id") % 16 === 0), s"$replay/idx") === 0L)
+    assert(rows(Similarity.ivfProbeIndex(spark, s"$replay/idx", q,
+      PipelineQueries.TopK)) === probe1)
+    assert(probe1 === single)
+  }
+
   test("st15 ingest dedup: index-standing verdicts ≡ checkpoint-standing twin (round 9)") {
     // VERDICT r8 #8: the registry st15 reads its standing side off the
     // persisted non-delta shingle index; the pre-round-9 shape pinned
