@@ -395,6 +395,32 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
   }
 
+  /** EXACTLY-ONCE [[lshAppendDelta]] — [[ivfAppendDeltaIdempotent]]'s
+    * argument on the bucket-partitioned layout: signatures are pure
+    * functions of the embedding, so a vector's target buckets are the
+    * SAME on every delivery, and its presence in any of them proves
+    * the whole batch row was committed (the append is one atomic
+    * parquet job). The existence check prunes to the batch's own
+    * target buckets; re-delivery of any subset appends nothing.
+    * Returns the number of VECTORS (not bucket rows) appended. */
+  def lshAppendDeltaIdempotent(delta: DataFrame, path: String, dim: Int): Long = {
+    VectorFunctions.register(delta.sparkSession)
+    val spark = delta.sparkSession
+    val rows = bandRows(delta, dim, "vec_id", "vec_id", Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), bucketCol)
+    val targetBuckets = rows.select("bucket").distinct().collect().map(_.getInt(0))
+    if (targetBuckets.isEmpty) return 0L
+    val existing = spark.read.parquet(s"$path/buckets")
+      .filter(col("bucket").isin(targetBuckets.toIndexedSeq: _*))
+      .select(col("vec_id")).distinct()
+    val fresh = rows.join(existing, Seq("vec_id"), "left_anti").localCheckpoint()
+    val n = fresh.select("vec_id").distinct().count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+    fresh.unpersist()
+    n
+  }
+
   /** Probe a materialized LSH index: hash ONLY the query set, prune to
     * the probed bucket directories (planning-time partition pruning,
     * like ivfProbeIndex), exact-re-rank inside candidates. Duplicate
@@ -1057,6 +1083,36 @@ object Similarity {
       .withColumn("cid", assignExpr(col("embedding"), coarse))
       .select(col("vec_id"), col("codes"), col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+  }
+
+  /** EXACTLY-ONCE [[ivfPqAppendDelta]] — the cid-partitioned code
+    * table takes [[ivfAppendDeltaIdempotent]]'s pruned existence check
+    * verbatim: coarse assignment is a pure function of the embedding
+    * under the frozen centroids, so a vec_id present in its own target
+    * cid partition proves the prior delivery committed. (The FLAT pq
+    * layout has no partition column to prune on — its exactly-once
+    * story is the staged-batch pattern or a bucketed v2 layout, not
+    * this check, which would scan the whole code table.) */
+  def ivfPqAppendDeltaIdempotent(delta: DataFrame, path: String, dim: Int): Long = {
+    VectorFunctions.register(delta.sparkSession)
+    val spark = delta.sparkSession
+    val coarse = readCentroids(spark, s"$path/centroids")
+    val books = readCodebook(spark, s"$path/codebook")
+    val assigned = pqEncode(delta, dim, books.length, books)
+      .join(delta.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cid", assignExpr(col("embedding"), coarse))
+      .select(col("vec_id"), col("codes"), col("cid"))
+    val targetCids = assigned.select("cid").distinct().collect().map(_.getInt(0))
+    if (targetCids.isEmpty) return 0L
+    val existing = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(targetCids.toIndexedSeq: _*))
+      .select(col("vec_id"))
+    val fresh = assigned.join(existing, Seq("vec_id"), "left_anti").localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    fresh.unpersist()
+    n
   }
 
   /** Probe a materialized IVF+PQ index: coarse-probe the cid partition

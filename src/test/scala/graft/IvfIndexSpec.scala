@@ -171,6 +171,49 @@ class IvfIndexSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("idempotent appends (lsh, ivfpq): first delivery ≡ plain append; full and subset replays add zero") {
+    // st17's exactly-once machinery for the other partitioned layouts:
+    // presence of a vec_id in its own target partition proves the
+    // prior delivery committed, so any replay appends nothing
+    val (emb, base, delta) = splitEmb()
+    val q = emb.filter(col("vec_id") < 5)
+    val nDelta = delta.count()
+
+    val lshI = java.nio.file.Files.createTempDirectory("graft-lsh-idem").toString
+    val lshP = java.nio.file.Files.createTempDirectory("graft-lsh-plain").toString
+    Similarity.lshWriteIndex(base, lshI, dim = 64)
+    Similarity.lshWriteIndex(base, lshP, dim = 64)
+    assert(Similarity.lshAppendDeltaIdempotent(delta, lshI, dim = 64) === nDelta)
+    Similarity.lshAppendDelta(delta, lshP, dim = 64)
+    val lshProbe = Similarity.lshProbeIndex(spark, lshI, q, dim = 64, k = 10)
+      .collect().toSeq
+    assert(lshProbe === Similarity.lshProbeIndex(spark, lshP, q, dim = 64, k = 10)
+      .collect().toSeq)
+    assert(Similarity.lshAppendDeltaIdempotent(delta, lshI, dim = 64) === 0L)
+    assert(Similarity.lshAppendDeltaIdempotent(
+      delta.filter(col("vec_id") % 16 === 0), lshI, dim = 64) === 0L)
+    assert(Similarity.lshProbeIndex(spark, lshI, q, dim = 64, k = 10)
+      .collect().toSeq === lshProbe)
+
+    val pqI = java.nio.file.Files.createTempDirectory("graft-ivfpq-idem").toString
+    val pqP = java.nio.file.Files.createTempDirectory("graft-ivfpq-plain").toString
+    Similarity.ivfPqWriteIndex(base, pqI, dim = 64, nlist = 16)
+    // plain twin must share the SAME trained state for probe parity
+    val coarse = Similarity.readCentroids(spark, s"$pqI/centroids")
+    val books = Similarity.readCodebook(spark, s"$pqI/codebook")
+    Similarity.ivfPqWriteIndex(base, pqP, dim = 64, nlist = 16,
+      coarseOpt = Some(coarse), booksOpt = Some(books))
+    assert(Similarity.ivfPqAppendDeltaIdempotent(delta, pqI, dim = 64) === nDelta)
+    Similarity.ivfPqAppendDelta(delta, pqP, dim = 64)
+    val pqProbe = Similarity.ivfPqProbeIndex(spark, pqI, q, k = 10).collect().toSeq
+    assert(pqProbe === Similarity.ivfPqProbeIndex(spark, pqP, q, k = 10)
+      .collect().toSeq)
+    assert(Similarity.ivfPqAppendDeltaIdempotent(delta, pqI, dim = 64) === 0L)
+    assert(Similarity.ivfPqAppendDeltaIdempotent(
+      delta.filter(col("vec_id") % 16 === 0), pqI, dim = 64) === 0L)
+    assert(Similarity.ivfPqProbeIndex(spark, pqI, q, k = 10).collect().toSeq === pqProbe)
+  }
+
   test("IVF-PQ index write → probe equals inline ivfPqTopK; pruned code-only scan") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)

@@ -286,4 +286,31 @@ class RandomizedSpec extends SparkTestBase {
       }
     }
   }
+
+  test("tx28 boilerplateLines equals a local reference on generated line corpora") {
+    import spark.implicits._
+    // round 11 rewrote the operator (stored-set probe, single-pass
+    // conditional rebuild) — pin it against a brute-force driver
+    // reference over corpora with repeated lines, empty lines,
+    // all-boilerplate docs and docs of one line
+    val r = rng
+    val pool = (1 to 12).map(i => s"line $i") ++ Seq("", "NAV | Home | About")
+    val docs = (1L to 120L).map { i =>
+      val nLines = 1 + r.nextInt(8)
+      (i, Seq.fill(nLines)(pool(r.nextInt(pool.length))).mkString("\n"))
+    }
+    val minDf = 3
+    val out = TextFunctions.boilerplateLines(docs.toDF("doc_id", "text"), minDf)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2), rw.getString(3)))
+    // reference: boiler set = non-empty lines in >= minDf distinct docs
+    val ddf = docs.flatMap { case (id, t) => t.split("\n", -1).filter(_.nonEmpty).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val boiler = ddf.filter(_._2 >= minDf).keySet
+    val expect = docs.map { case (id, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filter(l => !boiler.contains(l))
+      (id, lines.length.toLong, lines.count(boiler.contains).toLong, kept.mkString("\n"))
+    }.sortBy(_._1)
+    assert(out.toSeq === expect)
+  }
 }
