@@ -1174,6 +1174,71 @@ object TextFunctions {
       |LEFT JOIN removed r ON r.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** tx29 (round 11): per-document N-GRAM NOVELTY — the fraction of a
+    * doc's distinct 3-grams whose FIRST corpus occurrence (min doc_id
+    * among holders) is this doc. The redundancy axis the dedup family
+    * doesn't state: dd2/dd11 flag documents that duplicate SOME OTHER
+    * document, but a crawl also saturates gradually — each new doc
+    * repeats ever more of the corpus's phrasing without any single
+    * near-dup partner. novelty ≈ 0 marks template families and
+    * paste-heavy pages; the novelty-vs-doc_id curve prices how fast a
+    * source stops contributing new content (the keep/stop signal for
+    * continued crawling of a domain).
+    *
+    * Exactness: gram sets are exact (same tokenizer as dd2), min over
+    * doc_ids exact, counts exact integers, ONE IEEE divide per row ⇒
+    * hash-gate clean. Plan: tokens → per-doc DISTINCT 3-grams
+    * (map-side, array ops) → explode → ONE gram-keyed partial-agg'd
+    * min shuffle → join back on gram → per-doc conditional-count
+    * aggregate → left join restores gram-less docs. O(grams) shuffle
+    * volume, never pairwise — the gram relation is the same spine
+    * dd2's index rides, so at 100 TB this is a scan-shaped pass. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"), expr(tokensExpr).as("ws"))
+      .select(col("doc_id"), expr(
+        s"CASE WHEN size(ws) >= $n THEN array_distinct(transform(" +
+          s"sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))) " +
+          "ELSE array() END").as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val agg = grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_novel").cast("double") / col("n_grams")).otherwise(lit(0.0))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_transform(generate_series(1, len(ws) - 2),
+      |        i -> array_to_string(ws[i:i+2], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+      |  FROM toks),
+      |first AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g),
+      |agg AS (
+      |  SELECT gr.doc_id, COUNT(*) AS n_grams,
+      |   COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS n_novel
+      |  FROM gr JOIN first f USING (g) GROUP BY gr.doc_id)
+      |SELECT d.doc_id,
+      | COALESCE(a.n_grams, 0) AS n_grams,
+      | COALESCE(a.n_novel, 0) AS n_novel,
+      | CASE WHEN COALESCE(a.n_grams, 0) > 0
+      |  THEN CAST(a.n_novel AS DOUBLE) / a.n_grams ELSE 0.0 END AS novelty
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def diversity(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(expr(tokensExpr)).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))

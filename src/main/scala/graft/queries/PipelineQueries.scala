@@ -1111,6 +1111,9 @@ object PipelineQueries {
     path
   }
 
+  def tx29(s: SparkSession, d: String): DataFrame =
+    TextFunctions.ngramNovelty(Tables.documents(s, d))
+
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
       s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
@@ -1269,6 +1272,7 @@ object PipelineQueries {
     ("tx26_leakage_split", tx26 _, tx26Sql),
     ("tx27_code_detect", tx27 _, TextFunctions.codeSignalsSql),
     ("tx28_boilerplate_lines", tx28 _, TextFunctions.boilerplateLinesSql(3)),
+    ("tx29_ngram_novelty", tx29 _, TextFunctions.ngramNoveltySql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
