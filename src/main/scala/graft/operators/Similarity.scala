@@ -583,8 +583,10 @@ object Similarity {
     VectorFunctions.register(delta.sparkSession)
     val spark = delta.sparkSession
     val centroids = readCentroids(spark, s"$path/centroids")
-    val assigned = delta.select(col("vec_id"), col("embedding"))
-      .withColumn("cid", assignExpr(col("embedding"), centroids))
+    // ALL delta columns ride along, exactly as the plain append writes
+    // them — dropping e.g. `label` here would silently thin the index
+    // schema for downstream consumers like clusterStats
+    val assigned = delta.withColumn("cid", assignExpr(col("embedding"), centroids))
     val targetCids = assigned.select("cid").distinct().collect().map(_.getInt(0))
     if (targetCids.isEmpty) return 0L
     val existing = spark.read.parquet(s"$path/vectors")

@@ -686,6 +686,18 @@ class ExplainSpec extends SparkTestBase {
       "probe does not read the materialized boiler set")
   }
 
+  test("tx29 novelty: gram-min partial-aggs map-side; equi-joins only, no cartesian") {
+    val p = plan(graft.queries.PipelineQueries.tx29(spark, Sf0001))
+    // the first-occurrence min must combine map-side — at 100 TB the
+    // gram relation is the corpus's token spine and the shuffle must
+    // carry (gram, min) partials, not raw gram rows
+    assert(p.contains("partial"), s"gram min must map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty join degenerated:\n${p.take(3000)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"first-occurrence must be a groupBy min, not a window over grams:\n${p.take(3000)}")
+  }
+
   test("q87 contribution: ONE orders scan (conditional agg, not per-period scans); cells partial-agg; no cartesian") {
     val p = plan(CoreQueries.q87Contribution(spark, Sf0001))
     // both period revenues come out of one pass — a UNION of two

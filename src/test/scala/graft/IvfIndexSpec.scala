@@ -179,6 +179,27 @@ class IvfIndexSpec extends SparkTestBase {
     val q = emb.filter(col("vec_id") < 5)
     val nDelta = delta.count()
 
+    // ivf leg: FULL row-content parity with the plain append — the
+    // idempotent path must carry every delta column (label included),
+    // not just the probe-visible ones (a probe-only check once let a
+    // schema-thinning select through)
+    val ivfI = java.nio.file.Files.createTempDirectory("graft-ivf-idem").toString
+    val ivfP = java.nio.file.Files.createTempDirectory("graft-ivf-plain").toString
+    Similarity.ivfWriteIndex(base, ivfI) // training is deterministic —
+    Similarity.ivfWriteIndex(base, ivfP) // both builds share the state
+    def ivfRows(p: String): Set[(Long, Seq[Float], Int, Int)] =
+      spark.read.parquet(s"$p/vectors")
+        .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2), r.getInt(3)))
+        .toSet
+    assert(Similarity.ivfAppendDeltaIdempotent(delta, ivfI) === nDelta)
+    Similarity.ivfAppendDelta(delta, ivfP)
+    assert(ivfRows(ivfI) === ivfRows(ivfP), "idempotent ivf append diverged from plain append")
+    assert(Similarity.ivfAppendDeltaIdempotent(delta, ivfI) === 0L)
+    assert(Similarity.ivfAppendDeltaIdempotent(
+      delta.filter(col("vec_id") % 16 === 0), ivfI) === 0L)
+    assert(ivfRows(ivfI) === ivfRows(ivfP), "replay changed the index content")
+
     val lshI = java.nio.file.Files.createTempDirectory("graft-lsh-idem").toString
     val lshP = java.nio.file.Files.createTempDirectory("graft-lsh-plain").toString
     Similarity.lshWriteIndex(base, lshI, dim = 64)
