@@ -1114,6 +1114,102 @@ object PipelineQueries {
   def tx29(s: SparkSession, d: String): DataFrame =
     TextFunctions.ngramNovelty(Tables.documents(s, d))
 
+  /** tx30 (round 11): per-source NOVELTY-SATURATION CURVE — tx29's
+    * doc-grain novelty rolled up to the table a crawl planner reads:
+    * per (source, arrival decile), how much NEW content the source
+    * still contributes. doc_id is the corpus's arrival order, so the
+    * deciles are time slices; a source whose rate collapses by decile
+    * 3 is template-bound and not worth re-crawling, one that stays
+    * flat keeps paying. Novelty is MICRO-averaged (Σ novel grams /
+    * Σ grams, exact integers → ONE divide) — a mean of per-doc IEEE
+    * ratios would be a partition-order-dependent double Σ and flake
+    * the hash gate, and it would also let ten empty docs outvote one
+    * long one.
+    *
+    * Deciles come from [[CoreQueries.equiDepthBoundariesMulti]] run
+    * with SOURCES AS THE METRICS (one machinery, q85/q92's, never a
+    * re-derivation): 9 internal doc_id cuts per source off the
+    * domain-bucketed pass pair; assignment is a broadcast fan-out of
+    * ≤ 9 cut rows per source folded map-side — the per-source global
+    * sort an ntile window would need never happens (the fact relation
+    * is never window-sorted; q78/q81's argument). doc_id is UNIQUE, so
+    * rank comparison ⟺ value comparison and both engines place every
+    * doc identically — no tie machinery needed. The distinct-source
+    * list is a runtime literal (q64's pattern, bounded by source
+    * cardinality). */
+  def tx30(s: SparkSession, d: String): DataFrame =
+    tx30FromDocs(Tables.documents(s, d))
+
+  /** The operator over any documents relation — exposed so the spec
+    * can pin the decile convention on a hand-built corpus. */
+  private[graft] def tx30FromDocs(docs: DataFrame): DataFrame = {
+    val nov = TextFunctions.ngramNovelty(docs)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val cuts = graft.queries.CoreQueries.equiDepthBoundariesMulti(
+      docs.select(col("source").as("metric"), col("doc_id").as("v")),
+      10, sources.map(_ -> 1024L).toSeq)
+      .filter(col("bucket") <= 9)
+      .select(col("metric").as("source"), col("boundary"))
+    nov.join(broadcast(cuts), Seq("source"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), max(col("n_novel")).as("n_novel"),
+        (lit(1L) + count(when(col("doc_id") > col("boundary"), lit(1))))
+          .as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"), sum(col("n_novel")).as("n_novel"))
+      .select(col("source"), col("decile"), col("n_docs"), col("n_grams"),
+        col("n_novel"),
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")).otherwise(lit(0.0))
+          .as("novelty_rate"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** tx29's oracle body rolled up: row_number per source mirrors the
+    * equi-depth rank targets exactly because doc_id is unique. */
+  val tx30Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_transform(generate_series(1, len(ws) - 2),
+      |        i -> array_to_string(ws[i:i+2], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+      |  FROM toks),
+      |first AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g),
+      |agg AS (
+      |  SELECT gr.doc_id, COUNT(*) AS n_grams,
+      |   COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS n_novel
+      |  FROM gr JOIN first f USING (g) GROUP BY gr.doc_id),
+      |nov AS (
+      |  SELECT d.doc_id, d.source,
+      |   COALESCE(a.n_grams, 0) AS n_grams, COALESCE(a.n_novel, 0) AS n_novel
+      |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |   COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM nov),
+      |ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+      |dec AS (
+      |  SELECT r.source, r.doc_id, r.n_grams, r.n_novel,
+      |   1 + (SELECT COUNT(*) FROM ks
+      |        WHERE r.rn > (ks.k * r.cnt + 9) // 10) AS decile
+      |  FROM r)
+      |SELECT source, CAST(decile AS BIGINT) AS decile,
+      | COUNT(*) AS n_docs,
+      | CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+      | CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+      | CASE WHEN SUM(n_grams) > 0
+      |  THEN CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams) ELSE 0.0 END AS novelty_rate
+      |FROM dec GROUP BY source, decile
+      |ORDER BY source, decile""".stripMargin
+
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
       s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
@@ -1273,6 +1369,7 @@ object PipelineQueries {
     ("tx27_code_detect", tx27 _, TextFunctions.codeSignalsSql),
     ("tx28_boilerplate_lines", tx28 _, TextFunctions.boilerplateLinesSql(3)),
     ("tx29_ngram_novelty", tx29 _, TextFunctions.ngramNoveltySql),
+    ("tx30_source_saturation", tx30 _, tx30Sql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
