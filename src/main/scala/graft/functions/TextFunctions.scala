@@ -1194,12 +1194,32 @@ object TextFunctions {
     * volume, never pairwise — the gram relation is the same spine
     * dd2's index rides, so at 100 TB this is a scan-shaped pass. */
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    // grams ride as xxhash64 KEYS from the first map stage (dd8's
+    // hashed-span-key recipe): the per-doc distinct runs on a
+    // primitive long array instead of O(len²) string scans, and both
+    // shuffles (first-occurrence min, join-back) carry 8-byte keys
+    // instead of 3-token strings. Collisions: 64-bit over the corpus
+    // gram vocabulary, the same accepted risk dd8 documents; the
+    // DuckDB oracle computes over the gram STRINGS, so the hash gate
+    // itself witnesses collision-free equality at test SF.
+    //
+    // explode_outer + a post-generate null filter, then ONE
+    // materialization (the dd8 fan-out lesson, both halves): plain
+    // explode invites InferFiltersFromGenerate to re-evaluate the
+    // whole tokenize+gram tree inside a pushed scan filter, and the
+    // two consumers below (first-occurrence min, join-back) would
+    // otherwise re-run the gram pipeline per branch — together a ~6×
+    // tokenize tax, measured 14.3 → 3.3 s at sf0.1 (localCheckpoint,
+    // not cache: blocks free with the RDD).
     val grams = docs.select(col("doc_id"), expr(tokensExpr).as("ws"))
       .select(col("doc_id"), expr(
         s"CASE WHEN size(ws) >= $n THEN array_distinct(transform(" +
-          s"sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))) " +
+          s"sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(ws, i, $n))))) " +
           "ELSE array() END").as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+      .localCheckpoint()
     val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     val agg = grams.join(first, "g")
       .groupBy(col("doc_id"))
