@@ -630,13 +630,17 @@ object PipelineQueries {
     * query batch. Probe ≡ inline is spec-asserted per variant
     * (IvfIndexSpec). */
   private[graft] def cachedAnnIndex(s: SparkSession, d: String, variant: String): String = {
-    // v2 = the registry build defaults: nlist 16, nprobe 4, m 8,
+    // v3 = the registry build defaults: nlist 16, nprobe 4, m 8,
     // ksub 16, 2 Lloyd iters over EmbDim dims — bump on any change
     // (v1→v2: trainCentroids means moved to order-independent
-    // DECIMAL(18,6) sums for the recluster equivalence contract, so a
-    // v1-trained index on disk is no longer the code's output)
+    // DECIMAL(18,6) sums for the recluster equivalence contract;
+    // v2→v3: pq/ivfpq layouts grew residuals/ trained state in
+    // round 11 WITHOUT a bump — ADVICE r11: a stale cached layout
+    // served build-if-missing broke pqResidualDrift with an opaque
+    // read error — and round 12 re-partitioned the flat pq code
+    // table by the vec_id range key for the idempotent append)
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v2d$EmbDim")}/$variant"
+      s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v3d$EmbDim")}/$variant"
     if (!Tables.layoutReady(path, "_done")) {
       val emb = Tables.embeddings(s, d)
       Tables.publishLayout(path) { tmp =>

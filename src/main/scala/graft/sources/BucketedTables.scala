@@ -59,8 +59,16 @@ object BucketedTables {
     * non-bucket-named files and silently break bucket derivation.
     * Single-writer per layout, like every *AppendDelta. */
   def appendBucketedDelta(spark: org.apache.spark.sql.SparkSession,
-      table: String, delta: DataFrame): Unit =
-    delta.write.mode("append").insertInto(table)
+      table: String, delta: DataFrame): Unit = {
+    // insertInto resolves columns BY POSITION: a delta with the same
+    // columns in a different (type-coercible) order would be written
+    // silently misaligned — corrupt rows, no error (ADVICE r11). Select
+    // into the registered table's order first, which also makes a
+    // missing/renamed delta column fail loudly at analysis time.
+    val ordered = spark.table(table).columns.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col)
+    delta.select(ordered: _*).write.mode("append").insertInto(table)
+  }
 
   /** Build-if-missing BUCKETED copy of a source table under the
     * write-once layout convention, returned as a catalog-backed

@@ -93,7 +93,13 @@ class BucketedJoinSpec extends SparkTestBase {
     }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      BucketedTables.appendBucketedDelta(spark, "li_d", delta)
+      // the delta arrives with its columns DELIBERATELY reordered:
+      // insertInto resolves by position, so before the round-12 fix
+      // (ADVICE r11) this would have written quantities into the
+      // orderkey column with no error — the name-reorder guard inside
+      // appendBucketedDelta is what makes this test pass
+      BucketedTables.appendBucketedDelta(spark, "li_d",
+        delta.select(col("l_quantity"), col("l_orderkey")))
       // base files untouched; every appended file carries a bucket id
       // in its name (the _NNNNN suffix readers derive buckets from)
       val after = partFiles()

@@ -284,6 +284,31 @@ class SimilaritySpec extends SparkTestBase {
     val denseOnly = Similarity.hybridCandidatesOf(spark, docs, emb, dir,
       nQueries = 5, nprobe = 8, dfCap = 0).count()
     assert(denseOnly < nCand, "token probe contributed no candidates — union degenerate")
+
+    // dfCap BINDING (round 12 — VERDICT r11 #6): the natural synthetic
+    // vocabulary saturates at df ≤ 16, so the cap had never been
+    // observed pruning. On a heavy-tailed corpus (boilerplate tokens
+    // planted at df ~N/2, ~N/8, ~N/25 — graft.HybridCurve's fixture)
+    // the candidate count must MOVE with the cap: the df~N/2 token's
+    // posting list passes cap=256 and is cut at cap=16.
+    val heavy = graft.HybridCurve.heavyTailDocs(docs)
+    val cand16 = Similarity.hybridCandidatesOf(spark, heavy, emb, dir,
+      nQueries = 5, nprobe = 8, dfCap = 16).count()
+    val cand256 = Similarity.hybridCandidatesOf(spark, heavy, emb, dir,
+      nQueries = 5, nprobe = 8, dfCap = 256).count()
+    assert(cand16 < cand256,
+      s"dfCap never bound on the heavy-tail corpus ($cand16 vs $cand256)")
+    // the cap guards candidate volume, not correctness: the capped
+    // probe still re-scores exactly, so its recall vs the heavy
+    // corpus's own exhaustive answer holds the operating floor
+    val heavyExact = Similarity.hybridTopK(heavy, emb, nQueries = 5, k = k)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val heavyProbe = Similarity.hybridProbe(spark, heavy, emb, dir, nQueries = 5,
+      k = k, nprobe = 8, dfCap = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).count(heavyExact.contains)
+    assert(heavyProbe.toDouble / heavyExact.size >= 0.8,
+      "heavy-tail capped probe fell below the operating floor")
   }
 
   test("ss8 registry run carries the ivf_delta row; delta-appended recall floor holds") {
