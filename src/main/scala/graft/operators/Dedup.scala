@@ -1085,6 +1085,12 @@ object Dedup {
       changed = next.filter(col("comp") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("comp"))
       it += 1
+      // bench diagnosis lever (round 12): per-round change counts tell
+      // whether a slow dd6/dd10 is many rounds (algorithmic) or few
+      // expensive rounds (scheduling floor) — the two need different
+      // fixes and were conflated in the r10 phase-probe analysis
+      if (sys.env.contains("SPARK_GRAFT_CC_DIAG"))
+        System.err.println(s"[cc-diag] round=$it changed=$changed")
     }
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

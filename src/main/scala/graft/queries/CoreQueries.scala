@@ -1724,7 +1724,7 @@ object CoreQueries {
         expr("user_id % 65536").as("pos"))
       .groupBy(col("event_type"), col("day"), col("chunk"))
       .agg(expr("graft_bitmap(pos)").as("bm"))
-      .cache()
+      .localCheckpoint()  // r11 barrier convention: freed with the RDD, not session-immortal
     val days = day.groupBy(col("event_type"), col("day"))
       .agg(sum(expr("graft_bitmap_card(bm)")).as("n_users"))
       .select(col("event_type"), col("day").cast("string").as("day"), col("n_users"))
@@ -1867,7 +1867,7 @@ object CoreQueries {
         col("user_id"))
       .groupBy(col("event_type"), col("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-      .cache()
+      .localCheckpoint()  // r11 barrier convention: freed with the RDD, not session-immortal
     val days = day.select(col("event_type"), col("day").cast("string").as("day"),
       expr("hll_sketch_estimate(sk)").as("n_users"))
     val totals = day.groupBy(col("event_type"))
@@ -1892,7 +1892,7 @@ object CoreQueries {
         col("o_totalprice"))
       .groupBy(col("o_orderpriority"), col("month"))
       .agg(expr("graft_kll(o_totalprice)").as("sk"))
-      .cache()
+      .localCheckpoint()  // r11 barrier convention: freed with the RDD, not session-immortal
     def quantiles(skCol: String): Seq[Column] = Seq(
       expr(s"graft_kll_quantile($skCol, 0.5)").as("p50"),
       expr(s"graft_kll_quantile($skCol, 0.95)").as("p95"),
@@ -1954,7 +1954,7 @@ object CoreQueries {
         expr("user_id % 65536").as("pos"))
       .groupBy(col("day"), col("chunk"))
       .agg(expr("graft_bitmap(pos)").as("bm"))
-      .cache()
+      .localCheckpoint()  // r11 barrier convention: freed with the RDD, not session-immortal
     val spine = day.select(col("day")).distinct()
     val contrib = day
       .select(col("day"), col("chunk"), col("bm"), explode(sequence(lit(0), lit(6))).as("off"))
