@@ -33,9 +33,10 @@ object DeltaBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
-    // section filter (round 11): appends | compaction | maintenance |
-    // all — the maintenance pricing sweeps scale dirs, where re-running
-    // the other sections would dominate the sweep's wall time
+    // section filter (round 11): appends | idempotent | compaction |
+    // maintenance | all — the maintenance pricing sweeps scale dirs,
+    // where re-running the other sections would dominate the sweep's
+    // wall time
     val section = args.drop(2).headOption.getOrElse("all")
     def on(s: String): Boolean = section == "all" || section == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,6 +123,49 @@ object DeltaBench {
         val tFull = minTime(fam.full)
         val tApp = minTimeOnCopy(proto)(fam.append)
         println(f"| ${fam.name} | $tFull%.2f s | $tApp%.2f s | ${tFull / tApp}%.1f× |")
+      }
+    }
+
+    // ---- round 12 (VERDICT r11 #2): the exactly-once premium ----
+    // What the idempotent twins' existence anti-join costs over the
+    // plain append (first delivery), and what a full replay costs (the
+    // check finds everything present, appends zero) — the crash-rerun
+    // price a pipeline pays for closing at-least-once redelivery.
+    if (on("idempotent")) {
+      case class Idem(name: String, buildBase: String => Unit,
+          plain: String => Unit, idem: String => Long)
+      val idems = Seq(
+        Idem("ivf", p => Similarity.ivfWriteIndex(embBase, p),
+          p => Similarity.ivfAppendDelta(embDelta, p),
+          p => Similarity.ivfAppendDeltaIdempotent(embDelta, p)),
+        Idem("pq", p => Similarity.pqWriteIndex(embBase, p, dim),
+          p => Similarity.pqAppendDelta(embDelta, p, dim),
+          p => Similarity.pqAppendDeltaIdempotent(embDelta, p, dim)),
+        Idem("lsh", p => Similarity.lshWriteIndex(embBase, p, dim),
+          p => Similarity.lshAppendDelta(embDelta, p, dim),
+          p => Similarity.lshAppendDeltaIdempotent(embDelta, p, dim)),
+        Idem("ivfpq", p => Similarity.ivfPqWriteIndex(embBase, p, dim),
+          p => Similarity.ivfPqAppendDelta(embDelta, p, dim),
+          p => Similarity.ivfPqAppendDeltaIdempotent(embDelta, p, dim)))
+      println(s"| index | plain append | idempotent 1st delivery | full replay (0 rows) |")
+      println(s"| --- | --- | --- | --- |")
+      idems.foreach { fam =>
+        val proto = fresh()
+        fam.buildBase(proto)
+        val tPlain = minTimeOnCopy(proto)(p => fam.plain(p))
+        val tIdem = minTimeOnCopy(proto)(p => { fam.idem(p); () })
+        // replay is timed on an already-ingested copy (first delivery
+        // untimed per rep) and must append zero rows
+        val tReplay = (1 to reps).map { _ =>
+          val c = fresh()
+          copyDir(new java.io.File(proto), new java.io.File(c))
+          fam.idem(c)
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          require(fam.idem(c) == 0L, s"${fam.name} replay appended rows")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"| ${fam.name} | $tPlain%.2f s | $tIdem%.2f s | $tReplay%.2f s |")
       }
     }
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.Similarity
 
@@ -262,6 +262,39 @@ class IvfIndexSpec extends SparkTestBase {
     assert(Similarity.pqAppendDeltaIdempotent(
       delta.filter(col("vec_id") % 16 === 0), idem, dim = 64) === 0L)
     assert(Similarity.pqProbeIndex(spark, idem, q, k = 10).collect().toSeq === probe)
+  }
+
+  test("flat-PQ idempotent existence check is vb-PRUNED: a corrupt file in a non-target range is never read") {
+    // the pruning claim asserted BEHAVIORALLY, not from the plan: the
+    // testdata's vec_ids all land in vb=0, so this fixture spreads a
+    // synthetic corpus across three ranges, plants a NON-PARQUET file
+    // inside vb=0's directory, and appends a batch targeting only the
+    // newest range — a whole-table existence scan would throw on the
+    // corrupt footer; the partition-pruned check must succeed. This is
+    // exactly the monotone-ingest shape the vb key exists for: the
+    // batch's target dirs are the newest range, never the corpus.
+    val emb = Tables.embeddings(spark, Sf0001).select(col("vec_id"), col("embedding"))
+    val W = graft.operators.Similarity.PqVbRange
+    val base = emb.withColumn("vec_id",
+      (col("vec_id") % 3) * W + col("vec_id")) // spreads over vb 0..2
+    val delta = emb.filter(col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + lit(3 * W))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqflat-prune").toString
+    graft.operators.Similarity.pqWriteIndex(base, dir, dim = 64)
+    assert(new java.io.File(s"$dir/codes/vb=0").isDirectory &&
+      new java.io.File(s"$dir/codes/vb=2").isDirectory, "fixture spread failed")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/codes/vb=0/part-corrupt.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    // pruned to vb=3: succeeds despite the landmine in vb=0
+    val n = graft.operators.Similarity.pqAppendDeltaIdempotent(delta, dir, dim = 64)
+    assert(n === 40L)
+    assert(graft.operators.Similarity.pqAppendDeltaIdempotent(delta, dir, dim = 64) === 0L)
+    // control: an UNPRUNED read of the code table does hit the landmine
+    intercept[Throwable] {
+      spark.read.parquet(s"$dir/codes").select("vec_id").collect()
+    }
+    ()
   }
 
   test("idempotent appends collapse duplicate vec_ids WITHIN one batch; sequential interleaved batches replay clean") {
