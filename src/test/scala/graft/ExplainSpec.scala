@@ -448,22 +448,29 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q62 bitmap distinct: both output grains read the cached day aggregate") {
+  test("q62 bitmap distinct: both output grains read the materialized day aggregate, never the fact scan") {
+    // round 12: the day-grain barrier moved cache() → localCheckpoint()
+    // (freed with the RDD instead of living for the session), so the
+    // pin now asserts the PROPERTY the cache pin stood for, directly:
+    // the query-time plan reads the materialized day relation on both
+    // grains and contains NO events file scan at all — the fact was
+    // scanned exactly once, at barrier time.
     val df = CoreQueries.q62BitmapDistinct(spark, Sf0001)
     val p = plan(df)
-    // the rollup must merge day bitmaps, not re-scan events: the
-    // events parquet scan appears only inside the cached relation
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
-      s"day-grain cache not reused by both grains:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 2,
+      s"day-grain barrier not reused by both grains:\n${p.take(3000)}")
+    assert(!p.contains("FileScan"),
+      s"an output grain re-scans the fact table:\n${p.take(3000)}")
     assert(p.contains("partial"), s"bitmap aggregate must map-side combine:\n${p.take(3000)}")
-    spark.catalog.clearCache()
   }
 
-  test("q66 HLL rollup: totals merge day sketches from cache, not a fact re-scan") {
+  test("q66 HLL rollup: totals merge materialized day sketches, not a fact re-scan") {
     val df = CoreQueries.q66HllRollup(spark, Sf0001)
     val p = plan(df)
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
-      s"day-sketch cache not reused by both grains:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 2,
+      s"day-sketch barrier not reused by both grains:\n${p.take(3000)}")
+    assert(!p.contains("FileScan"),
+      s"an output grain re-scans the fact table:\n${p.take(3000)}")
     assert(p.contains("partial"), s"hll_sketch_agg must map-side combine:\n${p.take(3000)}")
   }
 
