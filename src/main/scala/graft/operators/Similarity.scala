@@ -1360,4 +1360,60 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"),
         col("n_vecs"), col("centroid"))
       .orderBy(col("label"), col("pos"))
+
+  /** dd17: SEMANTIC DEDUPLICATION (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): k-means CLUSTER BLOCKING over the embedding
+    * space, exact cosine only within clusters, transitive groups, keep
+    * ONE representative per group — the member FARTHEST from its
+    * centroid (the paper's choice: of a semantic-duplicate set, the
+    * least prototypical example carries the most marginal training
+    * signal). This is the third blocking geometry of the embedding
+    * dedup family — dd5 blocks by random hyperplanes (LSH), mm7 by
+    * content-defined chunks; SemDeDup blocks by LEARNED cell structure,
+    * which is what makes it the one used on web-scale LLM corpora:
+    * pair cost is Σ nᶜ², so with cluster count grown ∝ corpus (the
+    * `k` parameter; cells stay ~constant-sized, the IVF contract) the
+    * quadratic term never materializes. The knowingly-accepted recall
+    * trade, same as the paper's: a near-dup pair split across a cell
+    * boundary is missed (spec documents one).
+    *
+    * Plan: one Lloyd run ([[kmeansAssign]] — integer-exact, so
+    * clusters are engine-reproducible and the whole operator ORACLES,
+    * rare for anything clustering-based), localCheckpoint barrier on
+    * the n×3 assignment (the fan-out rides it 3×: two join sides +
+    * the final attach — never re-running Lloyd), then a cluster-keyed
+    * self-join scores cosine per within-cell pair (cells are the
+    * working-set unit; a hot cell is an AQE skew split), min-label
+    * propagation (Dedup.dupGroupLabels — cluster-blocked edges keep
+    * components within cells), and one max_by per group picks the
+    * keeper. Output: every vector labeled (cluster, group_id, keep).
+    *
+    * τ is on the same cosine scale as dd5 — the two operators differ
+    * ONLY in blocking, which the spec exploits (both are sound w.r.t.
+    * the exact ≥τ pair set). */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val asg = kmeansAssign(emb, k, iters).localCheckpoint(true)
+    val withEmb = asg.select(col("vec_id"), col("cluster"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val x = withEmb.as("x"); val y = withEmb.as("y")
+    val pairs = x.join(y,
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"),
+        call_function("graft_cosine",
+          col("x.embedding"), col("y.embedding")).as("cosine"))
+      .filter(col("cosine") >= tau)
+    val labels = graft.operators.Dedup.dupGroupLabels(
+      asg.select(col("vec_id").as("doc_id")), pairs, 50, None)
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+    val joined = asg.join(labels, "vec_id")
+    val keeper = joined.groupBy(col("group_id"))
+      .agg(max(struct(col("dist2u"), col("vec_id"))).as("kp"))
+    joined.join(keeper, "group_id")
+      .select(col("vec_id"), col("cluster"), col("group_id"),
+        (col("vec_id") === col("kp.vec_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -3738,6 +3738,107 @@ object CoreQueries {
       |FROM cum c JOIN cs USING (cym)
       |ORDER BY cohort_ym, age_months""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** q99: revenue CONCENTRATION per market segment — exact Gini
+    * coefficient + top-decile revenue share over per-customer revenue.
+    * Concentration is the metric behind every "cap the heavy domains"
+    * decision (tx18's cap, tx19's mixture): it says HOW skewed a
+    * source's mass is before you pick the cap. Gini via the rank
+    * formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted x.
+    *
+    * Σ i·xᵢ needs every row's GLOBAL rank within its segment, and the
+    * naive plan is a per-segment ORDER BY window over all customers —
+    * a handful of giant sorted partitions (the q78/q83 cliff: segment
+    * cardinality is 5 at any scale). Instead the rank is computed
+    * DISTRIBUTED, q83's two-phase domain-bucketing generalized from
+    * "locate one crossing" to "number every row": (1) one partial-agg
+    * scan to (segment, revenue-bucket) counts — a domain-sized
+    * aggregate — whose running count gives each bucket its rank OFFSET
+    * (rows in lower buckets); (2) each row's local row_number within
+    * its (segment, bucket) — partitions are bucket-sized, the manual
+    * range-partition of a global sort — plus the offset is the exact
+    * global rank. Equal revenues contribute identically to Σ i·x under
+    * any tie order (values equal ⇒ rank swap is a no-op), and the
+    * top-decile boundary is made deterministic by the (revenue,
+    * custkey) tie-break mirrored in the oracle. All mass arithmetic is
+    * integer cents; per-product i·x fits int64 (rank < 2³³, cents
+    * < 2³⁰), the Σ accumulates in DECIMAL(38,0) — exact at any SF —
+    * and only the final ratios divide in double, mirrored op-for-op.
+    * The bucket width (2²² cents ≈ $42k) is the balance knob: buckets
+    * are range-disjoint, so a skewed revenue distribution concentrates
+    * rows in few buckets and the width is what you shrink. */
+  def q99GiniConcentration(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as long)")).as("x"))
+    val seg = rev.join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("ck") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("ck"),
+        col("x"), expr("x div 4194304").as("bkt"))
+    // phase 1: domain-sized (seg, bucket) aggregate → rank offsets
+    val wseg = Window.partitionBy(col("seg"))
+    val wcum = Window.partitionBy(col("seg")).orderBy(col("bkt"))
+    val off = seg.groupBy(col("seg"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", sum(col("cnt")).over(wcum) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wseg))
+      .select(col("seg"), col("bkt"), col("below"), col("n"))
+    // phase 2: local rank within the range-disjoint bucket + offset
+    // = exact global rank; partitions are bucket-sized, never segment-sized
+    val wloc = Window.partitionBy(col("seg"), col("bkt"))
+      .orderBy(col("x"), col("ck"))
+    val ranked = seg.join(broadcast(off), Seq("seg", "bkt"))
+      .withColumn("i", col("below") + row_number().over(wloc))
+    val a = ranked.groupBy(col("seg"))
+      .agg(max(col("n")).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum((col("i") * col("x")).cast(DecimalType(38, 0))).as("six"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("x"))
+          .otherwise(lit(0L)).cast(DecimalType(38, 0))).as("topx"))
+    a.select(col("seg").as("c_mktsegment"),
+        col("n").as("n_cust"),
+        (col("sx").cast("double") / lit(100.0)).as("total_revenue"),
+        ((lit(2.0) * col("six").cast("double"))
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + lit(1L)).cast("double") / col("n").cast("double"))
+          .as("gini"),
+        (col("topx").cast("double") / col("sx").cast("double"))
+          .as("top10_share"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The naive per-segment window statement of the same ranks. */
+  val q99Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey AS ck,
+      |   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT c.c_mktsegment AS seg, r.ck, r.x
+      |  FROM rev r JOIN customer c ON r.ck = c.c_custkey),
+      |rk AS (
+      |  SELECT seg, ck, x,
+      |   row_number() OVER (PARTITION BY seg ORDER BY x, ck) AS i,
+      |   COUNT(*) OVER (PARTITION BY seg) AS n
+      |  FROM s),
+      |a AS (
+      |  SELECT seg, MAX(n) AS n,
+      |   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |   CAST(SUM(CAST(i * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS six,
+      |   CAST(SUM(CASE WHEN i > n - (n // 10)
+      |            THEN CAST(x AS DECIMAL(38,0))
+      |            ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS topx
+      |  FROM rk GROUP BY seg)
+      |SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_cust,
+      | CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 100.0 AS total_revenue,
+      | (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE))
+      |   / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |   - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini,
+      | CAST(CAST(topx AS VARCHAR) AS DOUBLE)
+      |   / CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS top10_share
+      |FROM a ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_filter_project", q02FilterProject _, q02Sql),
@@ -3827,5 +3928,6 @@ object CoreQueries {
     ("q96_ship_latency", q96ShipLatency _, q96Sql),
     ("q97_skew_report", q97SkewReport _, q97Sql),
     ("q98_cohort_ltv", q98CohortLtv _, q98Sql),
+    ("q99_gini_concentration", q99GiniConcentration _, q99Sql),
   )
 }

@@ -1060,6 +1060,47 @@ object PipelineQueries {
       |FROM cs, tot
       |ORDER BY cluster""".stripMargin
 
+  /** dd17: SemDeDup — semantic dedup via k-means cluster blocking
+    * (Similarity.semanticDedup). Lives in the dd family but rides
+    * ss10's kmeans: same K/iters, so the cluster structure a user
+    * inspects through ss10/ss13 is the one dd17 blocks with. ORACLE-
+    * GATED end to end — the integer-exact Lloyd rounds (ss10's CTEs),
+    * the bit-exact cosine (ss1's parity), and dd6's recursive-CTE
+    * components compose into one statement; clustering-based dedup
+    * almost never gates this strongly. */
+  def dd17(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d),
+      KmeansK, KmeansIters, CosineDupThreshold)
+
+  val dd17Sql: String =
+    s"""${KmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |asg AS (SELECT vec_id, cluster, dist AS dist2u FROM a2 WHERE rn = 1),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |prs AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  JOIN ev ea ON ea.vec_id = a.vec_id
+      |  JOIN ev eb ON eb.vec_id = b.vec_id
+      |  WHERE list_cosine_similarity(ea.e, eb.e) >= $CosineDupThreshold),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+      |          UNION ALL SELECT doc_b, doc_a FROM prs),
+      |rch(src, dst) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.src, e2.dst FROM rch r JOIN edges e2 ON r.dst = e2.src),
+      |grp AS (SELECT src AS vec_id, MIN(dst) AS group_id FROM rch GROUP BY src),
+      |lab AS (SELECT g.vec_id, a.cluster, g.group_id, a.dist2u
+      |        FROM grp g JOIN asg a USING (vec_id)),
+      |kp AS (
+      |  SELECT group_id, vec_id AS keep_vec FROM (
+      |    SELECT group_id, vec_id, row_number() OVER (PARTITION BY group_id
+      |      ORDER BY dist2u DESC, vec_id DESC) AS krn
+      |    FROM lab) WHERE krn = 1)
+      |SELECT l.vec_id, CAST(l.cluster AS INTEGER) AS cluster, l.group_id,
+      | (l.vec_id = k.keep_vec) AS keep
+      |FROM lab l JOIN kp k USING (group_id)
+      |ORDER BY l.vec_id""".stripMargin
+
   /** Long-form per-label centroids; generate_subscripts aligns with
     * Spark's posexplode (shifted to 0-based). DOUBLE cast before the
     * DECIMAL accumulation mirrors the Spark plan exactly. */
@@ -1328,6 +1369,7 @@ object PipelineQueries {
     ("dd14_dedup_stats", dd14 _, dd14Sql),
     ("dd15_group_sizes", dd15 _, dd15Sql),
     ("dd16_threshold_curve", dd16 _, dd16Sql),
+    ("dd17_semdedup", dd17 _, dd17Sql),
     ("ss1_brute_topk", ss1 _, ss1Sql),
     ("ss2_lsh_ann", ss2 _, null),
     ("ss3_ivf_ann", ss3 _, null),

@@ -1189,6 +1189,121 @@ object StreamQueries {
       .parquet(s"$d/embeddings.parque*")
   }
 
+  /** st18 (round 12): STREAMING CDC APPLY — a change-data-capture
+    * changelog folded into a standing keyed table with COLUMN-LEVEL
+    * patches and DELETE tombstones, the operator st13 (whole-row
+    * upsert) cannot express: an update that carries only one column
+    * must not clobber the other, and a delete must remove the key
+    * while later ops may re-create it. The changelog is synthesized
+    * from the events table by a fixed op mapping, stated once here and
+    * mirrored in the oracle: 'error' = DELETE tombstone; 'purchase' =
+    * patch column `spend`; 'click'/'view' = patch column `score`;
+    * 'signup' = bare upsert (creates/touches the row, patches
+    * nothing). Ops are ordered by the total tuple (ets, event_type,
+    * value) — st13's order, so ties are engine-independent.
+    *
+    * Semantics per key: the row is PRESENT iff the last op overall is
+    * not a delete; each column holds the value of its last patch
+    * PROVIDED that patch is later than the last delete (a re-created
+    * row starts blank — patches from its previous life stay dead).
+    * The whole reduction is four tuple-MAXes per key (last op overall,
+    * last delete, last score-patch, last spend-patch — presentation
+    * derives the row from those), each associative and commutative,
+    * so ANY micro-batch split converges to the same standing table —
+    * the property the multi-batch spec pins — and tombstones RETAINED
+    * in state (not applied eagerly) are what make late cross-batch
+    * patches safe; dropping a deleted key from state would resurrect
+    * it if an older patch arrived in a later batch. Retention is the
+    * production trade: state is O(keys) forever; a real deployment
+    * expires tombstones past the redelivery horizon (the same cadence
+    * contract as Compact).
+    *
+    * Exactly-once: st13's idempotence argument verbatim — state
+    * versions keyed by batchId, state_N = merge(state_(N−1), batch N)
+    * written with overwrite, so a replayed batch rewrites its own
+    * version from its unchanged predecessor. */
+  def st18(s: SparkSession, d: String): DataFrame =
+    st18Finish(cdcApplyRun(s, eventsStream(s, d))._1)
+
+  /** The four-tuple-max reduction of one op set (a batch, or prior
+    * state re-expressed as ops) — the CDC merge operator. */
+  private[graft] def cdcAggOps(df: DataFrame): DataFrame = {
+    def s3 = struct(col("ets"), col("event_type").as("et"), col("value").as("v"))
+    df.groupBy(col("user_id")).agg(
+      max(s3).as("lst"),
+      max(when(col("event_type") === "error", s3)).as("dl"),
+      max(when(col("event_type").isin("click", "view"), s3)).as("sc"),
+      max(when(col("event_type") === "purchase", s3)).as("sp"))
+  }
+
+  /** Merge two standing CDC states: component-wise tuple max. */
+  private[graft] def cdcMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("user_id")).agg(
+      max(col("lst")).as("lst"), max(col("dl")).as("dl"),
+      max(col("sc")).as("sc"), max(col("sp")).as("sp"))
+
+  /** (final standing state, state versions committed) — versioned
+    * batchId-keyed state, st13's idempotent foreachBatch shape. */
+  private[graft] def cdcApplyRun(s: SparkSession, src: DataFrame): (DataFrame, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st18").toString
+    val ops = src.select(col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("ets"),
+      col("event_type"), col("value"))
+    withStreamShuffle(s) {
+      val q = ops.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val prev = new java.io.File(s"$dir/state_${id - 1}")
+          val incoming = cdcAggOps(batch.toDF().select(
+            col("user_id"), col("ets"), col("event_type"), col("value")))
+          val merged =
+            if (!prev.exists) incoming
+            else cdcMerge(s.read.parquet(prev.getPath), incoming)
+          merged.write.mode("overwrite").parquet(s"$dir/state_$id")
+          ()
+      }.option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    val versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("state_")).map(_.stripPrefix("state_").toLong)
+    (s.read.parquet(s"$dir/state_${versions.max}"), versions.length)
+  }
+
+  /** Presentation over the standing state: presence + column patches
+    * gated on the last-delete tuple. */
+  private[graft] def st18Finish(standing: DataFrame): DataFrame =
+    standing.filter(col("lst.et") =!= "error")
+      .select(col("user_id"),
+        col("lst.ets").cast("timestamp_ntz").as("last_ts"),
+        when(col("sc").isNotNull && (col("dl").isNull || col("sc") > col("dl")),
+          col("sc.v")).as("score"),
+        when(col("sp").isNotNull && (col("dl").isNull || col("sp") > col("dl")),
+          col("sp.v")).as("spend"))
+      .orderBy(col("user_id"))
+
+  /** The batch statement of the same reduction — four tuple-maxes per
+    * key over the whole changelog, then the identical presentation. */
+  val st18Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ets, event_type, value
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id,
+      |   max(struct_pack(ets := ets, et := event_type, v := value)) AS lst,
+      |   max(CASE WHEN event_type = 'error'
+      |       THEN struct_pack(ets := ets, et := event_type, v := value) END) AS dl,
+      |   max(CASE WHEN event_type IN ('click','view')
+      |       THEN struct_pack(ets := ets, et := event_type, v := value) END) AS sc,
+      |   max(CASE WHEN event_type = 'purchase'
+      |       THEN struct_pack(ets := ets, et := event_type, v := value) END) AS sp
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, lst.ets AS last_ts,
+      | CASE WHEN sc IS NOT NULL AND (dl IS NULL OR sc > dl) THEN sc.v END AS score,
+      | CASE WHEN sp IS NOT NULL AND (dl IS NULL OR sp > dl) THEN sp.v END AS spend
+      |FROM t WHERE lst.et <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -1206,5 +1321,6 @@ object StreamQueries {
     ("st14_stream_anomaly", st14 _, st14Sql),
     ("st15_stream_ingest_dedup", st15 _, st15Sql),
     ("st16_stream_attribution", st16 _, st16Sql),
-    ("st17_stream_ann_ingest", st17 _, null))
+    ("st17_stream_ann_ingest", st17 _, null),
+    ("st18_stream_cdc_apply", st18 _, st18Sql))
 }

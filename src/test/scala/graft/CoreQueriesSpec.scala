@@ -642,4 +642,37 @@ class CoreQueriesSpec extends SparkTestBase {
         s"cohort $cym age $age")
     }
   }
+
+  test("q99 gini: driver-side replay of exact ranks, gini and top-decile share") {
+    val out = CoreQueries.q99GiniConcentration(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val rev = Tables.orders(spark, Sf0001)
+      .selectExpr("o_custkey", "cast(round(o_totalprice * 100) as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val segOf = Tables.customer(spark, Sf0001)
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySeg = rev.toSeq.map { case (ck, x) => (segOf(ck), ck, x) }.groupBy(_._1)
+    assert(out.keySet === bySeg.keySet)
+    bySeg.foreach { case (sg, rows) =>
+      // the exact rank formula over the (revenue, custkey)-sorted list —
+      // what the two-phase bucket-offset machinery must reproduce
+      val sorted = rows.sortBy(t => (t._3, t._2))
+      val n = sorted.size.toLong
+      val sx = sorted.map(t => BigInt(t._3)).sum
+      val six = sorted.zipWithIndex
+        .map { case (t, i0) => BigInt(i0 + 1) * BigInt(t._3) }.sum
+      val k = n / 10
+      val topx = sorted.drop((n - k).toInt).map(t => BigInt(t._3)).sum
+      val gini = (2.0 * six.toDouble) / (n.toDouble * sx.toDouble) -
+        (n + 1).toDouble / n.toDouble
+      assert(out(sg) === ((n, sx.toDouble / 100.0, gini,
+        topx.toDouble / sx.toDouble)), s"segment $sg")
+      assert(gini > 0.0 && gini < 1.0)
+      // with any inequality at all, the top decile holds > 1/10 of mass
+      assert(topx.toDouble / sx.toDouble > 0.1)
+    }
+  }
 }

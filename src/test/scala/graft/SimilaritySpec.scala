@@ -412,4 +412,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head._3 < 1.0 || out.forall(_._3 == 1.0))
     assert(out.forall(_._2 > 0))
   }
+
+  test("dd17 semdedup: planted cells group near-dups, keeper is farthest-from-centroid, boundary pair missed") {
+    import spark.implicits._
+    // two symmetric cells seeded by ids 0/1; 2 ≈ 0 and 5 ≈ 1 (near-dups,
+    // cosine ≈ 0.99999); 3/4 straddle the cell boundary with cosine
+    // ≈ 0.98 ≥ τ — the pair SemDeDup knowingly misses
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)),
+      (2L, Seq(0.995f, 0.005f)), (3L, Seq(0.1f, 0.995f)),
+      (4L, Seq(-0.1f, 0.995f)), (5L, Seq(-0.995f, -0.005f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.semanticDedup(emb, k = 2, iters = 2, tau = 0.9).collect()
+    val out = rows.map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val asg = Similarity.kmeansAssign(emb, 2, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // fixture precondition: Lloyd splits the symmetric halves (each
+    // straddler joins its nearer seed's cell)
+    assert(asg(0)._1 === asg(2)._1 && asg(0)._1 === asg(3)._1)
+    assert(asg(1)._1 === asg(5)._1 && asg(1)._1 === asg(4)._1)
+    assert(asg(0)._1 !== asg(1)._1)
+    assert(out.keySet === asg.keySet)
+    // within-cell near-dups group under the min member; straddlers and
+    // non-dups are singletons that keep themselves
+    assert(out(0)._2 === 0L && out(2)._2 === 0L)
+    assert(out(1)._2 === 1L && out(5)._2 === 1L)
+    assert(out(3) === ((asg(3)._1, 3L, true)))
+    assert(out(4) === ((asg(4)._1, 4L, true)))
+    // the documented recall trade: cosine(3,4) ≥ τ yet the cell
+    // boundary keeps them apart
+    assert(out(3)._2 !== out(4)._2)
+    // exactly one keeper per group — the max (dist2u, vec_id) member,
+    // SemDeDup's least-prototypical-representative rule
+    for (g <- Seq(0L, 1L)) {
+      val members = out.collect { case (v, (_, grp, _)) if grp == g => v }.toSeq
+      val keepers = members.filter(out(_)._3)
+      assert(keepers === Seq(members.maxBy(m => (asg(m)._2, m))), s"group $g")
+    }
+    // deterministic end to end
+    assert(Similarity.semanticDedup(emb, 2, 2, 0.9).collect().toSeq === rows.toSeq)
+  }
+
+  test("dd17 semdedup on the real table: total labeling, one keeper per group, groups within cells") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val out = Similarity.semanticDedup(emb, 8, 2, 0.35).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === emb.count().toInt, "every vector labeled exactly once")
+    val byGroup = out.groupBy(_._3)
+    byGroup.foreach { case (g, members) =>
+      assert(members.count(_._4) === 1, s"group $g keeper count")
+      assert(g === members.map(_._1).min, s"group $g labeled by min member")
+      assert(members.map(_._2).distinct.length === 1,
+        s"group $g spans kmeans cells — cluster blocking violated")
+    }
+    assert(byGroup.exists(_._2.length > 1), "no dup group found — fixture degenerate")
+  }
 }

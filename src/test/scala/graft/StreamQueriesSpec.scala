@@ -527,4 +527,56 @@ class StreamQueriesSpec extends SparkTestBase {
       (59L, false, -1L, -1.0, 0L),
       (60L, true, 4L, 0.9, 1L)))
   }
+
+  test("st18 cdc apply: multi-batch (4-file, 1/trigger) ≡ single run ≡ batch twin; tombstones suppress") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st18-src").toString
+    spark.read.parquet(s"$Sf0001/events.parquet").repartition(4)
+      .write.parquet(s"$dir/events.parquet")
+    val (standing, versions) = StreamQueries.cdcApplyRun(spark,
+      StreamQueries.eventsStreamFrom(spark, dir, Some(1)))
+    val multi = StreamQueries.st18Finish(standing).collect().toSeq
+    assert(versions >= 4, s"expected >=4 state versions, got $versions")
+    val single = StreamQueries.st18(spark, Sf0001).collect().toSeq
+    assert(multi === single)
+    val twin = StreamQueries.st18Finish(StreamQueries.cdcAggOps(
+      Tables.events(spark, Sf0001).select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value")))).collect().toSeq
+    assert(multi === twin)
+    assert(multi.nonEmpty)
+    val nUsers = Tables.events(spark, Sf0001).select("user_id").distinct().count()
+    assert(multi.size < nUsers, "no tombstone suppressed a key — fixture degenerate")
+  }
+
+  test("st18 cdc semantics: planted delete / re-create / column-patch boundaries") {
+    import spark.implicits._
+    // (user, µs, op-bearing event_type, value) — the op mapping under
+    // test: error = delete, purchase = spend patch, click/view = score
+    // patch, signup = bare upsert
+    val ops = Seq(
+      (1L, 1L, "signup", 0.0), (1L, 2L, "click", 5.0), (1L, 3L, "purchase", 10.0),
+      (2L, 1L, "click", 5.0), (2L, 2L, "error", 0.0),
+      (3L, 1L, "signup", 0.0), (3L, 2L, "purchase", 10.0),
+      (3L, 3L, "error", 0.0), (3L, 4L, "click", 7.0),
+      (4L, 1L, "error", 0.0), (4L, 2L, "signup", 0.0),
+      (5L, 2L, "click", 9.0), (5L, 1L, "click", 3.0))
+      .toDF("user_id", "us", "event_type", "value")
+      .withColumn("ets", timestamp_micros(col("us"))).drop("us")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      StreamQueries.st18Finish(df).collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).getNano / 1000,
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    val got = render(StreamQueries.cdcAggOps(ops))
+    assert(got === Seq(
+      (1L, 3, 5.0, 10.0),   // plain row: both patches live
+      //   user 2 absent: last op is the tombstone
+      (3L, 4, 7.0, -1.0),   // re-created: patch after delete lives, before dies
+      (4L, 2, -1.0, -1.0),  // delete then bare re-insert: blank row
+      (5L, 2, 9.0, -1.0)))  // two patches of one column: last wins
+    // associativity across any batch split: merge(agg(b1), agg(b2)) ≡ agg(all)
+    val Array(b1, b2) = ops.randomSplit(Array(0.5, 0.5), seed = 7)
+    assert(render(StreamQueries.cdcMerge(
+      StreamQueries.cdcAggOps(b1), StreamQueries.cdcAggOps(b2))) === got)
+  }
 }
