@@ -1383,16 +1383,33 @@ object Similarity {
     * the n×3 assignment (the fan-out rides it 3×: two join sides +
     * the final attach — never re-running Lloyd), then a cluster-keyed
     * self-join scores cosine per within-cell pair (cells are the
-    * working-set unit; a hot cell is an AQE skew split), min-label
-    * propagation (Dedup.dupGroupLabels — cluster-blocked edges keep
-    * components within cells), and one max_by per group picks the
-    * keeper. Output: every vector labeled (cluster, group_id, keep).
+    * working-set unit; a hot cell is an AQE skew split), PER-CELL
+    * union-find for the transitive groups, and one max_by per group
+    * picks the keeper. Output: every vector labeled
+    * (cluster, group_id, keep).
+    *
+    * The labeling deliberately does NOT use dd6's iterative min-label
+    * propagation: cluster blocking gives dd17 an invariant dd6's
+    * corpus-spanning dup graph lacks — every component lives INSIDE
+    * one cell (edges are cell-local by construction) — so connected
+    * components collapse to an embarrassingly-parallel per-cell fold:
+    * ONE shuffle of the pair set keyed by cell, then a single-task
+    * union-find per cell (union-by-min + path compression, O(E·α)
+    * over a working set the pairing step already bounded at nᶜ
+    * nodes — strictly cheaper than the nᶜ² cosine join that feeds
+    * it). Measured against the generic loop at sf0.1: the τ=0.35
+    * within-cell graph is sparse and chain-like, and propagation paid
+    * 20 rounds of per-round scheduling floor (13.7 s); the per-cell
+    * fold is one stage. At 100 TB the cell count grows with the
+    * corpus while cells stay bounded, so the fold stays one even
+    * stage of constant-size tasks.
     *
     * τ is on the same cosine scale as dd5 — the two operators differ
     * ONLY in blocking, which the spec exploits (both are sound w.r.t.
     * the exact ≥τ pair set). */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     VectorFunctions.register(spark)
     val asg = kmeansAssign(emb, k, iters).localCheckpoint(true)
     val withEmb = asg.select(col("vec_id"), col("cluster"))
@@ -1401,14 +1418,39 @@ object Similarity {
     val pairs = x.join(y,
         col("x.cluster") === col("y.cluster") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"),
+      .select(col("x.cluster").as("cell"),
+        col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"),
         call_function("graft_cosine",
           col("x.embedding"), col("y.embedding")).as("cosine"))
       .filter(col("cosine") >= tau)
-    val labels = graft.operators.Dedup.dupGroupLabels(
-      asg.select(col("vec_id").as("doc_id")), pairs, 50, None)
-      .select(col("doc_id").as("vec_id"), col("group_id"))
-    val joined = asg.join(labels, "vec_id")
+    // per-cell disjoint-set union: union-by-min roots every tree at
+    // its component's minimum vec_id (roots only ever decrease on a
+    // merge), so find() emits dd6's exact labeling convention
+    val labels = pairs
+      .select(col("cell").as("_1"), col("doc_a").as("_2"), col("doc_b").as("_3"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, edges) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (_, a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.map(v => (v, find(v)))
+      }
+      .toDF("vec_id", "group_id")
+    val joined = asg.join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist2u"),
+        coalesce(col("group_id"), col("vec_id")).as("group_id"))
     val keeper = joined.groupBy(col("group_id"))
       .agg(max(struct(col("dist2u"), col("vec_id"))).as("kp"))
     joined.join(keeper, "group_id")

@@ -1068,9 +1068,24 @@ object PipelineQueries {
     * the bit-exact cosine (ss1's parity), and dd6's recursive-CTE
     * components compose into one statement; clustering-based dedup
     * almost never gates this strongly. */
-  def dd17(s: SparkSession, d: String): DataFrame =
-    Similarity.semanticDedup(Tables.embeddings(s, d),
-      KmeansK, KmeansIters, CosineDupThreshold)
+  /** Cell budget for dd17's cluster blocking: k = max(KmeansK,
+    * ⌈n/512⌉), so cells hold ~512 vectors at ANY corpus size — the
+    * SemDeDup contract that keeps pair cost Σ nᶜ² ≈ n·512 LINEAR in
+    * the corpus (fixed k measured superlinear: 2.2 → 22.8 s x1→x30;
+    * cells grew 30×, pairs 900×). At the oracle-gated SFs n/512 < 8,
+    * so k resolves to KmeansK and the unrolled k=8 oracle CTEs state
+    * the same computation. Lloyd itself is O(n·k) = O(n²/512) under
+    * this rule; at true scale the trainer runs on a sample (the IVF
+    * trainer's documented boundary) — at bench scale it's the smaller
+    * term. */
+  private val SemDedupCellSize = 512L
+
+  def dd17(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val k = math.max(KmeansK.toLong,
+      (emb.count() + SemDedupCellSize - 1) / SemDedupCellSize).toInt
+    Similarity.semanticDedup(emb, k, KmeansIters, CosineDupThreshold)
+  }
 
   val dd17Sql: String =
     s"""${KmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -958,4 +958,43 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial_count"),
       s"tf must map-side combine:\n${p.take(3000)}")
   }
+
+  test("q99 gini: ranks ride (seg, bucket) partitions, never a per-segment fact sort") {
+    val df = CoreQueries.q99GiniConcentration(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // phase 2's local rank must partition by BOTH seg and bkt — the
+    // manual range-partition of the global sort; a seg-only window
+    // over customers is the q78/q83 cliff this query exists to avoid
+    assert(p.contains("windowspecdefinition(seg") && p.contains(", bkt"),
+      s"local rank must partition by (seg, bkt):\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"gini ranks collapsed to one partition:\n${p.take(3000)}")
+    // the bucket-offset table is domain-sized and must broadcast to
+    // the fact side
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts must map-side combine:\n${p.take(3000)}")
+  }
+
+  test("dd17 semdedup: equi-joined cell pairs, one per-cell fold, no iteration artifacts") {
+    val df = Similarity.semanticDedup(
+      Tables.embeddings(spark, Sf0001), 8, 2, 0.35)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the within-cell pairing is a cluster-keyed equi self-join —
+    // never a cartesian over the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell pairing degenerated:\n${p.take(3000)}")
+    // the labeling is ONE per-cell typed fold (union-find), not dd6's
+    // iterative propagation: a MapGroups stage exists, and the final
+    // plan carries no checkpoint-scan chain from loop rounds
+    assert(p.contains("MapGroups"),
+      s"per-cell union-find stage missing:\n${p.take(3000)}")
+    // keeper selection map-side combines per group
+    assert(p.contains("partial_max"),
+      s"keeper max_by must map-side combine:\n${p.take(3000)}")
+  }
 }
