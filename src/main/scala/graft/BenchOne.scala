@@ -19,18 +19,37 @@ object BenchOne {
       .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query executor CPU via the same listener + drain bridge the
+    // Bench artifact uses — the wall column alone hid dd6's 10×
+    // candidate-regeneration redundancy for eleven rounds
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+      }
+    })
+    def cpuNow(): Long = {
+      org.apache.spark.graftbridge.ListenerDrain.waitUntilEmpty(spark.sparkContext)
+      cpuNs.get()
+    }
     args.drop(1).foreach { name =>
       val times = (1 to repeat).map { _ =>
         spark.catalog.clearCache()
         // localCheckpoint RDDs bypass the catalog cache; free them too
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val c0 = cpuNow()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[b1] $name rows=$n $dt%.1fs")
-        dt
+        val dc = (cpuNow() - c0) / 1e9
+        println(f"[b1] $name rows=$n $dt%.1fs cpu=$dc%.1fs")
+        (dt, dc)
       }
-      if (repeat > 1) println(f"[b1min] $name ${times.min}%.1fs")
+      if (repeat > 1) {
+        val best = times.minBy(_._1)
+        println(f"[b1min] $name ${best._1}%.1fs cpu=${best._2}%.1fs")
+      }
     }
     spark.stop()
   }
