@@ -14,25 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Executor CPU-time accounting (round 12 — VERDICT r11 #1): wall
-    // seconds on this box fold in host scheduling noise that swung the
-    // streaming family 2× between rounds with zero code change; the
-    // sum of task executorCpuTime is the work the PLAN actually did,
-    // immune to the host window, so BENCH_LAST carries both and
-    // regression reads gate on cpu when wall is ambiguous. The
-    // accumulator is drained (listener bus emptied) before each
-    // read so task-end events can't leak across query boundaries.
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
-      }
-    })
-    def cpuNow(): Long = {
-      org.apache.spark.graftbridge.ListenerDrain.waitUntilEmpty(spark.sparkContext)
-      cpuNs.get()
-    }
+    // Executor CPU-time accounting (BenchCpu, shared with BenchOne):
+    // BENCH_LAST carries wall AND cpu, and regression reads gate on
+    // cpu when wall is ambiguous (VERDICT r11 #1's host-window noise).
+    val cpuNow = BenchCpu.install(spark)
     // Warm-up (untimed): JIT + codegen caches + file-system cache, so
     // the first timed query doesn't absorb JVM start-up cost.
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()

@@ -19,20 +19,10 @@ object BenchOne {
       .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // per-query executor CPU via the same listener + drain bridge the
-    // Bench artifact uses — the wall column alone hid dd6's 10×
-    // candidate-regeneration redundancy for eleven rounds
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
-      }
-    })
-    def cpuNow(): Long = {
-      org.apache.spark.graftbridge.ListenerDrain.waitUntilEmpty(spark.sparkContext)
-      cpuNs.get()
-    }
+    // per-query executor CPU (BenchCpu, shared with Bench) — the wall
+    // column alone hid dd6's 10× candidate-regeneration redundancy for
+    // eleven rounds
+    val cpuNow = BenchCpu.install(spark)
     args.drop(1).foreach { name =>
       val times = (1 to repeat).map { _ =>
         spark.catalog.clearCache()

