@@ -486,6 +486,12 @@ class ExplainSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"triangle enumeration degenerated to a product join:\n${p.take(3000)}")
     assert(p.contains("LeftSemi"), s"closing-edge check must be a semi-join:\n${p.take(3000)}")
+    // the Bloom wedge pre-filter must sit in the wedge stage, BEFORE
+    // the semi-join exchange — at sf0.1 the wedge:triangle ratio is
+    // 26:1, so losing this filter silently re-inflates the closing
+    // shuffle 26× (exactness is the semi join's job either way)
+    assert(p.contains("graft_might_contain"),
+      s"wedge Bloom pre-filter missing from the plan:\n${p.take(3000)}")
   }
 
   test("q72 decay agg: single events pass, no join, map-side partial agg") {
