@@ -970,13 +970,22 @@ object Dedup {
       .agg(call_function("graft_simhash64", col("h")).as("simhash"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsFrom(simhash(docs), maxHamming)
+
+  /** The banding stage alone, over (doc_id, simhash) signatures
+    * already at rest — the probe path when signatures come off the
+    * materialized graft_simidx layout (round 12): the tokenize + hash
+    * + majority-vote corpus pass is per-corpus-version infrastructure
+    * like every other signature family's, so dd4 probes it instead of
+    * recomputing it per query. Probe ≡ inline is spec-pinned. */
+  def simhashPairsFrom(sigs: DataFrame, maxHamming: Int): DataFrame = {
     // Collapse identical signatures first: duplicate-heavy corpora put
     // hundreds of docs on one simhash, and a band self-join across
     // them is quadratic in the duplicate count. Intra-group pairs are
     // hamming 0 by construction; the band join then runs on DISTINCT
     // signatures only.
-    val groups = simhash(docs).groupBy("simhash")
+    val groups = sigs.groupBy("simhash")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
       .cache()
     val intra = groups.select(explode(col("ids")).as("da"), col("ids"))

@@ -255,8 +255,17 @@ object Multimodal {
     * equi-join), never an all-pairs comparison. Same machinery as
     * dd2's mask path; sound (zero misses), unlike fixed-band simhash
     * LSH. Output (doc_a, doc_b, hamming), doc_a < doc_b. */
-  def phashNearDup(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val groups = phash(docs).groupBy("phash")
+  def phashNearDup(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    phashNearDupFrom(phash(docs), maxHamming)
+
+  /** The banding stage alone, over (doc_id, phash) signatures already
+    * at rest — the probe path when signatures come off the
+    * materialized graft_phidx layout (round 12): the per-blob
+    * perceptual hash is per-corpus-version infrastructure (at 100 TB
+    * nobody re-decodes every asset per dedup query), so mm5 probes it.
+    * Probe ≡ inline is spec-pinned. */
+  def phashNearDupFrom(sigs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val groups = sigs.groupBy("phash")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
       .cache()
     val intra = groups.select(explode(col("ids")).as("da"), col("ids"))

@@ -664,4 +664,12 @@ class DedupSpec extends SparkTestBase {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("dd4 probe ≡ inline: materialized simhash signatures reproduce the inline pair set") {
+    val inline = Dedup.simhashPairs(Tables.documents(spark, Sf0001), 8)
+      .collect().toSeq
+    val probe = graft.queries.PipelineQueries.dd4(spark, Sf0001).collect().toSeq
+    assert(probe === inline)
+    assert(probe.nonEmpty)
+  }
 }

@@ -294,4 +294,14 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(reg === inline)
   }
+
+  test("mm5 probe ≡ inline: materialized phash signatures reproduce the inline pair set") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val inline = Multimodal.phashNearDup(
+      base.unionByName(Multimodal.reencodeStub(base))).collect().toSeq
+    val probe = graft.queries.PipelineQueries.mm5(spark, Sf0001).collect().toSeq
+    assert(probe === inline)
+    assert(probe.nonEmpty)
+  }
 }
