@@ -272,17 +272,38 @@ object Multimodal {
       .select(col("da"), explode(col("ids")).as("db"))
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(0L).as("hamming"))
-    val nBands = maxHamming + 1
+    // Multi-index Hamming banding (HmSearch's 1-variant scheme), round
+    // 12: the old k+1 disjoint-band pigeonhole gave only 64/(k+1) ≈ 7
+    // key bits per band, so a 246k-distinct-signature corpus (the x30
+    // scale point) collapsed into 128 buckets per band → ~2 BILLION
+    // false candidates and a 23.6 s probe. Pigeonhole on ⌊k/2⌋+1
+    // bands instead: dist ≤ k forces SOME band to differ by ≤ 1 bit
+    // (all bands ≥ 2 would total ≥ 2·(⌊k/2⌋+1) > k), so the probe side
+    // expands each band value to itself + its single-bit flips and the
+    // join stays an equi-join on ~13-bit keys — exactness preserved
+    // (zero misses), candidate volume ∝ n²/2¹³ per band instead of
+    // n²/2⁷, and the ×14 probe expansion is map-side rows, never a
+    // shuffle of the corpus. x30: 23.6 → measured-below s.
+    val nBands = maxHamming / 2 + 1
     val bounds = (0 to nBands).map(k => k * 64 / nBands)
-    val bandCols = (0 until nBands).map { k =>
+    def bandCols(flip: Boolean) = (0 until nBands).flatMap { k =>
       val lo = bounds(k); val width = bounds(k + 1) - lo
       val bits = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(k).as("band"), expr(s"(phash >> $lo) & $bits").as("bv"))
+      val base = s"(phash >> $lo) & $bits"
+      val variants = if (flip) Seq(base) ++ (0 until width).map(j => s"($base) ^ ${1L << j}")
+                     else Seq(base)
+      variants.map(v => struct(lit(k).as("band"), expr(v).as("bv")))
     }
     val reps = groups.select(col("rep"), col("phash"))
-    val bands = reps.select(col("rep"), col("phash"), explode(array(bandCols: _*)).as("b"))
-      .select(col("rep"), col("phash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val x = bands.as("x"); val y = bands.as("y")
+    def bands(flip: Boolean) =
+      reps.select(col("rep"), col("phash"),
+          explode(array(bandCols(flip): _*)).as("b"))
+        .select(col("rep"), col("phash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    // probe side carries the 1-bit variants; index side only the true
+    // band values — a (≤1-differing-bit, band) pair meets exactly when
+    // the probe's flipped key equals the index's value, in either
+    // direction, so rep_a < rep_b keeps one
+    val x = bands(flip = true).as("x"); val y = bands(flip = false).as("y")
     val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
