@@ -243,6 +243,68 @@ class DedupSpec extends SparkTestBase {
     assert(hashed.exists(_._3 > 0L)) // the corpus does contain dup spans
   }
 
+  test("span index: probe ≡ inline dupSpans on the driver corpus (round 13)") {
+    // the registry's dd8 probes the materialized graft_spanidx layout;
+    // its rows must equal the self-contained inline operator exactly
+    val t = Tables.documents(spark, Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+    Dedup.dupSpansWriteIndex(t, 10, idx)
+    val probed = rows(Dedup.dupSpansProbe(spark, idx))
+    val inline = rows(Dedup.dupSpans(t, n = 10))
+    assert(probed === inline)
+    assert(probed.exists(_._3 > 0L))
+  }
+
+  test("span index delta append: base ⊕ delta probe ≡ full inline rebuild; promotions reach standing docs") {
+    import spark.implicits._
+    val boiler = "this licence text is repeated verbatim across many documents today"
+    // base: doc 1 holds the boilerplate ONCE (df=1 → not duplicated yet)
+    val baseDocs = Seq(
+      (1L, s"unique opening words one two three four $boiler"),
+      (2L, "a completely original document with enough tokens to form several spans here now"),
+    ).toDF("doc_id", "text")
+    // delta: doc 3 brings the same passage → its span crosses df ≥ 2,
+    // which must retro-actively mark STANDING doc 1's span duplicated
+    val deltaDocs = Seq(
+      (3L, s"different preface tokens alpha beta gamma delta $boiler"),
+      (4L, "another fresh and unrelated piece of writing long enough for spans to exist okay"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-spanidx-d").toString
+    Dedup.dupSpansWriteIndex(baseDocs, 10, idx)
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val appended = rows(Dedup.dupSpansProbe(spark, idx))
+    val full = rows(Dedup.dupSpans(baseDocs.unionByName(deltaDocs), n = 10))
+    assert(appended === full)
+    val byDoc = appended.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) === 1L, "standing doc must see the delta-promoted span")
+    assert(byDoc(3L) === 1L)
+    // a second append of only-unique content must not re-promote
+    val delta2 = Seq((5L, "yet more entirely novel material that shares nothing with prior documents at all")).toDF("doc_id", "text")
+    Dedup.dupSpansAppendDelta(delta2, 10, idx)
+    val after2 = rows(Dedup.dupSpansProbe(spark, idx))
+    val full2 = rows(Dedup.dupSpans(
+      baseDocs.unionByName(deltaDocs).unionByName(delta2), n = 10))
+    assert(after2 === full2)
+  }
+
+  test("dd6 registry probe ≡ inline dupGroups labeling on the driver corpus (round 13)") {
+    // VERDICT r12 #1: dd6 now probes the materialized graft_dupidx
+    // full labeling; the at-rest rows must equal the inline iterative
+    // propagation bit-identically
+    val t = Tables.documents(spark, Sf0001)
+    val inline = Dedup.dupGroups(t, Dedup.ngramJaccardPairs(t, 1, 0.9))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probed = graft.queries.PipelineQueries.dd6(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probed === inline)
+    assert(probed.nonEmpty)
+    assert(probed.length === t.count())
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
