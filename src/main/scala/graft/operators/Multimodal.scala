@@ -247,14 +247,12 @@ object Multimodal {
     *
     * Identical signatures collapse first (duplicate-heavy corpora put
     * many assets on one hash; intra-group pairs are Hamming 0 by
-    * construction), then DISTINCT signatures ride the exact Hamming
-    * pigeonhole: maxHamming+1 disjoint bit-bands, since dist ≤ k must
-    * leave at least one of k+1 bands untouched — every qualifying
-    * pair agrees exactly on some band, so candidates come from
-    * maxHamming+1 equi-joins-worth of band keys (one exploded
-    * equi-join), never an all-pairs comparison. Same machinery as
-    * dd2's mask path; sound (zero misses), unlike fixed-band simhash
-    * LSH. Output (doc_a, doc_b, hamming), doc_a < doc_b. */
+    * construction), then DISTINCT signatures ride the multi-index
+    * 1-variant Hamming banding described at [[phashNearDupFrom]]:
+    * ⌊k/2⌋+1 bands, probe side expanded with single-bit flips, an
+    * equi-join on ~13-bit keys — sound (zero misses), never an
+    * all-pairs comparison. Output (doc_a, doc_b, hamming),
+    * doc_a < doc_b. */
   def phashNearDup(docs: DataFrame, maxHamming: Int = 8): DataFrame =
     phashNearDupFrom(phash(docs), maxHamming)
 

@@ -1445,7 +1445,11 @@ object Similarity {
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        parent.keysIterator.map(v => (v, find(v)))
+        // snapshot the keys before emitting: find() path-compresses
+        // (mutates) the same map, and mutation during keysIterator is
+        // not a documented-safe pattern across collection versions
+        val ks = parent.keys.toArray
+        ks.iterator.map(v => (v, find(v)))
       }
       .toDF("vec_id", "group_id")
     val joined = asg.join(labels, Seq("vec_id"), "left")

@@ -78,20 +78,40 @@ object Triangles {
     * filter would saturate (graceful degradation to the plain plan —
     * the same size-capped trade Spark's own runtime row-level
     * filtering makes). */
-  def perNodeCountsOriented(e: DataFrame): DataFrame = {
+  /** Edge count + (when under [[MaxBloomKeys]]) the wedge-closing
+    * Bloom bytes for an oriented edge set. Runs TWO eager Spark jobs —
+    * callers with a materialized layout should compute this once at
+    * build time and persist it beside the edges (the co-purchase
+    * layout's bloomstats/), passing the stored value to
+    * [[perNodeCountsOriented]] instead of re-counting per query. */
+  private[graft] def bloomStats(e: DataFrame): (Long, Option[Array[Byte]]) = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    val m = e.count()
+    val bf = if (m > 0 && m <= MaxBloomKeys) {
+      var nb = 1 << 20
+      while (nb < 16L * m && nb < (1 << 26)) nb <<= 1
+      Some(e.agg(call_function("graft_bloom",
+          xxhash64(col("lo"), col("hi")), lit(nb), lit(5)).as("bf"))
+        .head().getAs[Array[Byte]](0))
+    } else None
+    (m, bf)
+  }
+
+  /** NOTE: with `stats` at its None default this runs [[bloomStats]]'s
+    * two eager jobs at DataFrame-CONSTRUCTION time (merely building or
+    * explaining the plan pays the Bloom build). Callers holding a
+    * write-once layout pass the build-time stats instead (ADVICE r12). */
+  def perNodeCountsOriented(e: DataFrame,
+      stats: Option[(Long, Option[Array[Byte]])] = None): DataFrame = {
     graft.functions.VectorFunctions.register(e.sparkSession)
     val wedges0 = e.as("x").join(e.as("y"), col("x.hi") === col("y.lo"))
       .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
-    val m = e.count()
-    val wedges = if (m > 0 && m <= MaxBloomKeys) {
-      var nb = 1 << 20
-      while (nb < 16L * m && nb < (1 << 26)) nb <<= 1
-      val bf = e.agg(call_function("graft_bloom",
-          xxhash64(col("lo"), col("hi")), lit(nb), lit(5)).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      wedges0.filter(call_function("graft_might_contain", lit(bf),
+    val (_, bfOpt) = stats.getOrElse(bloomStats(e))
+    val wedges = bfOpt match {
+      case Some(bf) => wedges0.filter(call_function("graft_might_contain", lit(bf),
         xxhash64(col("a"), col("c"))))
-    } else wedges0
+      case None => wedges0
+    }
     val tri = wedges.join(e,
         wedges("a") === e("lo") && wedges("c") === e("hi"), "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))

@@ -2203,9 +2203,12 @@ object CoreQueries {
     // (capped per-item order frequency) and totals/ (1-row distinct
     // order count) so q93's rule scoring is a PURE index probe — the
     // capped row_number window over lineitem is build-time cost, not
-    // per-query; the bumped params key retires v1 dirs via vacuum
+    // per-query; the bumped params key retires v1 dirs via vacuum.
+    // o3 (round 13 — ADVICE r12): + bloomstats/ (1-row edge count +
+    // wedge-closing Bloom bytes) so constructing q74's plan stops
+    // re-counting/re-building the filter the layout already determines
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap${MaxOrderItems}o2")}"
+      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap${MaxOrderItems}o3")}"
     if (!Tables.layoutReady(path, "_done")) Tables.publishLayout(path) { tmp =>
       val li = cappedDistinctItems(Tables.lineitem(s, d), MaxOrderItems)
         .localCheckpoint() // edges + items + totals must not re-run the cap window
@@ -2213,6 +2216,11 @@ object CoreQueries {
       e.write.mode("overwrite").parquet(s"$tmp/edges")
       graft.operators.Triangles.orient(e.select(col("u"), col("v")))
         .write.mode("overwrite").parquet(s"$tmp/oriented")
+      val stats = graft.operators.Triangles.bloomStats(
+        s.read.parquet(s"$tmp/oriented"))
+      locally { import s.implicits._
+        Seq((stats._1, stats._2.orNull)).toDF("m", "bf")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bloomstats") }
       li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(s"$tmp/items")
       li.agg(countDistinct(col("l_orderkey")).as("orders"))
@@ -2228,10 +2236,17 @@ object CoreQueries {
   def copurchaseOriented(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${copurchaseLayout(s, d)}/oriented")
 
-  def q74Triangles(s: SparkSession, d: String): DataFrame =
-    graft.operators.Triangles.perNodeCountsOriented(copurchaseOriented(s, d))
+  def q74Triangles(s: SparkSession, d: String): DataFrame = {
+    // build-time Bloom + count off bloomstats/ — one 1-row parquet
+    // read instead of an edge count + Bloom aggregate per plan
+    // construction (ADVICE r12)
+    val st = s.read.parquet(s"${copurchaseLayout(s, d)}/bloomstats").head()
+    val stats = (st.getLong(0), Option(st.getAs[Array[Byte]]("bf")))
+    graft.operators.Triangles.perNodeCountsOriented(
+        copurchaseOriented(s, d), Some(stats))
       .select(col("node").as("p_partkey"), col("n_triangles"))
       .orderBy(col("p_partkey"))
+  }
 
   val q74Sql: String =
     """WITH e0 AS (

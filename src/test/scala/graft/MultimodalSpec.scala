@@ -133,6 +133,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.keySet === brute)
   }
 
+  test("mm5 flip-variant banding: planted signatures at hamming 1..8 all recovered (round 13)") {
+    // ADVICE r12: the 5-doc text fixture's pairs land at hamming 0 or
+    // >8, so the multi-index 1-variant probe path could silently break.
+    // Plant synthetic (doc_id, phash) signatures at every distance
+    // 1..8, plus the adversarial distance-8 case whose per-band diffs
+    // are (1,2,2,2,1) — NO band agrees exactly (k=8 bounds are
+    // 0,12,25,38,51,64), so only the single-bit flip variants can meet
+    // it — and require the banded output ≡ brute force exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(9)(rnd.nextLong())
+    def spread(n: Int): Long =
+      (0 until n).map(j => 1L << ((j * 13 + 3) % 64)).reduce(_ | _)
+    val planted = (1 to 8).map(i => (bases(i - 1), bases(i - 1) ^ spread(i)))
+    val worstMask = (1L << 0) | (1L << 12) | (1L << 13) | (1L << 25) |
+      (1L << 26) | (1L << 38) | (1L << 39) | (1L << 51)
+    val sigs = (planted :+ ((bases(8), bases(8) ^ worstMask))).zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i * 2 + 100L, a), (i * 2 + 101L, b)) }
+    val got = Multimodal.phashNearDupFrom(sigs.toDF("doc_id", "phash"), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib) -> java.lang.Long.bitCount(ha ^ hb).toLong).toMap
+    assert(got === brute)
+    (1 to 8).foreach(i => assert(
+      got.get((2 * (i - 1) + 100L, 2 * (i - 1) + 101L)).contains(i.toLong),
+      s"distance-$i pair missed"))
+    assert(got((116L, 117L)) === 8L,
+      "the no-band-agrees pair is reachable only through the flip-variant path")
+  }
+
   test("mm5 registry shape: every planted re-encode twin is recovered (recall 1.0)") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
