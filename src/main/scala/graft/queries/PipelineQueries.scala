@@ -1333,6 +1333,9 @@ object PipelineQueries {
       |FROM dec GROUP BY source, decile
       |ORDER BY source, decile""".stripMargin
 
+  def tx31(s: SparkSession, d: String): DataFrame =
+    TextFunctions.unicodeTokenStats(Tables.documents(s, d))
+
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
       s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
@@ -1510,6 +1513,7 @@ object PipelineQueries {
     ("tx28_boilerplate_lines", tx28 _, TextFunctions.boilerplateLinesSql(3)),
     ("tx29_ngram_novelty", tx29 _, TextFunctions.ngramNoveltySql),
     ("tx30_source_saturation", tx30 _, tx30Sql),
+    ("tx31_unicode_tokens", tx31 _, TextFunctions.unicodeTokenStatsSql),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

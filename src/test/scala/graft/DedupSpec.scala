@@ -305,6 +305,28 @@ class DedupSpec extends SparkTestBase {
     assert(probed.length === t.count())
   }
 
+  test("dd2 on unicode text: \\p{L}\\p{N} tokenizer recovers Cyrillic near-dups the ASCII rule cannot see (round 13)") {
+    import spark.implicits._
+    // 20 whitespace-separated Cyrillic words; docs 1/2 share 19 of
+    // them → unigram jaccard 19/21 ≈ 0.905, the planted-corpus shape
+    // Cyrillic-only words (no digits — the ASCII rule still extracts
+    // [0-9] runs, which would leak tokens into the "empty" side)
+    val w = (1 to 20).map(i => s"слв${"абвгдежзиклмнопрстуф".charAt(i - 1)}")
+    val d1 = w.mkString(" ")
+    val d2 = (w.take(19) :+ "другое").mkString(" ")
+    val cyr = Seq(
+      (1L, d1), (2L, d2),
+      (3L, "совершенно иной текст про другие вещи целиком и полностью без общих слов")
+    ).toDF("doc_id", "text")
+    // the default ASCII tokenizer collapses every doc to an EMPTY
+    // token set — no pairs, silent degradation (VERDICT r12 #3)
+    assert(Dedup.ngramJaccard(cyr, 1, 0.9).collect().isEmpty)
+    val uni = Dedup.ngramJaccard(cyr, 1, 0.9, Dedup.UnicodeTokensExpr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(uni.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(math.abs(uni.head._3 - 19.0 / 21.0) < 1e-12)
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
