@@ -815,6 +815,52 @@ object Dedup {
       out
     }
 
+  /** Edge-count ceiling for the single-task DSU path: ~4M (doc_a,
+    * doc_b) rows ≈ a few hundred MB of hash-map state — comfortably
+    * one executor task. Above it the distributed propagation loop
+    * takes over (identical labels, just paid in rounds). */
+  private[graft] val DsuMaxEdges = 1 << 22
+
+  /** Connected components of a SMALL edge set via one union-find task
+    * — dupGroupLabels' exact labeling convention (component label =
+    * min reachable doc_id; nodes without an edge label themselves),
+    * computed in a single mapPartitions over the coalesced edges
+    * instead of an iterative join loop. Correct at any size, but the
+    * single task must HOLD the edge-touching node set: callers bound
+    * it first ([[DsuMaxEdges]]) — dd10's contracted delta graph,
+    * dd17's per-cell working sets. Union-by-min + path compression:
+    * roots only ever decrease, so find() emits the component minimum. */
+  private[graft] def dsuLabels(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { edges =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // snapshot before emitting — find() path-compresses the same
+        // map (the semanticDedup iteration-safety rule)
+        val ks = parent.keys.toArray
+        ks.iterator.map(v => (v, find(v)))
+      }
+      .toDF("doc_id", "comp")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("group_id"))
+  }
+
   def incrementalDupGroups(docs: DataFrame, n: Int, threshold: Double,
       isDelta: Column, indexLabels: DataFrame): DataFrame = {
     val delta = docs.filter(isDelta)
@@ -826,10 +872,27 @@ object Dedup {
     val edges = cross.join(lab, "doc_old")
       .select(col("doc_new").as("doc_a"), col("group_id").as("doc_b"))
       .union(intra.select(col("doc_a"), col("doc_b")))
+      // one barrier: the edge plan feeds the DSU (or the fallback
+      // loop's own snapshot) AND the size probe below — without it the
+      // candidate joins would re-run per consumer (the dd8 fan-out
+      // lesson)
+      .localCheckpoint()
     val nodes = delta.select(col("doc_id"))
       .union(indexLabels.select(col("group_id").as("doc_id"))).distinct()
+    // Round 13 (VERDICT r12 #5): the contracted edge set is DELTA-sized
+    // by construction (cross pairs touch a delta doc; intra pairs are
+    // delta×delta), so the labeling is a single-task union-find — the
+    // dd17 per-cell lesson (5× over iterative propagation when the
+    // working set fits one task) applied to the contraction. The
+    // iterative loop paid ~3 rounds × 4-5 stages of scheduling floor
+    // (~43% of dd10's cost, r11 phase probe) to label a few thousand
+    // rows. The size guard keeps the documented boundary: a delta
+    // batch whose edge set outgrows one task's memory falls back to
+    // the distributed loop (same labels — DedupSpec pins DSU ≡ loop).
     val contracted = phaseStage("dd10.contraction") {
-      dupGroupLabels(nodes, edges, 50, None) }
+      if (edges.limit(DsuMaxEdges + 1).count() <= DsuMaxEdges)
+        dsuLabels(nodes, edges)
+      else dupGroupLabels(nodes, edges, 50, None) }
     val deltaOut = delta.select(col("doc_id")).join(contracted, "doc_id")
     val indexOut = indexLabels.select(col("doc_id"), col("group_id").as("g_old"))
       .join(contracted.select(col("doc_id").as("g_old"), col("group_id")), "g_old")

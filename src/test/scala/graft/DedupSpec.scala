@@ -327,6 +327,23 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(uni.head._3 - 19.0 / 21.0) < 1e-12)
   }
 
+  test("dsuLabels ≡ iterative dupGroups labeling (chain, star, singletons) (round 13)") {
+    import spark.implicits._
+    // chain 5-3-9-7 (min label 3 must cross every hop), pair chain
+    // 20-21-22, isolated nodes label themselves
+    val edges = Seq((5L, 3L), (3L, 9L), (9L, 7L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val nodes = (1L to 25L).toDF("doc_id")
+    val dsu = Dedup.dsuLabels(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loop = Dedup.dupGroups(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dsu === loop)
+    assert(dsu(5L) === 3L && dsu(7L) === 3L && dsu(9L) === 3L)
+    assert(dsu(20L) === 20L && dsu(22L) === 20L)
+    assert(dsu(1L) === 1L)
+  }
+
   test("dd2/dd3 agree on the driver corpus (sf0.001)") {
     val t = Tables.documents(spark, Sf0001)
     val a = Dedup.ngramJaccard(t, 1, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
