@@ -1835,6 +1835,58 @@ object CoreQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q100: 3-D box query over an n-dim Z-order layout (round 13 —
+    * VERDICT r12 #6): lineitem on the (l_partkey, l_suppkey,
+    * l_quantity) Morton curve via ZOrderLayout.writeZOrderedN — the
+    * generated per-bit interleave at gridBits = 16, cellBits 3 → 512
+    * partition dirs, a box spanning ~1/8 of each dimension touches ~8
+    * of them (directory pruning before a file is even listed; the
+    * numFiles pin is ZOrderSpec's n=3 assertion). Exact range
+    * predicates keep the result identical to a plain filter, so the
+    * oracle is the box SQL over the original table — q65's contract
+    * one dimension up. l_quantity is integral-valued DOUBLE; both
+    * engines CAST to BIGINT before the bounds arithmetic. */
+  def q100Zorder3Box(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrderLayout
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_zorder_${Tables.layoutKey(d, "lineitem", "n3v1")}/lineitem3"
+    if (!Tables.layoutReady(path, "data/_SUCCESS")) Tables.publishLayout(path)(tmp =>
+      ZOrderLayout.writeZOrderedN(Tables.lineitem(s, d),
+        Seq("l_partkey", "l_suppkey", "l_quantity"), tmp))
+    val m = ZOrderLayout.readMetaN(s, path)
+    val mx = Tables.lineitem(s, d)
+      .agg(max(col("l_partkey")).cast("long"), max(col("l_suppkey")).cast("long"),
+        max(col("l_quantity")).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val bounds = m.mins.zip(mx).map { case (mn, hi) =>
+      val span = hi - mn; (mn + span / 8, mn + span / 4)
+    }
+    ZOrderLayout.boxQueryN(s, path, bounds.map(_._1), bounds.map(_._2))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q65's oracle one dimension up — the quantity bound runs through
+    * the same CAST-to-BIGINT truncation as the Spark side. */
+  val q100Sql: String =
+    """WITH b AS (
+      | SELECT MIN(l_partkey) AS mina, MAX(l_partkey) AS maxa,
+      |        MIN(l_suppkey) AS minb, MAX(l_suppkey) AS maxb,
+      |        MIN(CAST(l_quantity AS BIGINT)) AS minc,
+      |        MAX(CAST(l_quantity AS BIGINT)) AS maxc
+      | FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN mina + (maxa - mina) // 8 AND mina + (maxa - mina) // 4
+      |  AND l_suppkey BETWEEN minb + (maxb - minb) // 8 AND minb + (maxb - minb) // 4
+      |  AND CAST(l_quantity AS BIGINT)
+      |       BETWEEN minc + (maxc - minc) // 8 AND minc + (maxc - minc) // 4
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Oracle twin of q65's fractional box bounds (span/8 .. span/4). */
   val q65Sql: String =
     """WITH b AS (
@@ -3913,6 +3965,7 @@ object CoreQueries {
     ("q63_locf_resample", q63LocfResample _, q63Sql),
     ("q64_bloom_prune", q64BloomPrune _, q64Sql),
     ("q65_zorder_box", q65ZorderBox _, q65Sql),
+    ("q100_zorder3_box", q100Zorder3Box _, q100Sql),
     ("q66_hll_rollup", q66HllRollup _, null),
     ("q67_kll_rollup", q67KllRollup _, null),
     ("q68_theta_overlap", q68ThetaOverlap _, null),

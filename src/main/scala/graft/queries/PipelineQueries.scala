@@ -747,6 +747,7 @@ object PipelineQueries {
     graft.sources.CsvIngest.documentsJson(s, d).count()
     graft.sources.AvroIngest.supplierAvro(s, d).count()
     graft.queries.CoreQueries.q65ZorderBox(s, d).count()
+    graft.queries.CoreQueries.q100Zorder3Box(s, d).count()
     graft.queries.CoreQueries.copurchaseEdges(s, d).count()
     graft.queries.CoreQueries.q84StandingViewPath(s, d)
     graft.sources.OrcIngest.ordersOrc(s, d).count()

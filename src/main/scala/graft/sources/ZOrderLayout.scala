@@ -145,4 +145,116 @@ object ZOrderLayout {
       .filter(col("z_cell").isin(cells: _*))
       .filter(col(m.colA).between(loA, hiA) && col(m.colB).between(loB, hiB))
   }
+
+  // ---- n-dimensional generalization (round 13 — VERDICT r12 #6) ----
+  //
+  // The 2-D writer above interleaves with fixed magic-mask constants;
+  // for 3–4 dims the interleave is generated as a per-bit shift/or
+  // fold — still pure integer arithmetic inside whole-stage codegen,
+  // just a wider expression tree (d·gridBits terms). Per-dim grid
+  // resolution shrinks so the z-value stays in a non-negative long:
+  // gridBits = min(16, 62/d) → 16 bits at d=3 (48-bit z), 15 at d=4
+  // (60-bit z). Directory fan-out is bounded by d·cellBits ≤ 12
+  // (≤ 4096 dirs) — the lakehouse-typical 3-D layout at cellBits 3 is
+  // 512 dirs, and a box spanning 1/8 of each dimension touches ~8.
+
+  /** [[gridScale]] for an arbitrary grid width. */
+  def gridScaleN(min: Long, max: Long, gridBits: Int): (Long, Long) = {
+    val gmax = (1L << gridBits) - 1
+    val span = max - min
+    if (span <= 0L) (0L, 1L)
+    else if (span <= Long.MaxValue / gmax) (gmax, span)
+    else (1L, span / gmax + 1L)
+  }
+
+  /** Morton interleave of d grid coordinates: bit b of dim i lands at
+    * position b·d + i. Generated shift/mask/or terms — branch-free,
+    * codegen-friendly. */
+  def zValueColN(norms: Seq[Column], gridBits: Int): Column = {
+    val d = norms.size
+    val terms = for {
+      b <- 0 until gridBits
+      (c, i) <- norms.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * d + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Driver twin of [[zValueColN]] for specs. */
+  def zValueN(norms: Seq[Long], gridBits: Int): Long = {
+    val d = norms.size
+    var z = 0L
+    for (b <- 0 until gridBits; i <- 0 until d)
+      z |= ((norms(i) >> b) & 1L) << (b * d + i)
+    z
+  }
+
+  case class ZMetaN(cols: Seq[String], mins: Seq[Long], muls: Seq[Long],
+      divs: Seq[Long], cellBits: Int, gridBits: Int)
+
+  /** Write `df` z-ordered by 2–4 integral columns — the n-dim twin of
+    * [[writeZOrdered]]: data/ partitioned by the composite cell,
+    * meta/ the one-row bounds sidecar (arrays, one slot per dim). */
+  def writeZOrderedN(df: DataFrame, cols: Seq[String], path: String,
+      cellBits: Int = 3): Unit = {
+    val d = cols.size
+    require(d >= 2 && d <= 4, "2 to 4 dimensions")
+    require(cellBits >= 1 && d * cellBits <= 12, "≤ 4096 partition dirs")
+    val gridBits = math.min(16, 62 / d)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mmCols = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val mm = df.agg(mmCols.head, mmCols.tail: _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mins = (0 until d).map(i => mm(2 * i))
+    val scales = (0 until d).map(i => gridScaleN(mm(2 * i), mm(2 * i + 1), gridBits))
+    val norms = cols.zipWithIndex.map { case (c, i) =>
+      expr(s"((cast($c as bigint) - ${mins(i)}L) * ${scales(i)._1}L) div ${scales(i)._2}L")
+    }
+    val shift = gridBits - cellBits
+    val cellCol = norms.map(n => shiftright(n, shift))
+      .reduce((a, b) => a * lit(1 << cellBits) + b)
+    df.withColumn("zval", zValueColN(norms, gridBits))
+      .withColumn("z_cell", cellCol)
+      .repartition(col("z_cell"))
+      .sortWithinPartitions(col("z_cell"), col("zval"))
+      .write.mode("overwrite").partitionBy("z_cell").parquet(s"$path/data")
+    Seq((cols, mins, scales.map(_._1), scales.map(_._2), cellBits, gridBits))
+      .toDF("cols", "mins", "muls", "divs", "cellBits", "gridBits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readMetaN(spark: SparkSession, path: String): ZMetaN = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("cols", "mins", "muls", "divs", "cellBits", "gridBits").head()
+    ZMetaN(r.getSeq[String](0), r.getSeq[Long](1), r.getSeq[Long](2),
+      r.getSeq[Long](3), r.getInt(4), r.getInt(5))
+  }
+
+  /** All composite cells an n-dim box intersects — the cartesian
+    * product of per-dim cell ranges, driver-enumerated over
+    * ≤ 2^(d·cellBits) ≤ 4096 candidates. */
+  def boxCellsN(m: ZMetaN, lo: Seq[Long], hi: Seq[Long]): Seq[Long] = {
+    val shift = m.gridBits - m.cellBits
+    val ranges = m.cols.indices.map { i =>
+      val cLo = (normalize(math.max(lo(i), m.mins(i)), m.mins(i), m.muls(i), m.divs(i)) >> shift).toInt
+      val cHi = (normalize(math.max(hi(i), m.mins(i)), m.mins(i), m.muls(i), m.divs(i)) >> shift).toInt
+      math.max(cLo, 0) to math.min(cHi, (1 << m.cellBits) - 1)
+    }
+    ranges.foldLeft(Seq(0L))((acc, r) =>
+      for { a <- acc; c <- r } yield (a << m.cellBits) | c.toLong)
+  }
+
+  /** n-dim box query: cell IN-list → directory pruning, exact ranges →
+    * row-group pruning + exactness ([[boxQuery]]'s contract at any d). */
+  def boxQueryN(spark: SparkSession, path: String,
+      lo: Seq[Long], hi: Seq[Long]): DataFrame = {
+    val m = readMetaN(spark, path)
+    val cells = boxCellsN(m, lo, hi)
+    val ranged = m.cols.indices.map(i =>
+      col(m.cols(i)).between(lo(i), hi(i))).reduce(_ && _)
+    spark.read.parquet(s"$path/data")
+      .filter(col("z_cell").isin(cells: _*))
+      .filter(ranged)
+  }
 }

@@ -62,6 +62,71 @@ class ZOrderSpec extends SparkTestBase {
       s"box read $filesBox of $filesAll files — no pruning happened")
   }
 
+  test("n-dim interleave: driver and column arithmetic agree at d=3 and d=4 (round 13)") {
+    import spark.implicits._
+    val trip = Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 0L), Seq(0L, 0L, 1L),
+      Seq(65535L, 65535L, 65535L), Seq(12345L, 54321L, 777L))
+    val viaCol3 = trip.map(_.toArray).toDF("n")
+      .select(ZOrderLayout.zValueColN(
+        (0 until 3).map(i => element_at(col("n"), i + 1)), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaCol3 === trip.map(t => ZOrderLayout.zValueN(t, 16)))
+    val quad = Seq(Seq(1L, 2L, 3L, 4L), Seq(32767L, 0L, 32767L, 1L))
+    val viaCol4 = quad.map(_.toArray).toDF("n")
+      .select(ZOrderLayout.zValueColN(
+        (0 until 4).map(i => element_at(col("n"), i + 1)), 15).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaCol4 === quad.map(t => ZOrderLayout.zValueN(t, 15)))
+    // z stays non-negative at the widest setting (60 of 63 bits)
+    assert(ZOrderLayout.zValueN(Seq(32767L, 32767L, 32767L, 32767L), 15) > 0L)
+    // locality: the 3-D grid diagonal maps monotonically
+    assert(ZOrderLayout.zValueN(Seq(3L, 3L, 3L), 16) <
+      ZOrderLayout.zValueN(Seq(4L, 4L, 4L), 16))
+  }
+
+  test("3-D box query equals a direct filter; a small box prunes most files (round 13)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder3_spec").toString
+    val li = Tables.lineitem(spark, Sf0001)
+    ZOrderLayout.writeZOrderedN(li,
+      Seq("l_partkey", "l_suppkey", "l_quantity"), dir, cellBits = 3)
+    val got = ZOrderLayout.boxQueryN(spark, dir,
+        Seq(20L, 2L, 5L), Seq(80L, 6L, 25L))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = li.filter(col("l_partkey").between(20, 80) &&
+        col("l_suppkey").between(2, 6) && col("l_quantity").between(5, 25))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "degenerate fixture: empty box proves nothing")
+    // the pruning pin at n=3: a ~1/8-per-dim box reads a small
+    // fraction of the 512-dir layout
+    val all = scanOf(spark.read.parquet(s"$dir/data"))
+    val box = scanOf(ZOrderLayout.boxQueryN(spark, dir,
+      Seq(20L, 1L, 5L), Seq(44L, 2L, 10L)))
+    val (filesAll, filesBox) =
+      (all.metrics("numFiles").value, box.metrics("numFiles").value)
+    assert(box.toString.contains("PartitionFilters"), box.toString.take(2000))
+    assert(filesBox > 0 && filesBox * 2 <= filesAll,
+      s"3-D box read $filesBox of $filesAll files — no pruning happened")
+  }
+
+  test("q100 registry query matches its own direct-filter twin (round 13)") {
+    val viaLayout = CoreQueries.q100Zorder3Box(spark, Sf0001).collect().toSeq
+    val li = Tables.lineitem(spark, Sf0001)
+    // quantity domain is 1..50 integral → bounds 7..13 (span 49)
+    val direct = li
+      .filter(col("l_partkey").between(24, 49) && col("l_suppkey").between(1, 2) &&
+        col("l_quantity").between(7, 13))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(viaLayout === direct)
+    assert(viaLayout.nonEmpty)
+  }
+
   test("q65 registry query matches its own direct-filter twin") {
     val viaLayout = CoreQueries.q65ZorderBox(spark, Sf0001).collect().toSeq
     val li = Tables.lineitem(spark, Sf0001)
