@@ -767,6 +767,121 @@ object Similarity {
     }.reduce(_ union _).orderBy(col("variant"), col("query_id"))
   }
 
+  // ------------------------------------------------ ss17: HNSW-lite
+  // Graph ANN (round 13 — VERDICT r12 #7): the industry-default
+  // navigable-neighbor-graph family (HNSW — Malkov & Yashunin 2016,
+  // arXiv:1603.09320), re-expressed for Spark's execution model.
+  // True HNSW inserts sequentially and greedy-walks one query at a
+  // time — both driver-hostile — so this is the batch-native variant:
+  //
+  //  BUILD: cell-block the corpus with the IVF trainer's centroids
+  //  (candidate generation bounded per cell, never all-pairs — the
+  //  dd17/IVF boundary: nlist grows with the corpus so cells stay
+  //  executor-sized), then per node keep the top-M exact neighbors
+  //  among its OWN cell's members plus its SECOND-closest cell's
+  //  members — the bridge edges that let a walk cross cell borders,
+  //  which fixed-nprobe IVF structurally cannot. Entry points: the
+  //  member closest to each centroid (hubs/, nlist rows).
+  //
+  //  SEARCH: best-first BEAM search, all queries simultaneously —
+  //  score the nlist hubs, then `rounds` iterations of one
+  //  neighbor-list equi-join + one embedding equi-join + a top-beam
+  //  fold; every visited candidate keeps its exact cosine, final
+  //  top-k over the visited set. Rounds are fixed (diameter of the
+  //  hub→neighbor graph is ~2-3 by construction), so the plan is a
+  //  bounded chain of equi-joins — no per-query driver walk.
+  //
+  // Deterministic end to end (DECIMAL-pinned Lloyd, graft_topk's
+  // (score, id) comparator), so the recall floor and probe rows are
+  // spec-pinnable like every ANN sibling.
+  private[graft] val HnswDegree = 12  // neighbors kept per node
+  private[graft] val HnswBeam = 8
+  private[graft] val HnswRounds = 3
+
+  def hnswWriteIndex(corpus: DataFrame, path: String,
+      nlist: Int = 16, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val cents = trainCentroids(corpus, nlist, iters)
+    val scoresCol = array(centroidCosines(col("embedding"), cents).zipWithIndex.map {
+      case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+    }: _*)
+    // (vec_id, embedding, cid1, s1, cid2): primary + secondary cell
+    val top2 = corpus
+      .withColumn("sc", scoresCol)
+      .withColumn("scs", expr("reverse(array_sort(sc))"))
+      .select(col("vec_id"), col("embedding"),
+        expr("scs[0].c").as("cid1"), expr("scs[0].s").as("s1"),
+        expr("scs[1].c").as("cid2"))
+      .localCheckpoint() // three consumers below; the nlist-wide score
+                         // array must not re-evaluate per consumer
+    // candidate pairs: node × members of its primary AND secondary cell
+    val members = top2.select(col("cid1").as("cell"),
+      col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val probes = top2.select(col("vec_id"), col("embedding"), explode(
+      array(col("cid1"), col("cid2"))).as("cell"))
+    val neighbors = probes.join(members, "cell")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"),
+        call_function("graft_cosine", col("embedding"), col("nbr_emb")).as("cosine"),
+        col("nbr_id"))
+      .groupBy(col("vec_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("nbr_id"),
+        lit(HnswDegree)).as("tk"))
+      .select(col("vec_id"), expr("transform(tk, x -> x.id)").as("neighbors"))
+    top2.select(col("vec_id"), col("embedding"))
+      .join(neighbors, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("neighbors"), expr("CAST(array() AS array<bigint>)")).as("neighbors"))
+      .write.mode("overwrite").parquet(s"$path/graph")
+    // entry points: per cell the member closest to its centroid
+    // (ties → lowest vec_id)
+    top2.groupBy(col("cid1"))
+      .agg(max_by(struct(col("vec_id"), col("embedding")),
+        struct(col("s1"), (-col("vec_id")).as("t"))).as("h"))
+      .select(col("cid1").as("cid"), col("h.vec_id").as("vec_id"),
+        col("h.embedding").as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/hubs")
+  }
+
+  def hnswProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int,
+      beam: Int = HnswBeam, rounds: Int = HnswRounds): DataFrame = {
+    VectorFunctions.register(spark)
+    val graph = spark.read.parquet(s"$path/graph")
+    val hubs = spark.read.parquet(s"$path/hubs")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def topBeam(scored: DataFrame): DataFrame = scored
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("vec_id"), lit(beam)).as("tk"))
+      .select(col("query_id"), explode(expr("transform(tk, x -> x.id)")).as("vec_id"))
+    // round 0: every hub scored per query (nlist × |queries| rows)
+    var visited = hubs.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val frontier = topBeam(visited)
+      val cands = frontier
+        .join(graph.select(col("vec_id"), col("neighbors")), "vec_id")
+        .select(col("query_id"), explode(col("neighbors")).as("vec_id"))
+        .distinct()
+        // only NEW candidates are scored; already-visited keep their row
+        .join(visited.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      val scoredNew = cands
+        .join(graph.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+      // one barrier per round: the next frontier and the next round's
+      // anti-join both read the accumulated set (dd6's lineage rule)
+      visited = visited.unionByName(scoredNew).localCheckpoint()
+    }
+    topKPerQuery(visited.filter(col("vec_id") =!= col("query_id")), k)
+  }
+
   // ---------------------------------------------------------- ss5: PQ
   /** Product quantization — the memory-bounded ANN path at 100 TB. The
     * vector is split into `m` subspaces; each subspace gets its own

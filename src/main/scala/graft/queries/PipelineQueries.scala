@@ -713,6 +713,9 @@ object PipelineQueries {
           // ingest copies this per run and streams the delta eighth in
           case "ivf_base" =>
             Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp)
+          // graph ANN (round 13 — VERDICT r12 #7): cell-blocked
+          // neighbor lists + hub entry points, beam-searched
+          case "hnsw" => Similarity.hnswWriteIndex(emb, tmp)
         }
         new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
@@ -742,7 +745,7 @@ object PipelineQueries {
     cachedSimhashIndex(s, d)
     cachedPhashIndex(s, d)
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta",
-      "ivf_base").foreach(v => cachedAnnIndex(s, d, v))
+      "ivf_base", "hnsw").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
     graft.sources.CsvIngest.documentsJson(s, d).count()
     graft.sources.AvroIngest.supplierAvro(s, d).count()
@@ -830,7 +833,22 @@ object PipelineQueries {
       // the same index AFTER ivfRecluster (round 9 — VERDICT r8 #2):
       // the observe-decide-ACT loop closed — this row must sit at the
       // full-build ivf level again (floor spec'd in SimilaritySpec)
-      "ivf_reclustered" -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf_recluster"), q, TopK)))
+      "ivf_reclustered" -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf_recluster"), q, TopK),
+      // graph ANN (round 13): beam search over the materialized
+      // neighbor graph — the recall/latency frontier entry
+      "ss17_hnsw" -> Similarity.hnswProbeIndex(s, cachedAnnIndex(s, d, "hnsw"), q, TopK)))
+  }
+
+  /** ss17 (round 13 — VERDICT r12 #7): HNSW-lite graph ANN — beam
+    * search over a materialized cell-blocked neighbor graph with hub
+    * entry points (Similarity.hnswWriteIndex/hnswProbeIndex). Spec-
+    * gated like every ANN sibling (recall floor vs ss1, planted-dup
+    * rank-1, determinism — SimilaritySpec); ss8 carries its recall
+    * row. */
+  def ss17(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hnswProbeIndex(s, cachedAnnIndex(s, d, "hnsw"),
+      emb.filter(col("vec_id") < NQueries), TopK)
   }
 
   /** ss14: the nprobe→recall TUNING CURVE over the materialized IVF
@@ -1482,6 +1500,7 @@ object PipelineQueries {
     ("ss14_recall_curve", ss14 _, null),
     ("ss15_centroid_drift", ss15 _, null),
     ("ss16_pq_drift", ss16 _, null),
+    ("ss17_hnsw_ann", ss17 _, null),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),

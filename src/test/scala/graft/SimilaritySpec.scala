@@ -161,6 +161,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"ANN recall $recall collapsed — bucketing broken")
   }
 
+  test("ss17 HNSW-lite: planted exact duplicate at rank 1; recall floor vs ss1; deterministic (round 13)") {
+    // planted fixture through the write→probe cycle
+    val idx = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+    Similarity.hnswWriteIndex(corpus, idx, nlist = 4)
+    val out = Similarity.hnswProbeIndex(spark, idx, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9,
+      "the exact duplicate must surface at rank 1 through the beam walk")
+    // real-corpus recall floor (same spirit as ss3's collapse guard)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-hnsw2").toString
+    Similarity.hnswWriteIndex(emb, idx2)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.hnswProbeIndex(spark, idx2, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.3, s"HNSW recall $recall collapsed — graph/beam logic broken")
+    // deterministic: a second probe of the same index is bit-identical
+    val again = Similarity.hnswProbeIndex(spark, idx2, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === got)
+  }
+
   test("ss8 recall metric: matches hand-computed recall, floors hold per variant") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
@@ -325,8 +351,12 @@ class SimilaritySpec extends SparkTestBase {
     val out = graft.queries.PipelineQueries.ss8(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val variants = out.map(_._1).distinct.sorted.toSeq
-    assert(variants === Seq("ivf_delta", "ivf_reclustered", "ss2_lsh", "ss3_ivf",
-      "ss5_pq", "ss7_ivfpq"))
+    assert(variants === Seq("ivf_delta", "ivf_reclustered", "ss17_hnsw", "ss2_lsh",
+      "ss3_ivf", "ss5_pq", "ss7_ivfpq"))
+    // the round-13 graph-ANN row must not collapse either
+    val hnswRows = out.filter(_._1 == "ss17_hnsw")
+    assert(hnswRows.map(_._3).sum / hnswRows.length >= 0.3,
+      "ss17_hnsw recall collapsed in the registry ss8 run")
     val deltaRows = out.filter(_._1 == "ivf_delta")
     assert(deltaRows.forall { case (_, _, r) => r >= 0.0 && r <= 1.0 })
     val mean = deltaRows.map(_._3).sum / deltaRows.length
