@@ -861,11 +861,23 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("group_id"))
   }
 
+  /** `baseShOpt`: the standing corpus PRE-SHINGLED — the persisted
+    * nondelta shingle index's df-sorted sh/ arrays (round 13: dd9/dd10
+    * were the last ingest-shaped queries re-tokenizing the standing
+    * 15/16 of the corpus per run; st15's streaming gate already reads
+    * the index, and the candidate machinery is shared, so the batch
+    * twins now do too — per-ingest tokenization is delta-only, the
+    * at-scale shape ingestBatchPairs' scaladoc promises). None keeps
+    * the self-contained inline path (specs pin probe ≡ inline). */
   def incrementalDupGroups(docs: DataFrame, n: Int, threshold: Double,
-      isDelta: Column, indexLabels: DataFrame): DataFrame = {
+      isDelta: Column, indexLabels: DataFrame,
+      baseShOpt: Option[DataFrame] = None): DataFrame = {
     val delta = docs.filter(isDelta)
     val cross = phaseStage("dd10.cross_pairs") {
-      incrementalPairs(docs, n, threshold, isDelta) }
+      baseShOpt match {
+        case Some(baseSh) => ingestBatchPairs(baseSh, delta, threshold)
+        case None => incrementalPairs(docs, n, threshold, isDelta)
+      } }
     val intra = phaseStage("dd10.intra_pairs") {
       ngramJaccardPairs(delta, n, threshold) }
     val lab = indexLabels.select(col("doc_id").as("doc_old"), col("group_id"))

@@ -244,8 +244,16 @@ object PipelineQueries {
     * wrong standing corpus. */
   private[graft] def isDeltaDoc = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
 
+  /** dd9's registry shape (round 13): the standing side comes off the
+    * persisted nondelta shingle index — the SAME sh/ arrays st15's
+    * streaming gate probes, through the SAME ingestBatchPairs dispatch
+    * — so per-run tokenization is delta-only. Probe ≡ inline
+    * incrementalDedup is spec-pinned; the oracle is unchanged. */
   def dd9(s: SparkSession, d: String): DataFrame =
-    Dedup.incrementalDedup(Tables.documents(s, d), 1, JaccardThreshold, isDeltaDoc)
+    Dedup.ingestBatchPairs(
+        s.read.parquet(s"${cachedShingleIndexNondelta(s, d)}/sh"),
+        Tables.documents(s, d).filter(isDeltaDoc), JaccardThreshold)
+      .orderBy(col("doc_new"), col("doc_old"))
 
   /** Naive cross-split all-pairs in DuckDB (quadratic fine at oracle SF). */
   val dd9Sql: String =
@@ -272,7 +280,10 @@ object PipelineQueries {
   def dd10(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val indexLabels = cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc))
-    Dedup.incrementalDupGroups(docs, 1, JaccardThreshold, isDeltaDoc, indexLabels)
+    Dedup.incrementalDupGroups(docs, 1, JaccardThreshold, isDeltaDoc, indexLabels,
+      // standing side pre-shingled off the nondelta index (round 13 —
+      // dd9's shape; tokenization is delta-only per ingest)
+      Some(s.read.parquet(s"${cachedShingleIndexNondelta(s, d)}/sh")))
   }
 
   /** dd11: asymmetric containment |A∩B|/|A| ≥ τ — catches documents

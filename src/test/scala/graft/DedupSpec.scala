@@ -327,6 +327,26 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(uni.head._3 - 19.0 / 21.0) < 1e-12)
   }
 
+  test("dd9/dd10 registry probes (index standing side) ≡ inline cross-side operators (round 13)") {
+    // the registry entries read the persisted nondelta shingle index's
+    // sh/ arrays for the standing 15/16; output must equal the
+    // self-contained inline operators bit-identically
+    val docs = Tables.documents(spark, Sf0001)
+    val isDelta = graft.queries.PipelineQueries.isDeltaDoc
+    val inline9 = Dedup.incrementalDedup(docs, 1, 0.9, isDelta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val probed9 = graft.queries.PipelineQueries.dd9(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probed9 === inline9)
+    assert(probed9.nonEmpty)
+    // dd10's contract is output ≡ a FULL dd6 recompute
+    val full = Dedup.dupGroups(docs, Dedup.ngramJaccardPairs(docs, 1, 0.9))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probed10 = graft.queries.PipelineQueries.dd10(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probed10 === full)
+  }
+
   test("dsuLabels ≡ iterative dupGroups labeling (chain, star, singletons) (round 13)") {
     import spark.implicits._
     // chain 5-3-9-7 (min label 3 must cross every hop), pair chain
