@@ -830,11 +830,17 @@ object Similarity {
       .agg(call_function("graft_topk", col("cosine"), col("nbr_id"),
         lit(HnswDegree)).as("tk"))
       .select(col("vec_id"), expr("transform(tk, x -> x.id)").as("neighbors"))
-    top2.select(col("vec_id"), col("embedding"))
+    // cid1 rides along: hnswAppendDelta prunes its candidate scan to
+    // the delta's cells through it
+    top2.select(col("vec_id"), col("embedding"), col("cid1"))
       .join(neighbors, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("cid1"),
         coalesce(col("neighbors"), expr("CAST(array() AS array<bigint>)")).as("neighbors"))
       .write.mode("overwrite").parquet(s"$path/graph")
+    cents.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // entry points: per cell the member closest to its centroid
     // (ties → lowest vec_id)
     top2.groupBy(col("cid1"))
@@ -845,10 +851,77 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/hubs")
   }
 
+  /** Append a delta batch to a materialized HNSW-lite index WITHOUT
+    * rebuilding the base — the ANN family's nightly shape: delta
+    * nodes are assigned to the FROZEN centroids, get exact top-degree
+    * neighbor lists among their two cells' members (standing members
+    * read off the graph's cid1 column — a pruned scan, never the
+    * whole corpus re-paired), and are appended as new graph rows.
+    * Because standing neighbor lists are frozen, reachability comes
+    * from REVERSE-EDGE PATCH ROWS: each (delta → standing-neighbor)
+    * edge appends a (standing id, [delta id]) row, and the probe's
+    * neighbor join unions all rows per node — so a walk through a
+    * standing node discovers its delta arrivals. The knowingly-
+    * accepted drift (ivf_delta's argument): standing lists don't
+    * re-rank against the delta, so graph quality decays with appended
+    * mass until a rebuild — recall floor after append is spec-pinned
+    * (SimilaritySpec). Hubs stay frozen (entry points, not answers). */
+  def hnswAppendDelta(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    VectorFunctions.register(spark)
+    val cents = readCentroids(spark, s"$path/centroids")
+    val scoresCol = array(centroidCosines(col("embedding"), cents).zipWithIndex.map {
+      case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+    }: _*)
+    val top2 = delta
+      .withColumn("sc", scoresCol)
+      .withColumn("scs", expr("reverse(array_sort(sc))"))
+      .select(col("vec_id"), col("embedding"),
+        expr("scs[0].c").as("cid1"), expr("scs[1].c").as("cid2"))
+      .localCheckpoint()
+    val standing = spark.read.parquet(s"$path/graph")
+      .select(col("cid1").as("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("nbr_emb"))
+    val deltaMembers = top2.select(col("cid1").as("cell"),
+      col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val probes = top2.select(col("vec_id"), col("embedding"),
+      explode(array(col("cid1"), col("cid2"))).as("cell"))
+    val best = probes.join(standing.unionByName(deltaMembers), "cell")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"),
+        call_function("graft_cosine", col("embedding"), col("nbr_emb")).as("cosine"),
+        col("nbr_id"), col("nbr_emb"))
+      .groupBy(col("vec_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("nbr_id"),
+        lit(HnswDegree)).as("tk"))
+      .select(col("vec_id"), expr("transform(tk, x -> x.id)").as("neighbors"))
+      .localCheckpoint() // two writes below must not re-run the cell join
+    top2.select(col("vec_id"), col("embedding"), col("cid1"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("cid1"),
+        coalesce(col("neighbors"), expr("CAST(array() AS array<bigint>)")).as("neighbors"))
+      .write.mode("append").parquet(s"$path/graph")
+    // reverse-edge patches: every chosen neighbor learns the delta id
+    val allNodes = spark.read.parquet(s"$path/graph")
+      .select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb"),
+        col("cid1").as("nbr_cid"))
+      .dropDuplicates("nbr")
+    best.select(col("vec_id").as("delta_id"), explode(col("neighbors")).as("nbr"))
+      .join(allNodes, "nbr")
+      .groupBy(col("nbr"), col("nbr_emb"), col("nbr_cid"))
+      .agg(collect_list(col("delta_id")).as("neighbors"))
+      .select(col("nbr").as("vec_id"), col("nbr_emb").as("embedding"),
+        col("nbr_cid").as("cid1"), col("neighbors"))
+      .write.mode("append").parquet(s"$path/graph")
+  }
+
   def hnswProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int,
       beam: Int = HnswBeam, rounds: Int = HnswRounds): DataFrame = {
     VectorFunctions.register(spark)
+    // multiple rows per vec_id are legal after appends (delta rows +
+    // reverse-edge patches): the neighbor join UNIONS the lists, the
+    // embedding side dedups (all rows of a node carry one embedding)
     val graph = spark.read.parquet(s"$path/graph")
     val hubs = spark.read.parquet(s"$path/hubs")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -871,7 +944,8 @@ object Similarity {
         .join(visited.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
       val scoredNew = cands
-        .join(graph.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(graph.select(col("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id"), "vec_id")
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("vec_id"),
           call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))

@@ -831,6 +831,40 @@ class ExplainSpec extends SparkTestBase {
       s"dd13 degrees must map-side combine:\n${p13.take(3000)}")
   }
 
+  test("dd6/dd8 registry plans: one index scan each — no per-query tokenize or CC (round 13)") {
+    // VERDICT r12 #1/#2: both answers are corpus-static and
+    // materialized; the registry plans must be pure probes
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+    val d6 = graft.queries.PipelineQueries.dd6(spark, Sf0001)
+    d6.collect()
+    val paths6 = scanPaths(d6)
+    assert(paths6.exists(_.contains("graft_dupidx")),
+      s"dd6 must read the materialized labeling, scans: $paths6")
+    assert(paths6.forall(_.contains("graft_dupidx")),
+      s"dd6 must read ONLY the labeling (no documents scan, no shingle probe): $paths6")
+    // no iterative-propagation artifacts: the plan is scan + sort
+    assert(!plan(d6).contains("localCheckpoint"),
+      "dd6 re-ran the propagation loop per query")
+    val d8 = graft.queries.PipelineQueries.dd8(spark, Sf0001)
+    d8.collect()
+    val paths8 = scanPaths(d8)
+    assert(paths8.exists(_.contains("graft_spanidx")),
+      s"dd8 must read the span index, scans: $paths8")
+    assert(paths8.forall(_.contains("graft_spanidx")),
+      s"dd8 must read ONLY spanidx dirs (no per-query tokenize): $paths8")
+    // the probe never re-derives spans: no regexp tokenizer in the plan
+    assert(!plan(d8).contains("regexp_extract_all"),
+      "dd8 re-tokenized per query")
+  }
+
   test("dd14 dedup stats: probes the materialized groups index; rollup partial-aggs") {
     val df = graft.queries.PipelineQueries.dd14(spark, Sf0001)
     df.collect()

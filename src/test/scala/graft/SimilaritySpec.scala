@@ -187,6 +187,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("hnsw delta append: delta arrivals reachable via reverse edges; recall floor holds (round 13)") {
+    // the exact duplicate ARRIVES via the delta: standing neighbor
+    // lists are frozen, so rank-1 retrieval is possible only if the
+    // reverse-edge patch rows made the new node reachable from the
+    // standing graph
+    val idx = java.nio.file.Files.createTempDirectory("graft-hnsw-d").toString
+    Similarity.hnswWriteIndex(corpus.filter(col("vec_id") =!= 101L), idx, nlist = 4)
+    Similarity.hnswAppendDelta(corpus.filter(col("vec_id") === 101L), idx)
+    val out = Similarity.hnswProbeIndex(spark, idx, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9,
+      "the delta-appended duplicate must be reachable at rank 1")
+    // the family's nightly split on the real table: base 7/8 ⊕ delta
+    // 1/8, recall scored against the FULL corpus's exact answer
+    val emb = Tables.embeddings(spark, Sf0001)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-hnsw-d2").toString
+    Similarity.hnswWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), idx2)
+    Similarity.hnswAppendDelta(emb.filter(col("vec_id") % 8 === 0), idx2)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.hnswProbeIndex(spark, idx2, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((truth & got).size.toDouble / truth.size >= 0.3,
+      "delta-appended hnsw recall collapsed")
+    // top-k rows stay unique per (query, vec) despite multi-row nodes
+    val rows = Similarity.hnswProbeIndex(spark, idx2, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.distinct.length === rows.length)
+  }
+
   test("ss8 recall metric: matches hand-computed recall, floors hold per variant") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
