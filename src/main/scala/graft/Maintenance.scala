@@ -120,6 +120,32 @@ object Maintenance {
     Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
   }
 
+  /** One cycle over a materialized duplicate-span index (round 13):
+    * compaction only — like the shingle cycle, the span index carries
+    * no trained state. df/ rows are append-only increments the probe
+    * and the append's promotion check SUM, so ingest fragmentation
+    * (a few files per batch across spans/, df/, dupset/) is the only
+    * decay; compaction preserves rows bit-for-bit and therefore every
+    * probe answer. */
+  def spanCycle(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val (n, tC) = timed {
+      Seq("spans", "df", "dupset")
+        .map(d => Compact.compactIndex(spark, s"$path/$d").size).sum
+    }
+    Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
+  }
+
+  /** One cycle over an HNSW-lite graph index (round 13): compaction
+    * only — append rows (delta nodes + reverse-edge patches) are
+    * unioned by the probe per node, so compaction changes file
+    * counts, never answers. Graph-quality drift from frozen standing
+    * lists is repriced at the corpus-refresh rebuild; ss8's ss17_hnsw
+    * recall row is the gauge that says when. */
+  def hnswCycle(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val (n, tC) = timed(Compact.compactIndex(spark, s"$path/graph").size)
+    Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
+  }
+
   /** `runMain graft.Maintenance ivf <path> <reclusterTo> [threshold]`,
     * `... pq <path> <appendedParquet> [ratioThreshold]` (the appended
     * batch's raw rows, as the ingest job staged them), or
@@ -140,6 +166,8 @@ object Maintenance {
         pqCycle(spark, args(1), spark.read.parquet(args(2)),
           args.lift(3).map(_.toDouble).getOrElse(1.5))
       case "shingle" => shingleCycle(spark, args(1))
+      case "span" => spanCycle(spark, args(1))
+      case "hnsw" => hnswCycle(spark, args(1))
       case other => throw new IllegalArgumentException(s"unknown index kind $other")
     }
     log.foreach { case (step, msg) => println(s"[maintenance] $step: $msg") }

@@ -134,4 +134,34 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Dedup.ngramJaccardProbe(spark, dir, 0.9).collect().toSeq === before)
     assert(new java.io.File(s"$dir/df").lastModified() === dfMtime)
   }
+
+  test("span cycle: compaction in place, probe identical through it (round 13)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-span").toString
+    Dedup.dupSpansWriteIndex(docs.filter(col("doc_id") % 2 === 0), 10, dir)
+    // two ingest batches fragment spans/, df/ and (possibly) dupset/
+    Dedup.dupSpansAppendDelta(docs.filter(col("doc_id") % 4 === 1), 10, dir)
+    Dedup.dupSpansAppendDelta(docs.filter(col("doc_id") % 4 === 3), 10, dir)
+    val before = Dedup.dupSpansProbe(spark, dir).collect().toSeq
+    val log = Maintenance.spanCycle(spark, dir).toMap
+    assert(!log("compact").startsWith("0 "), log.toString)
+    assert(Dedup.dupSpansProbe(spark, dir).collect().toSeq === before)
+    // the compacted index still equals a fresh inline computation
+    val inline = Dedup.dupSpans(docs, n = 10).collect().toSeq
+    assert(Dedup.dupSpansProbe(spark, dir).collect().toSeq.toString ===
+      inline.toString)
+  }
+
+  test("hnsw cycle: graph compaction preserves every probe answer (round 13)") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-hnsw").toString
+    Similarity.hnswWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), dir)
+    Similarity.hnswAppendDelta(emb.filter(col("vec_id") % 8 === 0), dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val before = Similarity.hnswProbeIndex(spark, dir, q, 10).collect().toSeq
+    val log = Maintenance.hnswCycle(spark, dir).toMap
+    assert(!log("compact").startsWith("0 "), log.toString)
+    assert(Similarity.hnswProbeIndex(spark, dir, q, 10).collect().toSeq === before)
+  }
 }
