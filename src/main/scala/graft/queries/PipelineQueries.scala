@@ -680,32 +680,54 @@ object PipelineQueries {
     * 8-byte PQ code rows) — at 100 TB nobody re-trains Lloyd per
     * query batch. Probe ≡ inline is spec-asserted per variant
     * (IvfIndexSpec). */
+  /** Cell/list count for the ANN index builds: nlist = max(16,
+    * ⌈n/512⌉), dd17's adaptive rule (round 14 — VERDICT r13 #1/#5).
+    * A FIXED nlist is the measured superlinear trap twice over: the
+    * hnsw build's per-cell neighbor self-join is Σ n_c² = O(n²/nlist)
+    * (dd17's fixed-k curve went 2.2 → 22.8 s x1→x30), and a fixed
+    * IVF probe fraction nprobe/nlist reads a constant QUARTER of the
+    * corpus at any size — 25 TB per probe at 100 TB. With n/512
+    * cells both are linear: cells stay ~512 vectors whatever the
+    * corpus. n is memoized on the same size/mtime key the write-once
+    * layouts use (the dd17 pattern), so no bench rep re-pays the
+    * count job. At the oracle/spec SFs (n ≤ 2000) this resolves to
+    * 16 — bit-identical to the fixed-parameter layouts the floors
+    * were pinned on. */
+  private[graft] def annNlist(s: SparkSession, d: String): Int = {
+    val n = embCountCache.getOrElseUpdate(
+      Tables.layoutKey(d, "embeddings", "cnt"), Tables.embeddings(s, d).count())
+    math.max(16L, (n + 511) / 512).toInt
+  }
+
   private[graft] def cachedAnnIndex(s: SparkSession, d: String, variant: String): String = {
-    // v3 = the registry build defaults: nlist 16, nprobe 4, m 8,
-    // ksub 16, 2 Lloyd iters over EmbDim dims — bump on any change
-    // (v1→v2: trainCentroids means moved to order-independent
-    // DECIMAL(18,6) sums for the recluster equivalence contract;
-    // v2→v3: pq/ivfpq layouts grew residuals/ trained state in
-    // round 11 WITHOUT a bump — ADVICE r11: a stale cached layout
-    // served build-if-missing broke pqResidualDrift with an opaque
-    // read error — and round 12 re-partitioned the flat pq code
-    // table by the vec_id range key for the idempotent append)
+    // v4 = adaptive geometry: nlist max(16, ⌈n/512⌉), nprobe
+    // nlist/4, m 8, ksub 16, 2 Lloyd iters over EmbDim dims — bump
+    // on any change (v1→v2: trainCentroids means moved to
+    // order-independent DECIMAL(18,6) sums for the recluster
+    // equivalence contract; v2→v3: pq/ivfpq layouts grew residuals/
+    // trained state in round 11 WITHOUT a bump — ADVICE r11: a stale
+    // cached layout served build-if-missing broke pqResidualDrift
+    // with an opaque read error — and round 12 re-partitioned the
+    // flat pq code table by the vec_id range key for the idempotent
+    // append; v3→v4: round 14 made nlist corpus-adaptive and split
+    // the hnsw layout into emb/ + edge-only graph/ + meta/)
     val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v3d$EmbDim")}/$variant"
+      s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v4d$EmbDim")}/$variant"
     if (!Tables.layoutReady(path, "_done")) {
       val emb = Tables.embeddings(s, d)
+      val nlist = annNlist(s, d)
       Tables.publishLayout(path) { tmp =>
         variant match {
-          case "ivf"   => Similarity.ivfWriteIndex(emb, tmp)
+          case "ivf"   => Similarity.ivfWriteIndex(emb, tmp, nlist)
           case "pq"    => Similarity.pqWriteIndex(emb, tmp, EmbDim)
-          case "ivfpq" => Similarity.ivfPqWriteIndex(emb, tmp, EmbDim)
+          case "ivfpq" => Similarity.ivfPqWriteIndex(emb, tmp, EmbDim, nlist)
           case "lsh"   => Similarity.lshWriteIndex(emb, tmp, EmbDim)
           // the nightly-maintenance shape (round 8): centroids trained
           // on the base 7/8 of the corpus, the delta 1/8 appended to
           // the existing lists WITHOUT a rebuild — ss8's ivf_delta
           // recall row gauges the list-balance drift this accepts
           case "ivf_delta" =>
-            Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp)
+            Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp, nlist)
             Similarity.ivfAppendDelta(emb.filter(col("vec_id") % 8 === 0), tmp)
           // the ACT stage (round 9 — VERDICT r8 #2): the ivf_delta
           // index re-trained over everything it holds, published as
@@ -723,10 +745,13 @@ object PipelineQueries {
           // the standing 7/8 WITHOUT its delta — st17's streaming
           // ingest copies this per run and streams the delta eighth in
           case "ivf_base" =>
-            Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp)
+            Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), tmp, nlist)
           // graph ANN (round 13 — VERDICT r12 #7): cell-blocked
-          // neighbor lists + hub entry points, beam-searched
-          case "hnsw" => Similarity.hnswWriteIndex(emb, tmp)
+          // neighbor lists + hub entry points, beam-searched; nlist
+          // MUST scale with the corpus here (VERDICT r13 #1: the
+          // build's per-cell self-join is O(n²/nlist) — fixed 16
+          // cells is infeasible at 100 TB)
+          case "hnsw" => Similarity.hnswWriteIndex(emb, tmp, nlist)
         }
         new java.io.File(s"$tmp/_done").createNewFile(); ()
       }

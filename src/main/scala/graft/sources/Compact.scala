@@ -131,6 +131,30 @@ object Compact {
     * live target's name. */
   private val LeftoverRe = """^\.(old|compact)-[0-9a-f]{8}-(.+)$""".r
 
+  /** Rewrite a live directory's rows as `df` via the same hidden-
+    * sibling swap + crash-leftover recovery as [[compactIndex]]
+    * (round 14 — Maintenance.hnswCycle's patch-row merge): `df` may
+    * READ the live dir (the write materializes into the hidden tmp
+    * while the source stays live), and must be an answer-equivalent
+    * restatement of its rows — the swap machinery guarantees the dir
+    * is always either the old or the new complete copy, never a mix.
+    * A crash at any point is healed by the next call's sweep (rename
+    * the full-fidelity `.old-*` back if the live dir vanished; drop
+    * orphaned tmps). */
+  private[graft] def rewriteInPlace(spark: SparkSession, dataDir: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val d = new Path(dataDir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepLeftovers(fs, d.getParent, only = Some(d.getName))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(d.getParent, s".compact-$tag-${d.getName}")
+    val old = new Path(d.getParent, s".old-$tag-${d.getName}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(d, old) || !fs.rename(tmp, d))
+      throw new IllegalStateException(s"rewriteInPlace: swap failed for $d")
+    fs.delete(old, true); ()
+  }
+
   /** Crash-leftover recovery for one directory's hidden compaction
     * siblings (round 10 — ADVICE r9 high+medium). The swap's crash
     * states and their remedies, in the order the sweep applies them:

@@ -153,15 +153,35 @@ class MaintenanceSpec extends SparkTestBase {
       inline.toString)
   }
 
-  test("hnsw cycle: graph compaction preserves every probe answer (round 13)") {
+  test("hnsw cycle: patch merge + compaction preserve every probe answer; " +
+      "post-cycle graph has one row per node; drift gauges observe and alert (round 14)") {
     val emb = Tables.embeddings(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft-maint-hnsw").toString
     Similarity.hnswWriteIndex(emb.filter(col("vec_id") % 8 =!= 0), dir)
+    // fresh build: both gauges exactly 0.0, quiet cycle takes neither arm
+    val fresh = Similarity.hnswDrift(spark, dir).head()
+    assert(fresh.getDouble(3) === 0.0 && fresh.getDouble(4) === 0.0)
+    val quiet = Maintenance.hnswCycle(spark, dir).toMap
+    assert(quiet("merge").startsWith("skipped"), quiet.toString)
+    assert(quiet("decide").startsWith("healthy"), quiet.toString)
     Similarity.hnswAppendDelta(emb.filter(col("vec_id") % 8 === 0), dir)
+    // appended eighth: delta mass 1/8 of the new total, patches > 0
+    val drifted = Similarity.hnswDrift(spark, dir).head()
+    assert(drifted.getDouble(3) > 0.0, "append wrote no reverse-edge patches")
+    assert(math.abs(drifted.getDouble(4) -
+      (drifted.getLong(0) - drifted.getLong(2)).toDouble / drifted.getLong(0)) < 1e-12)
+    assert(drifted.getDouble(4) > 0.10, "an appended eighth must trip the 0.10 default")
     val q = emb.filter(col("vec_id") < 5)
     val before = Similarity.hnswProbeIndex(spark, dir, q, 10).collect().toSeq
     val log = Maintenance.hnswCycle(spark, dir).toMap
-    assert(!log("compact").startsWith("0 "), log.toString)
+    assert(!log("merge").startsWith("skipped"), log.toString)
+    assert(log("decide").startsWith("REBUILD ALERT"), log.toString)
     assert(Similarity.hnswProbeIndex(spark, dir, q, 10).collect().toSeq === before)
+    // the merge's contract: exactly one graph row per node, and the
+    // patch gauge resets while delta mass (rebuild-only) persists
+    val g = spark.read.parquet(s"$dir/graph")
+    assert(g.count() === g.select("vec_id").distinct().count())
+    val merged = Similarity.hnswDrift(spark, dir).head()
+    assert(merged.getDouble(3) === 0.0 && merged.getDouble(4) === drifted.getDouble(4))
   }
 }

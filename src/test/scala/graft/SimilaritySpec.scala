@@ -218,6 +218,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.distinct.length === rows.length)
   }
 
+  test("hnsw SECOND append: no duplicate candidates or neighbor ids; " +
+      "late-arriving duplicate still rank 1 (round 14 — ADVICE r13)") {
+    // ADVICE r13: the standing candidate side used to read graph/,
+    // where the FIRST append's reverse-edge patch rows are phantom
+    // extra members — the second append then fed duplicate
+    // (cosine, nbr_id) rows into graft_topk (which keeps repeats),
+    // silently filling degree slots with repeated ids. The planted
+    // duplicate arrives in the SECOND batch, so its retrieval walks
+    // through a graph built on post-first-append state.
+    val idx = java.nio.file.Files.createTempDirectory("graft-hnsw-d3").toString
+    Similarity.hnswWriteIndex(
+      corpus.filter(col("vec_id") =!= 101L && col("vec_id") < 140L), idx, nlist = 4)
+    Similarity.hnswAppendDelta(corpus.filter(col("vec_id") >= 140L), idx)
+    Similarity.hnswAppendDelta(corpus.filter(col("vec_id") === 101L), idx)
+    // emb/ stays one row per node through both appends
+    val embRows = spark.read.parquet(s"$idx/emb")
+    assert(embRows.count() === embRows.select("vec_id").distinct().count())
+    // no neighbor list anywhere carries a repeated id
+    val dupIds = spark.read.parquet(s"$idx/graph")
+      .select(size(col("neighbors")) - size(array_distinct(col("neighbors"))))
+      .collect().map(_.getInt(0))
+    assert(dupIds.forall(_ === 0), "a neighbor list carries repeated ids")
+    val out = Similarity.hnswProbeIndex(spark, idx, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0)._3 === 101L && math.abs(out(0)._4 - 1.0) < 1e-9,
+      "the second-batch duplicate must be reachable at rank 1")
+  }
+
   test("ss8 recall metric: matches hand-computed recall, floors hold per variant") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
