@@ -1396,9 +1396,44 @@ object Dedup {
     * 8-byte rows, pruned to the delta's key set by the semi-join's
     * build side), never re-aggregated corpus-wide. A delta span whose
     * cumulative count crosses 2 joins dupset/ exactly once; every
-    * probe after that sees the promotion for standing docs too. */
-  def dupSpansAppendDelta(deltaDocs: DataFrame, n: Int, path: String): Unit = {
+    * probe after that sees the promotion for standing docs too.
+    *
+    * IDEMPOTENT under crash-and-rerun (round 14 — ADVICE r13): the
+    * three outputs are NOT three independent appends (a crash between
+    * them followed by a re-run double-counted the batch's df
+    * increments, which could promote a true-df=1 span into dupset —
+    * permanent divergence from the append ≡ rebuild contract).
+    * Instead, the batch is (1) keyed on an order-independent content
+    * hash of its doc ids (or the caller's `batchId` — the st-family's
+    * at-least-once ingest passes its own), (2) skipped outright when
+    * its `_batch_<id>` marker exists, (3) swept of any partial prior
+    * application (`b<id>-*` files in the live dirs) BEFORE the df/
+    * prior-count read, (4) staged under a hidden dir, then published
+    * by per-file renames into the live dirs under the batch prefix,
+    * marker last. Every crash point re-runs to the same final state.
+    * Single writer per index generation (the family contract); the
+    * maintenance cycle must not run concurrently with an in-flight
+    * append. */
+  def dupSpansAppendDelta(deltaDocs: DataFrame, n: Int, path: String,
+      batchIdOpt: Option[String] = None): Unit = {
     val spark = deltaDocs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchId = batchIdOpt.getOrElse {
+      val h = deltaDocs.agg(
+        coalesce(sum(xxhash64(col("doc_id"))), lit(0L))).head().getLong(0)
+      f"$h%016x"
+    }
+    val marker = new org.apache.hadoop.fs.Path(root, s"_batch_$batchId")
+    if (fs.exists(marker)) return
+    // sweep a crashed partial application of THIS batch so the df/
+    // prior-count read below never sees its own half-landed increments
+    Seq("spans", "df", "dupset").foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(root, d)
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith(s"b$batchId-"))
+          .foreach(s => fs.delete(s.getPath, false))
+    }
     val delta = withShinglesAll(deltaDocs, n)
       .select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("spans"))
       .filter(size(col("spans")) > 0)
@@ -1409,16 +1444,33 @@ object Dedup {
     val prior = spark.read.parquet(s"$path/df")
       .join(deltaCounts.select(col("span")), Seq("span"), "left_semi")
       .groupBy(col("span")).agg(sum(col("df")).as("prior"))
-    // newly-promoted spans FIRST (reads df/ before the increment lands)
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$batchId")
     deltaCounts.join(prior, Seq("span"), "left")
       .select(col("span"), col("c"), coalesce(col("prior"), lit(0L)).as("prior"))
       .filter(col("prior") < 2 && col("c") + col("prior") >= 2)
       .select(col("span"))
-      .write.mode("append").parquet(s"$path/dupset")
+      .write.mode("overwrite").parquet(s"$stage/dupset")
     deltaCounts.select(col("span"), col("c").as("df"))
-      .write.mode("append").parquet(s"$path/df")
-    delta.write.mode("append").parquet(s"$path/spans")
-    deltaCounts.unpersist(); delta.unpersist(); ()
+      .write.mode("overwrite").parquet(s"$stage/df")
+    delta.write.mode("overwrite").parquet(s"$stage/spans")
+    deltaCounts.unpersist(); delta.unpersist()
+    // publish: batch-prefixed per-file renames, marker LAST
+    Seq("spans", "df", "dupset").foreach { d =>
+      val from = new org.apache.hadoop.fs.Path(stage, d)
+      val to = new org.apache.hadoop.fs.Path(root, d)
+      fs.mkdirs(to)
+      fs.listStatus(from)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          if (!fs.rename(f.getPath, new org.apache.hadoop.fs.Path(to,
+              s"b$batchId-${f.getPath.getName}")))
+            throw new IllegalStateException(
+              s"dupSpansAppendDelta: publish rename failed for ${f.getPath}")
+        }
+    }
+    fs.create(marker).close()
+    fs.delete(stage, true); ()
   }
 
   private def planeWeight(table: Int, plane: Int, dim: Int): Float = {

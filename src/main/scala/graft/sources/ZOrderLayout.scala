@@ -76,6 +76,29 @@ object ZOrderLayout {
   def normalize(v: Long, min: Long, mul: Long, div: Long): Long =
     (v - min) * mul / div
 
+  /** Query-side [[normalize]], clamped into the stored grid
+    * (round 14 — ADVICE r13): a box bound OUTSIDE the written domain
+    * must clamp to the grid edge, not flow through raw arithmetic —
+    * under the mul=gmax regime `(v − min) · mul` overflows Long for a
+    * far-out bound, yielding a NEGATIVE coordinate, an empty per-dim
+    * range, and a silently empty cell list for a box that legitimately
+    * covers the domain (the cell list must be a SUPERSET for
+    * correctness; the exact range predicate does the trimming).
+    * Below-domain bounds clamp to 0; the overflow guard sends any
+    * bound past Long.MaxValue/mul to the top edge — such a bound is
+    * necessarily above every written value. */
+  def normalizeClamped(v: Long, min: Long, mul: Long, div: Long, gridMax: Long): Long = {
+    // compare BEFORE subtracting: v − min itself wraps for extreme
+    // bounds (Long.MinValue − a positive min flips POSITIVE, which
+    // would clamp a below-domain lo to the TOP edge)
+    if (v <= min || mul == 0L) return 0L
+    val x = v - min
+    // a wrapped (negative) difference means v is farther above min
+    // than Long can represent — past the domain top either way
+    if (x < 0L || x > Long.MaxValue / mul) gridMax
+    else math.min(x * mul / div, gridMax)
+  }
+
   case class ZMeta(colA: String, colB: String, minA: Long, mulA: Long, divA: Long,
       minB: Long, mulB: Long, divB: Long, cellBits: Int)
 
@@ -122,9 +145,9 @@ object ZOrderLayout {
   def boxCells(m: ZMeta, loA: Long, hiA: Long, loB: Long, hiB: Long): Seq[Long] = {
     val shift = 16 - m.cellBits
     def cellRange(lo: Long, hi: Long, min: Long, mul: Long, div: Long): Range = {
-      val cLo = (normalize(math.max(lo, min), min, mul, div) >> shift).toInt
-      val cHi = (normalize(math.max(hi, min), min, mul, div) >> shift).toInt
-      math.max(cLo, 0) to math.min(cHi, (1 << m.cellBits) - 1)
+      val cLo = (normalizeClamped(lo, min, mul, div, 65535L) >> shift).toInt
+      val cHi = (normalizeClamped(hi, min, mul, div, 65535L) >> shift).toInt
+      cLo to cHi
     }
     for {
       ca <- cellRange(loA, hiA, m.minA, m.mulA, m.divA)
@@ -236,10 +259,11 @@ object ZOrderLayout {
     * ≤ 2^(d·cellBits) ≤ 4096 candidates. */
   def boxCellsN(m: ZMetaN, lo: Seq[Long], hi: Seq[Long]): Seq[Long] = {
     val shift = m.gridBits - m.cellBits
+    val gmax = (1L << m.gridBits) - 1
     val ranges = m.cols.indices.map { i =>
-      val cLo = (normalize(math.max(lo(i), m.mins(i)), m.mins(i), m.muls(i), m.divs(i)) >> shift).toInt
-      val cHi = (normalize(math.max(hi(i), m.mins(i)), m.mins(i), m.muls(i), m.divs(i)) >> shift).toInt
-      math.max(cLo, 0) to math.min(cHi, (1 << m.cellBits) - 1)
+      val cLo = (normalizeClamped(lo(i), m.mins(i), m.muls(i), m.divs(i), gmax) >> shift).toInt
+      val cHi = (normalizeClamped(hi(i), m.mins(i), m.muls(i), m.divs(i), gmax) >> shift).toInt
+      cLo to cHi
     }
     ranges.foldLeft(Seq(0L))((acc, r) =>
       for { a <- acc; c <- r } yield (a << m.cellBits) | c.toLong)

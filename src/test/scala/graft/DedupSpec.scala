@@ -291,6 +291,54 @@ class DedupSpec extends SparkTestBase {
     assert(after2 === full2)
   }
 
+  test("span index append is idempotent under crash-and-rerun: no double-counted " +
+      "df increments, no phantom promotions (round 14 — ADVICE r13)") {
+    import spark.implicits._
+    val boiler = "this licence text is repeated verbatim across many documents today"
+    // doc 1 holds the passage once: true df=1, must NEVER reach dupset —
+    // a double-applied delta df increment is exactly what would promote it
+    val baseDocs = Seq(
+      (1L, s"unique opening words one two three four $boiler"),
+    ).toDF("doc_id", "text")
+    val deltaDocs = Seq(
+      (6L, "a wholly original delta document long enough to carry several spans of its own"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-spanidx-i").toString
+    Dedup.dupSpansWriteIndex(baseDocs, 10, idx)
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = rows(Dedup.dupSpansProbe(spark, idx))
+    // (a) full redelivery of an applied batch: marker short-circuits
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx)
+    assert(rows(Dedup.dupSpansProbe(spark, idx)) === want)
+    // (b) crash AFTER publish, BEFORE marker: all files landed; rerun
+    // must sweep and re-apply to the same state, not double-count
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("_batch_"))
+    assert(markers.length === 1)
+    fs.delete(markers.head.getPath, false)
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx)
+    assert(rows(Dedup.dupSpansProbe(spark, idx)) === want)
+    // (c) crash MID-publish: marker gone AND one live dir's batch files
+    // half-landed (drop the batch's spans/ files, keep its df/ files —
+    // the dangerous state: increments present, docs absent)
+    val markers2 = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("_batch_"))
+    fs.delete(markers2.head.getPath, false)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/spans"))
+      .filter(_.getPath.getName.startsWith("b"))
+      .foreach(s => fs.delete(s.getPath, false))
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx)
+    assert(rows(Dedup.dupSpansProbe(spark, idx)) === want)
+    // end state still ≡ one-shot rebuild, and doc 1 was never promoted
+    assert(want === rows(Dedup.dupSpans(baseDocs.unionByName(deltaDocs), n = 10)))
+    assert(want.find(_._1 == 1L).get._3 === 0L,
+      "true-df=1 span was promoted — increments double-counted")
+  }
+
   test("dd6 registry probe ≡ inline dupGroups labeling on the driver corpus (round 13)") {
     // VERDICT r12 #1: dd6 now probes the materialized graft_dupidx
     // full labeling; the at-rest rows must equal the inline iterative

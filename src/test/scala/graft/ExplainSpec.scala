@@ -850,8 +850,12 @@ class ExplainSpec extends SparkTestBase {
       s"dd6 must read the materialized labeling, scans: $paths6")
     assert(paths6.forall(_.contains("graft_dupidx")),
       s"dd6 must read ONLY the labeling (no documents scan, no shingle probe): $paths6")
-    // no iterative-propagation artifacts: the plan is scan + sort
-    assert(!plan(d6).contains("localCheckpoint"),
+    // no iterative-propagation artifacts: the old inline path's
+    // localCheckpoint barriers print as "Scan ExistingRDD" leaves (a
+    // literal "localCheckpoint" never appears in a plan string —
+    // ADVICE r13 flagged the earlier guard as vacuous), so pin the
+    // absence of any in-memory-lineage leaf instead
+    assert(!plan(d6).contains("ExistingRDD"),
       "dd6 re-ran the propagation loop per query")
     val d8 = graft.queries.PipelineQueries.dd8(spark, Sf0001)
     d8.collect()

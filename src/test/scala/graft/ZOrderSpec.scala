@@ -111,6 +111,36 @@ class ZOrderSpec extends SparkTestBase {
       s"3-D box read $filesBox of $filesAll files — no pruning happened")
   }
 
+  test("out-of-domain box bounds clamp to the grid edge — never an empty " +
+      "cell list for a domain-covering box (round 14 — ADVICE r13)") {
+    // normalizeClamped unit coverage: the mul=gmax regime overflows
+    // (v − min) · mul for far-out bounds — raw arithmetic went
+    // negative and emptied the per-dim range
+    assert(ZOrderLayout.normalizeClamped(Long.MaxValue, 0L, 65535L, 100L, 65535L) === 65535L)
+    assert(ZOrderLayout.normalizeClamped(Long.MinValue, 0L, 65535L, 100L, 65535L) === 0L)
+    assert(ZOrderLayout.normalizeClamped(50L, 0L, 65535L, 100L, 65535L) ===
+      ZOrderLayout.normalize(50L, 0L, 65535L, 100L))
+    // end-to-end at both arities: a box with bounds far outside the
+    // written domain must return every row (cells = superset contract)
+    val dir2 = java.nio.file.Files.createTempDirectory("zorder_clamp2").toString
+    val li = Tables.lineitem(spark, Sf0001)
+    ZOrderLayout.writeZOrdered(li, "l_partkey", "l_suppkey", dir2, cellBits = 3)
+    assert(ZOrderLayout.boxQuery(spark, dir2,
+      Long.MinValue, Long.MaxValue, Long.MinValue, Long.MaxValue).count() === li.count())
+    val dirN = java.nio.file.Files.createTempDirectory("zorder_clampN").toString
+    ZOrderLayout.writeZOrderedN(li,
+      Seq("l_partkey", "l_suppkey", "l_quantity"), dirN, cellBits = 3)
+    assert(ZOrderLayout.boxQueryN(spark, dirN,
+      Seq(Long.MinValue, Long.MinValue, Long.MinValue),
+      Seq(Long.MaxValue, Long.MaxValue, Long.MaxValue)).count() === li.count())
+    // a half-out-of-domain hi keeps the in-domain rows exact
+    val got = ZOrderLayout.boxQueryN(spark, dirN,
+        Seq(20L, 2L, 5L), Seq(Long.MaxValue, 6L, 25L)).count()
+    val want = li.filter(col("l_partkey") >= 20 &&
+      col("l_suppkey").between(2, 6) && col("l_quantity").between(5, 25)).count()
+    assert(got === want && got > 0)
+  }
+
   test("q100 registry query matches its own direct-filter twin (round 13)") {
     val viaLayout = CoreQueries.q100Zorder3Box(spark, Sf0001).collect().toSeq
     val li = Tables.lineitem(spark, Sf0001)
