@@ -110,12 +110,21 @@ object TextFunctions {
 
   /** tx2: quality scoring — stopword ratio, punctuation ratio, length
     * bucket, and a composite score. All ratios divide exact ints; the
-    * composite is a fixed-order double polynomial (engine-identical). */
-  def qualityScore(docs: DataFrame): DataFrame = {
+    * composite is a fixed-order double polynomial (engine-identical).
+    *
+    * `tokens` is the tokenizer seam (round 14 — VERDICT r13 #3): the
+    * ASCII default keeps the historical gate; passing
+    * [[unicodeTokensExpr]] (the tx32 registry twin) makes n_tokens
+    * count letter/digit runs in ANY script, so a CJK document stops
+    * scoring as empty text (n_tokens=0 → quality pinned at the
+    * punct-only floor) and flows through the same formula. The
+    * stopword list stays ASCII English — its hits are identical under
+    * both tokenizers, which keeps the twin a pure tokenizer ablation. */
+  def qualityScore(docs: DataFrame, tokens: String = tokensExpr): DataFrame = {
     val base = docs.select(
       col("doc_id"),
-      size(expr(tokensExpr)).cast("long").as("n_tokens"),
-      size(expr(s"filter($tokensExpr, t -> t IN ($stopListSql))")).cast("long").as("n_stop"),
+      size(expr(tokens)).cast("long").as("n_tokens"),
+      size(expr(s"filter($tokens, t -> t IN ($stopListSql))")).cast("long").as("n_stop"),
       length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
       length(col("text")).cast("long").as("n_chars"))
     base
@@ -132,7 +141,11 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
-  val qualityScoreSql: String =
+  /** [[qualityScoreSql]] parameterized on the DuckDB-side tokenizer
+    * regex — Java regex and RE2 agree on both `[a-z0-9]+` and the
+    * `\p{L}\p{N}` classes (tx31's parity argument), so both gate twins
+    * stay oracle-able from one template. */
+  def qualityScoreSqlFor(re: String): String =
     s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars, stop_ratio, punct_ratio, len_bucket,
       | (stop_ratio * 0.5) + ((1.0 - punct_ratio) * 0.3) +
       |  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2) AS quality
@@ -143,12 +156,14 @@ object TextFunctions {
       |  CASE WHEN n_tokens < 20 THEN 'short' WHEN n_tokens < 60 THEN 'medium' ELSE 'long' END AS len_bucket
       | FROM (
       |  SELECT doc_id,
-      |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
-      |   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
+      |   CAST(len(regexp_extract_all(lower(text), '$re')) AS BIGINT) AS n_tokens,
+      |   CAST(len(list_filter(regexp_extract_all(lower(text), '$re'), t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
       |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
       |   CAST(length(text) AS BIGINT) AS n_chars
       |  FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  val qualityScoreSql: String = qualityScoreSqlFor("[a-z0-9]+")
 
   /** Function-word profiles for the n-gram/stopword language heuristic
     * (public frequency lists). On the synthetic corpus (shared English
@@ -402,10 +417,10 @@ object TextFunctions {
     * Guarded: docs shorter than n tokens get an empty array (an
     * unguarded sequence(1, size-n+1) would DESCEND for short docs —
     * Spark infers step -1 when start > stop). */
-  private def shingleExpr(n: Int): String =
-    s"""CASE WHEN size($tokensExpr) >= $n
-       | THEN array_distinct(transform(sequence(1, size($tokensExpr) - ${n - 1}),
-       |        i -> concat_ws(' ', slice($tokensExpr, i, $n))))
+  private def shingleExpr(n: Int, tokens: String = tokensExpr): String =
+    s"""CASE WHEN size($tokens) >= $n
+       | THEN array_distinct(transform(sequence(1, size($tokens) - ${n - 1}),
+       |        i -> concat_ws(' ', slice($tokens, i, $n))))
        | ELSE CAST(array() AS array<string>) END""".stripMargin
       .replaceAll("\\s+", " ")
 
@@ -424,8 +439,9 @@ object TextFunctions {
     * negligible); the string key is kept here so the DuckDB oracle can
     * replay the join byte-for-byte. Nothing is ever all-pairs: cost is
     * O(|shingles|) shuffle, the same as one dedup pass. */
-  def contamination(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), expr(shingleExpr(n)).as("shs"))
+  def contamination(docs: DataFrame, n: Int = 3,
+      tokens: String = tokensExpr): DataFrame = {
+    val sh = docs.select(col("doc_id"), expr(shingleExpr(n, tokens)).as("shs"))
     val train = sh.filter(col("doc_id") % 10 =!= 0)
       .select(explode(col("shs")).as("shingle")).distinct()
     val eval_ = sh.filter(col("doc_id") % 10 === 0)
@@ -444,14 +460,16 @@ object TextFunctions {
 
   /** generate_series is end-inclusive (Spark's sequence equivalent);
     * list slice l[i:j] is 1-based inclusive (Spark's slice(l,i,n)). */
-  val contaminationSql: String =
-    """WITH sh AS (
+  /** [[contaminationSql]] parameterized on the DuckDB tokenizer regex
+    * (the tx33 unicode twin reuses the whole statement). */
+  def contaminationSqlFor(re: String): String =
+    s"""WITH sh AS (
       | SELECT doc_id,
       |  CASE WHEN len(ts) >= 3
       |   THEN list_distinct(list_transform(generate_series(1, len(ts) - 2),
       |          i -> array_to_string(ts[i:i+2], ' ')))
       |   ELSE [] END AS shs
-      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '$re') AS ts
       |       FROM documents)),
       |train AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE doc_id % 10 <> 0),
       |ev AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE doc_id % 10 = 0),
@@ -467,6 +485,8 @@ object TextFunctions {
       |FROM sh s LEFT JOIN hits h USING (doc_id)
       |WHERE s.doc_id % 10 = 0
       |ORDER BY doc_id""".stripMargin
+
+  val contaminationSql: String = contaminationSqlFor("[a-z0-9]+")
 
   /** tx12: sequence packing — the concat-and-chunk step that fills
     * fixed token budgets for pretraining. Documents are concatenated in
@@ -1449,9 +1469,9 @@ object TextFunctions {
     * write-once layout, at which point scoring is ONE scan + one
     * (w1,w2) shuffle join). Nothing broadcasts that scales with
     * vocabulary²; per-doc means partial-combine. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, tokens: String = tokensExpr): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), expr(tokensExpr).as("ts"),
+      .select(col("doc_id"), expr(tokens).as("ts"),
         (substring(md5(col("doc_id").cast("string")), 1, 1) < "4").as("is_ref"))
       .filter(size(col("ts")) >= 2)
     val bi = toks
@@ -1475,9 +1495,11 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
-  val lmScoreSql: String =
-    """WITH toks AS (
-      | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+  /** [[lmScoreSql]] parameterized on the DuckDB tokenizer regex (the
+    * tx34 unicode twin reuses the whole statement). */
+  def lmScoreSqlFor(re: String): String =
+    s"""WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '$re') AS ts,
       |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_ref
       | FROM documents),
       |bi AS (
@@ -1500,6 +1522,8 @@ object TextFunctions {
       |FROM scored
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  val lmScoreSql: String = lmScoreSqlFor("[a-z0-9]+")
 
   /** Nested-HOF reference implementation of [[fingerprints]]'s `fps`
     * column — kept ONLY for the spec that pins WinnowMinima to the

@@ -1391,6 +1391,29 @@ object PipelineQueries {
   def tx31(s: SparkSession, d: String): DataFrame =
     TextFunctions.unicodeTokenStats(Tables.documents(s, d))
 
+  /** The DuckDB-side twin of [[TextFunctions.unicodeTokensExpr]] —
+    * RE2 accepts the same \p{L}\p{N} classes as Java regex, which is
+    * what keeps the unicode gate twins oracle-able (tx31's parity
+    * argument). */
+  private val UnicodeRe = """[\p{L}\p{N}]+"""
+
+  /** tx32/tx33/tx34 (round 14 — VERDICT r13 #3): the quality,
+    * contamination, and LM-scoring gates under the UNICODE tokenizer —
+    * the gates a multilingual corpus actually runs. tx31 measures the
+    * ASCII blind spot (ascii_share ≈ 0 on CJK); these are the
+    * adoption: same formulas, same plans, only the tokenizer seam
+    * swapped, each oracle-gated through the shared SQL template so
+    * the two regimes cannot silently diverge. The ASCII originals
+    * stay registered — on an English corpus the twins agree, on a
+    * multilingual one the DIFF between twin and original is the
+    * measured under-count. */
+  def tx32(s: SparkSession, d: String): DataFrame =
+    TextFunctions.qualityScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
+  def tx33(s: SparkSession, d: String): DataFrame =
+    TextFunctions.contamination(Tables.documents(s, d), 3, TextFunctions.unicodeTokensExpr)
+  def tx34(s: SparkSession, d: String): DataFrame =
+    TextFunctions.lmScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
+
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
       s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
@@ -1570,6 +1593,9 @@ object PipelineQueries {
     ("tx29_ngram_novelty", tx29 _, TextFunctions.ngramNoveltySql),
     ("tx30_source_saturation", tx30 _, tx30Sql),
     ("tx31_unicode_tokens", tx31 _, TextFunctions.unicodeTokenStatsSql),
+    ("tx32_quality_unicode", tx32 _, TextFunctions.qualityScoreSqlFor(UnicodeRe)),
+    ("tx33_contam_unicode", tx33 _, TextFunctions.contaminationSqlFor(UnicodeRe)),
+    ("tx34_lm_unicode", tx34 _, TextFunctions.lmScoreSqlFor(UnicodeRe)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),
