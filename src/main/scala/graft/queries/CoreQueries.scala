@@ -2259,9 +2259,8 @@ object CoreQueries {
     // o3 (round 13 — ADVICE r12): + bloomstats/ (1-row edge count +
     // wedge-closing Bloom bytes) so constructing q74's plan stops
     // re-counting/re-building the filter the layout already determines
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_copurchase_${Tables.layoutKey(d, "lineitem", s"cap${MaxOrderItems}o3")}"
-    if (!Tables.layoutReady(path, "_done")) Tables.publishLayout(path) { tmp =>
+    Tables.cachedLayout("graft_copurchase", d, "lineitem",
+        s"cap${MaxOrderItems}o3") { tmp =>
       val li = cappedDistinctItems(Tables.lineitem(s, d), MaxOrderItems)
         .localCheckpoint() // edges + items + totals must not re-run the cap window
       val e = copurchasePairsOf(li).localCheckpoint() // two writes below must not re-run the self-join
@@ -2277,9 +2276,7 @@ object CoreQueries {
         .write.mode("overwrite").parquet(s"$tmp/items")
       li.agg(countDistinct(col("l_orderkey")).as("orders"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/totals")
-      new java.io.File(s"$tmp/_done").createNewFile(); ()
     }
-    path
   }
 
   def copurchaseEdges(s: SparkSession, d: String): DataFrame =
@@ -2885,13 +2882,11 @@ object CoreQueries {
     * params token appends customer's raw fingerprint. */
   private[graft] def q84StandingViewPath(s: SparkSession, d: String): String = {
     val c = new java.io.File(s"$d/customer.parquet")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivmview_" +
-      Tables.layoutKey(d, "orders", s"v1c${c.length}-${c.lastModified}")
-    if (!Tables.layoutReady(path)) Tables.publishLayout(path) { tmp =>
+    Tables.cachedLayout("graft_ivmview", d, "orders",
+        s"v1c${c.length}-${c.lastModified}") { tmp =>
       val (oBase, _, cBase, _) = q84Splits(s, d)
       q84Join(oBase, cBase).write.parquet(tmp)
     }
-    path
   }
 
   def q84IncrementalJoin(s: SparkSession, d: String): DataFrame = {

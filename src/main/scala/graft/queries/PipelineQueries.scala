@@ -36,16 +36,10 @@ object PipelineQueries {
     * representation; the encode pass is amortized infrastructure
     * rebuilt on corpus refresh. Probe ≡ inline is spec-asserted for
     * both representations (DedupSpec). */
-  private def cachedShingleIndex(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_shidx_${Tables.layoutKey(d, "documents", "n1v2")}" // v2: +df/ +dict/ (delta-append state, round 8)
-    if (!Tables.layoutReady(path, "_done"))
-      Tables.publishLayout(path) { tmp =>
-        Dedup.shingleWriteIndex(Tables.documents(s, d), 1, tmp)
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
-    path
-  }
+  private def cachedShingleIndex(s: SparkSession, d: String): String =
+    // n1v2: +df/ +dict/ (delta-append state, round 8)
+    Tables.cachedLayout("graft_shidx", d, "documents", "n1v2")(
+      Dedup.shingleWriteIndex(Tables.documents(s, d), 1, _))
 
   /** Shingle index over the STANDING (non-delta) split only — st15's
     * at-rest standing side (round 9 — VERDICT r8 #8: the streaming
@@ -55,16 +49,9 @@ object PipelineQueries {
     * now it reads one). Same build machinery as [[cachedShingleIndex]]
     * under its own params token; `shingleAppendDelta` is what keeps it
     * fresh between ingest windows in production. */
-  private[graft] def cachedShingleIndexNondelta(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_shidx_${Tables.layoutKey(d, "documents", "n1v2nd")}"
-    if (!Tables.layoutReady(path, "_done"))
-      Tables.publishLayout(path) { tmp =>
-        Dedup.shingleWriteIndex(Tables.documents(s, d).filter(!isDeltaDoc), 1, tmp)
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
-    path
-  }
+  private[graft] def cachedShingleIndexNondelta(s: SparkSession, d: String): String =
+    Tables.cachedLayout("graft_shidx", d, "documents", "n1v2nd")(
+      Dedup.shingleWriteIndex(Tables.documents(s, d).filter(!isDeltaDoc), 1, _))
 
   def dd2(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
@@ -138,16 +125,14 @@ object PipelineQueries {
     * (canonical selection, incremental ingest, group stats) PROBES the
     * parquet index — at 100 TB you never re-run propagation per query. */
   private def cachedGroupsIndex(s: SparkSession, d: String, variant: String,
-      docs: => DataFrame): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/$variant"
-    if (!Tables.layoutReady(path)) {
-      val dset = docs
-      Tables.publishLayout(path)(tmp => Dedup.dupGroupsWriteIndex(dset,
-        Dedup.ngramJaccardPairs(dset, 1, JaccardThreshold), tmp))
-    }
-    Dedup.dupGroupsReadIndex(s, path)
-  }
+      docs: => DataFrame): DataFrame =
+    Dedup.dupGroupsReadIndex(s,
+      Tables.cachedLayout("graft_dupidx", d, "documents",
+          s"j$JaccardThreshold", variant) { tmp =>
+        val dset = docs
+        Dedup.dupGroupsWriteIndex(dset,
+          Dedup.ngramJaccardPairs(dset, 1, JaccardThreshold), tmp)
+      })
 
   /** dd7: canonical document selection — the stage after grouping:
     * per transitive near-dup group keep the BEST document by tx2's
@@ -335,25 +320,19 @@ object PipelineQueries {
     * degrees + verdict, audits) re-derived it from the shingle index
     * per query, and at x30 that candidate probe was the whole cost.
     * Probe ≡ inline is spec-pinned (DedupSpec). */
-  private def cachedContainIndex(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_dupidx_${Tables.layoutKey(d, "documents", s"j$JaccardThreshold")}/contain2"
-    if (!Tables.layoutReady(path, "_done")) {
-      Tables.publishLayout(path) { tmp =>
-        Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
-          .write.mode("overwrite").parquet(s"$tmp/pairs")
-        // labels read the JUST-WRITTEN pairs — the propagation loop's
-        // per-round lineage then starts from a parquet scan, not the
-        // whole candidate-probe plan
-        Dedup.dupGroupsWriteIndex(Tables.documents(s, d),
-          s.read.parquet(s"$tmp/pairs")
-            .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")),
-          s"$tmp/labels")
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
+  private def cachedContainIndex(s: SparkSession, d: String): String =
+    Tables.cachedLayout("graft_dupidx", d, "documents",
+        s"j$JaccardThreshold", "contain2") { tmp =>
+      Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+      // labels read the JUST-WRITTEN pairs — the propagation loop's
+      // per-round lineage then starts from a parquet scan, not the
+      // whole candidate-probe plan
+      Dedup.dupGroupsWriteIndex(Tables.documents(s, d),
+        s.read.parquet(s"$tmp/pairs")
+          .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")),
+        s"$tmp/labels")
     }
-    path
-  }
 
   /** dd11's containment-pair CTE + dd6's recursive transitive closure
     * (undirected edges, min-reachable label) + degree counts + the
@@ -598,17 +577,11 @@ object PipelineQueries {
     * per-corpus infrastructure like every other family's (the
     * tokenize+hash+majority-vote pass was the last one recomputed
     * inline per query). */
-  private def cachedSimhashIndex(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_simidx_${Tables.layoutKey(d, "documents", "v1")}"
-    if (!Tables.layoutReady(path, "_done"))
-      Tables.publishLayout(path) { tmp =>
-        Dedup.simhash(Tables.documents(s, d))
-          .write.mode("overwrite").parquet(s"$tmp/sigs")
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
-    path
-  }
+  private def cachedSimhashIndex(s: SparkSession, d: String): String =
+    Tables.cachedLayout("graft_simidx", d, "documents", "v1") { tmp =>
+      Dedup.simhash(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+    }
 
   def dd4(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairsFrom(
@@ -618,16 +591,9 @@ object PipelineQueries {
     * #2): dd8's span arrays and df ≥ 2 span set are corpus-static;
     * the registry probe is one explode + semi-join + per-doc count
     * off the at-rest 8-byte rows. Params token carries n. */
-  private def cachedSpanIndex(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_spanidx_${Tables.layoutKey(d, "documents", "n10v1")}"
-    if (!Tables.layoutReady(path, "_done"))
-      Tables.publishLayout(path) { tmp =>
-        Dedup.dupSpansWriteIndex(Tables.documents(s, d), 10, tmp)
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
-    path
-  }
+  private def cachedSpanIndex(s: SparkSession, d: String): String =
+    Tables.cachedLayout("graft_spanidx", d, "documents", "n10v1")(
+      Dedup.dupSpansWriteIndex(Tables.documents(s, d), 10, _))
 
   def dd8(s: SparkSession, d: String): DataFrame =
     Dedup.dupSpansProbe(s, cachedSpanIndex(s, d))
@@ -711,13 +677,11 @@ object PipelineQueries {
     // flat pq code table by the vec_id range key for the idempotent
     // append; v3→v4: round 14 made nlist corpus-adaptive and split
     // the hnsw layout into emb/ + edge-only graph/ + meta/)
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_annidx_${Tables.layoutKey(d, "embeddings", s"v4d$EmbDim")}/$variant"
-    if (!Tables.layoutReady(path, "_done")) {
+    Tables.cachedLayout("graft_annidx", d, "embeddings",
+        s"v4d$EmbDim", variant) { tmp =>
       val emb = Tables.embeddings(s, d)
       val nlist = annNlist(s, d)
-      Tables.publishLayout(path) { tmp =>
-        variant match {
+      variant match {
           case "ivf"   => Similarity.ivfWriteIndex(emb, tmp, nlist)
           case "pq"    => Similarity.pqWriteIndex(emb, tmp, EmbDim)
           case "ivfpq" => Similarity.ivfPqWriteIndex(emb, tmp, EmbDim, nlist)
@@ -752,11 +716,8 @@ object PipelineQueries {
           // build's per-cell self-join is O(n²/nlist) — fixed 16
           // cells is infeasible at 100 TB)
           case "hnsw" => Similarity.hnswWriteIndex(emb, tmp, nlist)
-        }
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
       }
     }
-    path
   }
 
   /** Force-build every write-once derived layout/index for `d`, so a
@@ -1278,16 +1239,10 @@ object PipelineQueries {
     * lines relation is retired with the fan-out that needed it.
     * Params token carries minDf: a different threshold is a different
     * set, never a silently-served stale one. */
-  private def cachedBoilerIndex(s: SparkSession, d: String, minDf: Int): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_blidx_${Tables.layoutKey(d, "documents", s"df${minDf}v1")}"
-    if (!Tables.layoutReady(path))
-      Tables.publishLayout(path) { tmp =>
-        TextFunctions.boilerplateSet(Tables.documents(s, d), minDf)
-          .write.mode("overwrite").parquet(tmp)
-      }
-    path
-  }
+  private def cachedBoilerIndex(s: SparkSession, d: String, minDf: Int): String =
+    Tables.cachedLayout("graft_blidx", d, "documents", s"df${minDf}v1")(
+      TextFunctions.boilerplateSet(Tables.documents(s, d), minDf)
+        .write.mode("overwrite").parquet(_))
 
   def tx29(s: SparkSession, d: String): DataFrame =
     TextFunctions.ngramNovelty(Tables.documents(s, d))
@@ -1469,18 +1424,12 @@ object PipelineQueries {
     * the stub derives deterministically from documents, so the layout
     * key on documents alone invalidates correctly; per-blob hashing
     * is the decode-adjacent cost nobody re-pays per dedup query. */
-  private def cachedPhashIndex(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_phidx_${Tables.layoutKey(d, "documents", "re1")}"
-    if (!Tables.layoutReady(path, "_done"))
-      Tables.publishLayout(path) { tmp =>
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        Multimodal.phash(docs.unionByName(Multimodal.reencodeStub(docs)))
-          .write.mode("overwrite").parquet(s"$tmp/sigs")
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
-    path
-  }
+  private def cachedPhashIndex(s: SparkSession, d: String): String =
+    Tables.cachedLayout("graft_phidx", d, "documents", "re1") { tmp =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Multimodal.phash(docs.unionByName(Multimodal.reencodeStub(docs)))
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+    }
 
   def mm5(s: SparkSession, d: String): DataFrame =
     Multimodal.phashNearDupFrom(
@@ -1506,16 +1455,9 @@ object PipelineQueries {
 
   /** Build-if-missing CDC chunk index over the documents-as-blobs
     * table, [[cachedShingleIndex]]'s convention for §2.E. */
-  private def cachedCdcIndex(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_cdcidx_${Tables.layoutKey(d, "documents", "v1")}"
-    if (!Tables.layoutReady(path, "_done"))
-      Tables.publishLayout(path) { tmp =>
-        Multimodal.cdcWriteIndex(Tables.documents(s, d), tmp)
-        new java.io.File(s"$tmp/_done").createNewFile(); ()
-      }
-    path
-  }
+  private def cachedCdcIndex(s: SparkSession, d: String): String =
+    Tables.cachedLayout("graft_cdcidx", d, "documents", "v1")(
+      Multimodal.cdcWriteIndex(Tables.documents(s, d), _))
 
   def mm6(s: SparkSession, d: String): DataFrame =
     Multimodal.cdcChunkStats(Tables.documents(s, d))
