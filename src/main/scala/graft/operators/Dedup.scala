@@ -1420,8 +1420,13 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchId = batchIdOpt.getOrElse {
+      // bit_xor, not sum: order-independent AND closed on 64 bits —
+      // summing full-range xxhash64 values overflows Long under ANSI
+      // mode on any realistically-sized batch. (XOR cancels PAIRS of
+      // identical doc_ids; batches are id-sets by the ingest contract,
+      // so the only collision channel left is xxhash64 itself.)
       val h = deltaDocs.agg(
-        coalesce(sum(xxhash64(col("doc_id"))), lit(0L))).head().getLong(0)
+        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head().getLong(0)
       f"$h%016x"
     }
     val marker = new org.apache.hadoop.fs.Path(root, s"_batch_$batchId")

@@ -469,6 +469,144 @@ object Similarity {
       case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
     }: _*)).getField("c")
 
+  /** nlist cutoff for the nlist-wide expression-array scoring path
+    * ([[assignExpr]]/[[centroidCosines]]). At or below it — every
+    * oracle/bench SF resolves nlist to 16 — assignment stays the
+    * original zero-shuffle expression, bit-pinned by the spec suite.
+    * Above it, [[withTopCells]]'s two-level join path: a 293-wide
+    * (x30) or 2M-wide (100 TB at nlist = n/512) projection of
+    * per-centroid cosine sub-expressions is the wrong shape twice
+    * over — Catalyst analysis/codegen cost grows with expression
+    * COUNT (past the JIT method limit whole-stage codegen falls back
+    * to interpreted eval), and per-row work is O(nlist), which under
+    * the adaptive nlist = n/512 rule turns every build's assignment
+    * pass into O(n²/512) — dd17's measured superlinear trap wearing
+    * a new coat (LayoutBench curves it). */
+  private[graft] val ExprCellMax = 64
+
+  /** Coarse grouping OVER the fine centroids: ncoarse = ⌈√nlist⌉
+    * centers, Lloyd-refined (3 iterations, cosine, sequential
+    * fixed-order double accumulation — deterministic), seeded from
+    * the first ncoarse fine centroids. Driver-side and bounded by the
+    * same nlist×dim floats the centroid table already is. Returns
+    * (coarse centroids, fine→coarse assignment). */
+  private def coarseGroups(cents: Array[Array[Float]]): (Array[Array[Float]], Array[Int]) = {
+    val nlist = cents.length
+    val dim = cents(0).length
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    def cosine(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var gc = Array.tabulate(ncoarse)(g => cents(g).map(_.toDouble))
+    val assign = new Array[Int](nlist)
+    def assignAll(): Unit = {
+      var i = 0
+      while (i < nlist) {
+        var best = 0; var bs = Double.NegativeInfinity; var g = 0
+        while (g < ncoarse) {
+          val s = cosine(cents(i), gc(g))
+          if (s > bs) { bs = s; best = g } // strict > : ties → lowest gid
+          g += 1
+        }
+        assign(i) = best; i += 1
+      }
+    }
+    for (_ <- 0 until 3) {
+      assignAll()
+      val sums = Array.fill(ncoarse, dim)(0.0)
+      val cnt = new Array[Int](ncoarse)
+      var j = 0
+      while (j < nlist) {
+        val g = assign(j); cnt(g) += 1
+        var k = 0
+        while (k < dim) { sums(g)(k) += cents(j)(k).toDouble; k += 1 }
+        j += 1
+      }
+      gc = Array.tabulate(ncoarse)(g => if (cnt(g) == 0) gc(g)
+        else sums(g).map(_ / cnt(g)))
+    }
+    assignAll() // assignment must reflect the FINAL means
+    (gc.map(_.map(_.toFloat)), assign)
+  }
+
+  /** Append `out` = the per-row top-`take` centroid cells as
+    * array<struct<s double, c int>> (best-first), preserving every
+    * input column. `key` must be unique per row — the index family's
+    * vec_id primary-key contract. nlist ≤ [[ExprCellMax]] → the
+    * original expression array (zero shuffle, bit-pinned at oracle/
+    * bench SFs); above → coarse→fine two-level scoring via broadcast
+    * joins + graft_topk partial aggregation: per-row work
+    * O(√nlist · w) instead of O(nlist), and every shuffle carries
+    * O(rows) thanks to map-side partials. The regimes may disagree on
+    * exact-tie ordering (array_max ties toward the higher cid,
+    * graft_topk toward the lower id) and the large path is a bounded
+    * coarse beam (w groups searched — an approximation ss8's recall
+    * rows gauge); each regime is deterministic, and no layout ever
+    * crosses regimes, because nlist is a pure function of the corpus
+    * the layout was built from. At 100 TB scale-out this generalizes
+    * to more levels (per-row cost nlist^(1/L) per level), the IMI/
+    * coarse-quantizer-tree family. */
+  private[graft] def withTopCells(df: DataFrame, key: String, embCol: String,
+      take: Int, cents: Array[Array[Float]], out: String): DataFrame = {
+    if (cents.length <= ExprCellMax) {
+      val sc = array(centroidCosines(col(embCol), cents).zipWithIndex.map {
+        case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
+      }: _*)
+      df.withColumn(out, slice(reverse(array_sort(sc)), 1, take))
+    } else {
+      val spark = df.sparkSession
+      VectorFunctions.register(spark)
+      import spark.implicits._
+      val (gcents, g4f) = coarseGroups(cents)
+      val ncoarse = gcents.length
+      // coarse beam: enough groups that the fine stage SEES ≥ take
+      // candidates in expectation, +1 for balance slack
+      val w = math.min(ncoarse,
+        math.max(2, (take * ncoarse + cents.length - 1) / cents.length + 1))
+      val coarseDF = gcents.zipWithIndex
+        .map { case (c, g) => (g.toLong, c.toSeq) }.toIndexedSeq.toDF("gid", "gcent")
+      val fineDF = cents.zipWithIndex
+        .map { case (c, i) => (g4f(i).toLong, i.toLong, c.toSeq) }.toIndexedSeq
+        .toDF("gid", "cid_l", "fcent")
+      val cand = df.select(col(key), col(embCol))
+        .crossJoin(broadcast(coarseDF))
+        .groupBy(col(key))
+        .agg(
+          call_function("graft_topk",
+            call_function("graft_cosine", col(embCol), col("gcent")),
+            col("gid"), lit(w)).as("gtk"),
+          // key is unique ⇒ every row in the group carries the SAME
+          // embedding ⇒ first() is deterministic
+          first(col(embCol)).as("__emb"))
+        .select(col(key), col("__emb"),
+          explode(expr("transform(gtk, x -> x.id)")).as("gid"))
+      val cells = cand.join(broadcast(fineDF), "gid")
+        .groupBy(col(key))
+        .agg(call_function("graft_topk",
+          call_function("graft_cosine", col("__emb"), col("fcent")),
+          col("cid_l"), lit(take)).as("tk"))
+        .select(col(key),
+          expr("transform(tk, x -> struct(x.score as s, cast(x.id as int) as c))").as(out))
+      df.join(cells, key)
+    }
+  }
+
+  /** [[assignExpr]]'s scale-safe form for build/append call sites:
+    * appends `cid` (int, the best cell), preserving all columns. `df`
+    * must carry a unique `vec_id`. */
+  private[graft] def withCid(df: DataFrame, embCol: String,
+      cents: Array[Array[Float]]): DataFrame =
+    if (cents.length <= ExprCellMax)
+      df.withColumn("cid", assignExpr(col(embCol), cents))
+    else
+      withTopCells(df, "vec_id", embCol, 1, cents, "__cells")
+        .withColumn("cid", expr("__cells[0].c")).drop("__cells")
+
   /** Lloyd-refined centroids — the only driver-side state (nlist×dim
     * floats). Seeded from the lowest vec_ids (deterministic); each
     * iteration is one distributed pass. Means accumulate in
@@ -485,8 +623,9 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(assignExpr(col("embedding"), centroids).as("cid"),
-        posexplode(col("embedding")))
+      val assigned = withCid(corpus.select(col("vec_id"), col("embedding")),
+          "embedding", centroids)
+        .select(col("cid"), posexplode(col("embedding")))
       val means = assigned.groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1))).as("v"))
@@ -500,20 +639,22 @@ object Similarity {
     centroids
   }
 
-  /** Per-query probe list: the `nprobe` best centroids by cosine. */
+  /** Per-query probe list: the `nprobe` best centroids by cosine
+    * (exact below [[ExprCellMax]], coarse-beam two-level above — the
+    * probe-list selection cost must not grow linearly with nlist any
+    * more than the build's assignment may). */
   private def probeLists(queries: DataFrame, cents: Array[Array[Float]], nprobe: Int): DataFrame =
-    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        array(centroidCosines(col("embedding"), cents).zipWithIndex.map {
-          case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
-        }: _*).as("probe_scores"))
+    withTopCells(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "query_id", "q_emb", nprobe, cents, "__cells")
       .select(col("query_id"), col("q_emb"),
-        explode(expr(s"transform(slice(reverse(array_sort(probe_scores)), 1, $nprobe), x -> x.c)")).as("cid"))
+        explode(expr("transform(__cells, x -> x.c)")).as("cid"))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val centroids = trainCentroids(corpus, nlist, iters)
-    val indexed = corpus.withColumn("cid", assignExpr(col("embedding"), centroids))
+    val indexed = withCid(corpus, "embedding", centroids)
     val probed = probeLists(queries, centroids, nprobe)
     val scored = indexed.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -533,7 +674,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsOpt.getOrElse(trainCentroids(corpus, nlist, iters))
-    corpus.withColumn("cid", assignExpr(col("embedding"), centroids))
+    withCid(corpus, "embedding", centroids)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
     centroids.zipWithIndex.toIndexedSeq
       .map { case (c, i) => (i, c.toSeq) }
@@ -565,7 +706,7 @@ object Similarity {
   def ivfAppendDelta(delta: DataFrame, path: String): Unit = {
     VectorFunctions.register(delta.sparkSession)
     val centroids = readCentroids(delta.sparkSession, s"$path/centroids")
-    delta.withColumn("cid", assignExpr(col("embedding"), centroids))
+    withCid(delta, "embedding", centroids)
       .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
   }
 
@@ -610,7 +751,7 @@ object Similarity {
     // ALL delta columns ride along, exactly as the plain append writes
     // them — dropping e.g. `label` here would silently thin the index
     // schema for downstream consumers like clusterStats
-    val assigned = delta.withColumn("cid", assignExpr(col("embedding"), centroids))
+    val assigned = withCid(delta, "embedding", centroids)
     val targetCids = assigned.select("cid").distinct().collect().map(_.getInt(0))
     if (targetCids.isEmpty) return 0L
     val existing = spark.read.parquet(s"$path/vectors")
@@ -713,9 +854,13 @@ object Similarity {
     * directories at planning time — the scan never opens them
     * (IvfIndexSpec asserts the pruned plan). `nprobe = 0` (the
     * default) derives max(4, nlist/4) from the index's own stored
-    * geometry — the tuned fraction stays put as builds scale nlist
-    * with the corpus (round 14 — VERDICT r13 #5), and the probe reads
-    * ~4×512 vectors whatever the corpus size. */
+    * geometry — the tuned nprobe/nlist FRACTION stays put as builds
+    * scale nlist with the corpus (round 14 — VERDICT r13 #5), which
+    * preserves the pinned recall floors; the probe therefore reads
+    * ~nlist/4 cells of ~512 vectors ≈ a quarter of the corpus. A
+    * production deployment trades that fraction down against ss14's
+    * recall-vs-nprobe curve (pass an explicit constant nprobe to
+    * probe a constant ~nprobe×512 vectors at any corpus size). */
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
@@ -821,18 +966,14 @@ object Similarity {
     import spark.implicits._
     VectorFunctions.register(spark)
     val cents = trainCentroids(corpus, nlist, iters)
-    val scoresCol = array(centroidCosines(col("embedding"), cents).zipWithIndex.map {
-      case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
-    }: _*)
     // (vec_id, embedding, cid1, s1, cid2): primary + secondary cell
-    val top2 = corpus
-      .withColumn("sc", scoresCol)
-      .withColumn("scs", expr("reverse(array_sort(sc))"))
+    val top2 = withTopCells(corpus.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 2, cents, "__cells")
       .select(col("vec_id"), col("embedding"),
-        expr("scs[0].c").as("cid1"), expr("scs[0].s").as("s1"),
-        expr("scs[1].c").as("cid2"))
-      .localCheckpoint() // three consumers below; the nlist-wide score
-                         // array must not re-evaluate per consumer
+        expr("__cells[0].c").as("cid1"), expr("__cells[0].s").as("s1"),
+        expr("__cells[1].c").as("cid2"))
+      .localCheckpoint() // three consumers below; the cell-scoring
+                         // pass must not re-evaluate per consumer
     // candidate pairs: node × members of its primary AND secondary cell
     val members = top2.select(col("cid1").as("cell"),
       col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
@@ -897,14 +1038,10 @@ object Similarity {
     val spark = delta.sparkSession
     VectorFunctions.register(spark)
     val cents = readCentroids(spark, s"$path/centroids")
-    val scoresCol = array(centroidCosines(col("embedding"), cents).zipWithIndex.map {
-      case (cos, i) => struct(cos.as("s"), lit(i).as("c"))
-    }: _*)
-    val top2 = delta
-      .withColumn("sc", scoresCol)
-      .withColumn("scs", expr("reverse(array_sort(sc))"))
+    val top2 = withTopCells(delta.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 2, cents, "__cells")
       .select(col("vec_id"), col("embedding"),
-        expr("scs[0].c").as("cid1"), expr("scs[1].c").as("cid2"))
+        expr("__cells[0].c").as("cid1"), expr("__cells[1].c").as("cid2"))
       .localCheckpoint()
     val standing = spark.read.parquet(s"$path/emb")
       .select(col("cid1").as("cell"), col("vec_id").as("nbr_id"),
@@ -1346,9 +1483,9 @@ object Similarity {
     VectorFunctions.register(corpus.sparkSession)
     val coarse = trainCentroids(corpus, nlist, iters)
     val books = trainPq(corpus, dim, m, ksub, iters)
-    val indexed = pqEncode(corpus, dim, m, books)
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("cid", assignExpr(col("embedding"), coarse))
+    val indexed = withCid(pqEncode(corpus, dim, m, books)
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id"),
+        "embedding", coarse)
       .select(col("vec_id"), col("cid"), col("codes"))
     val probed = probeLists(queries, coarse, nprobe)
     val scored = indexed
@@ -1375,9 +1512,9 @@ object Similarity {
     import spark.implicits._
     val coarse = coarseOpt.getOrElse(trainCentroids(corpus, nlist, iters))
     val books = booksOpt.getOrElse(trainPq(corpus, dim, m, ksub, iters))
-    pqEncode(corpus, dim, m, books)
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("cid", assignExpr(col("embedding"), coarse))
+    withCid(pqEncode(corpus, dim, m, books)
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id"),
+        "embedding", coarse)
       .select(col("vec_id"), col("codes"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
     coarse.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) }
@@ -1405,9 +1542,9 @@ object Similarity {
     val spark = delta.sparkSession
     val coarse = readCentroids(spark, s"$path/centroids")
     val books = readCodebook(spark, s"$path/codebook")
-    pqEncode(delta, dim, books.length, books)
-      .join(delta.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("cid", assignExpr(col("embedding"), coarse))
+    withCid(pqEncode(delta, dim, books.length, books)
+        .join(delta.select(col("vec_id"), col("embedding")), "vec_id"),
+        "embedding", coarse)
       .select(col("vec_id"), col("codes"), col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
@@ -1425,9 +1562,9 @@ object Similarity {
     val delta = delta0.dropDuplicates("vec_id")
     val coarse = readCentroids(spark, s"$path/centroids")
     val books = readCodebook(spark, s"$path/codebook")
-    val assigned = pqEncode(delta, dim, books.length, books)
-      .join(delta.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("cid", assignExpr(col("embedding"), coarse))
+    val assigned = withCid(pqEncode(delta, dim, books.length, books)
+        .join(delta.select(col("vec_id"), col("embedding")), "vec_id"),
+        "embedding", coarse)
       .select(col("vec_id"), col("codes"), col("cid"))
     val targetCids = assigned.select("cid").distinct().collect().map(_.getInt(0))
     if (targetCids.isEmpty) return 0L
