@@ -1811,11 +1811,19 @@ object CoreQueries {
     * every box query after it. Box spans ~1/16 of each dimension at
     * any SF (fractional bounds off the table's own min/max).
     */
-  def q65ZorderBox(s: SparkSession, d: String): DataFrame = {
+  /** q65's z-order layout, build-if-missing, path returned (split out
+    * round 14 so LayoutBench can delete-and-retime the build). */
+  private[graft] def zorderLayoutPath(s: SparkSession, d: String): String = {
     import graft.sources.ZOrderLayout
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${Tables.layoutKey(d, "lineitem")}/lineitem"
     if (!Tables.layoutReady(path, "data/_SUCCESS")) Tables.publishLayout(path)(tmp =>
       ZOrderLayout.writeZOrdered(Tables.lineitem(s, d), "l_partkey", "l_suppkey", tmp))
+    path
+  }
+
+  def q65ZorderBox(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrderLayout
+    val path = zorderLayoutPath(s, d)
     val m = ZOrderLayout.readMeta(s, path)
     // box = [min + span/8, min + span/4] on each dim: SF-independent
     // shape; true max from the data (meta holds bucket widths, not max)
@@ -1846,13 +1854,20 @@ object CoreQueries {
     * oracle is the box SQL over the original table — q65's contract
     * one dimension up. l_quantity is integral-valued DOUBLE; both
     * engines CAST to BIGINT before the bounds arithmetic. */
-  def q100Zorder3Box(s: SparkSession, d: String): DataFrame = {
+  /** q100's 3-D z-order layout, build-if-missing, path returned. */
+  private[graft] def zorder3LayoutPath(s: SparkSession, d: String): String = {
     import graft.sources.ZOrderLayout
     val path = s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_zorder_${Tables.layoutKey(d, "lineitem", "n3v1")}/lineitem3"
     if (!Tables.layoutReady(path, "data/_SUCCESS")) Tables.publishLayout(path)(tmp =>
       ZOrderLayout.writeZOrderedN(Tables.lineitem(s, d),
         Seq("l_partkey", "l_suppkey", "l_quantity"), tmp))
+    path
+  }
+
+  def q100Zorder3Box(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrderLayout
+    val path = zorder3LayoutPath(s, d)
     val m = ZOrderLayout.readMetaN(s, path)
     val mx = Tables.lineitem(s, d)
       .agg(max(col("l_partkey")).cast("long"), max(col("l_suppkey")).cast("long"),
@@ -2250,7 +2265,7 @@ object CoreQueries {
     * degree aggregation + attach joins are paid at build time and
     * q74 starts at the wedge join (round 7; orientation was the last
     * per-run recompute in the graph family). */
-  private def copurchaseLayout(s: SparkSession, d: String): String = {
+  private[graft] def copurchaseLayout(s: SparkSession, d: String): String = {
     // params v2 (round 8): the layout additionally carries items/
     // (capped per-item order frequency) and totals/ (1-row distinct
     // order count) so q93's rule scoring is a PURE index probe — the
