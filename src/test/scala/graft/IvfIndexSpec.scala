@@ -474,4 +474,46 @@ class IvfIndexSpec extends SparkTestBase {
     assert(math.abs(shares.sum - 1.0) < 1e-9)
     assert(sDelta.map(_.getDouble(3)).forall(_ > 0.0))
   }
+
+  test("two-level cell scoring (nlist > ExprCellMax): every row assigned once, " +
+      "builds deterministic, pruned probe holds a recall floor (round 14)") {
+    import spark.implicits._
+    // 1200 deterministic pseudo-random directions, nlist = 128 >
+    // ExprCellMax = 64 — the coarse→fine join path nothing at the
+    // oracle/bench SFs (nlist = 16) ever reaches. This is the regime
+    // every 100 TB build lives in (nlist = n/512), so it needs its own
+    // pins: assignment totality, build determinism, probe recall.
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(12)(j => math.sin(i * 37 + j * 3).toFloat)
+    val corpus = (0L until 1200L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-2l").toString
+    Similarity.ivfWriteIndex(corpus, dir, nlist = 128, iters = 2)
+    // totality: the final 1:1 join assigns every vector exactly once
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.count() === 1200L)
+    assert(vecs.select("vec_id").distinct().count() === 1200L)
+    assert(spark.read.parquet(s"$dir/centroids").count() === 128L)
+    // determinism: a second build lands every row in the same cell
+    // (coarse driver k-means, graft_topk comparators, DECIMAL Lloyd
+    // sums — all order-independent)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-2l-b").toString
+    Similarity.ivfWriteIndex(corpus, dir2, nlist = 128, iters = 2)
+    val a1 = vecs.select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val a2 = spark.read.parquet(s"$dir2/vectors").select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(a1.toSeq === a2.toSeq, "two-level assignment must be deterministic")
+    // probe (nprobe derives nlist/4 = 32, itself two-level-selected):
+    // k rows per query and recall ≥ floor vs the exact answer
+    val k = 10
+    val probe = Similarity.ivfProbeIndex(spark, dir, q, k)
+    val counts = probe.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 5 && counts.forall(_ === k.toLong))
+    val exact = Similarity.bruteForceTopK(corpus, q, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = probe.select(col("query_id"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+    assert(hits >= 35L, s"two-level IVF recall@$k fell to $hits/50")
+  }
 }

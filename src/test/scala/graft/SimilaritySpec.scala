@@ -246,6 +246,35 @@ class SimilaritySpec extends SparkTestBase {
       "the second-batch duplicate must be reachable at rank 1")
   }
 
+  test("hnsw two-level build (nlist > ExprCellMax): planted duplicate rank 1, " +
+      "one emb row per node, deterministic builds (round 14)") {
+    import spark.implicits._
+    // 1200 vectors, nlist = 128 > ExprCellMax — the coarse→fine join
+    // path the 100 TB builds (nlist = n/512) live in; the pinned
+    // oracle/bench layouts never leave the expression path (nlist 16).
+    def v(i: Long): Seq[Float] = Seq.tabulate(12)(j => math.sin(i * 37 + j * 3).toFloat)
+    val big = ((0L until 1200L).map(i => (i, v(i))) :+ (5000L, v(7L)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((7L, v(7L))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-hnsw-2l").toString
+    Similarity.hnswWriteIndex(big, idx, nlist = 128)
+    val embRows = spark.read.parquet(s"$idx/emb")
+    assert(embRows.count() === 1201L)
+    assert(embRows.select("vec_id").distinct().count() === 1201L)
+    val out = Similarity.hnswProbeIndex(spark, idx, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0)._3 === 5000L && math.abs(out(0)._4 - 1.0) < 1e-9,
+      "the planted exact duplicate must surface at rank 1 under the two-level build")
+    // determinism: a second build assigns every node the same cid1
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-hnsw-2l-b").toString
+    Similarity.hnswWriteIndex(big, idx2, nlist = 128)
+    val c1 = embRows.select("vec_id", "cid1").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val c2 = spark.read.parquet(s"$idx2/emb").select("vec_id", "cid1").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(c1.toSeq === c2.toSeq, "two-level hnsw cell assignment must be deterministic")
+  }
+
   test("ss8 recall metric: matches hand-computed recall, floors hold per variant") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 5)
