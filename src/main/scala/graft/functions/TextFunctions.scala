@@ -241,19 +241,22 @@ object TextFunctions {
     * per task, not per occurrence); the global top-k plans as
     * TakeOrderedAndProject — each task keeps k rows, no full sort
     * shuffle. Ties broken by token so the cut is deterministic. */
-  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
-    docs.select(explode(expr(tokensExpr)).as("token"))
+  def vocabTopK(docs: DataFrame, k: Int = 100,
+      tokens: String = tokensExpr): DataFrame =
+    docs.select(explode(expr(tokens)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
-  def vocabTopKSql(k: Int): String =
+  def vocabTopKSqlFor(k: Int, re: String): String =
     s"""SELECT token, freq FROM (
       | SELECT token, COUNT(*) AS freq FROM (
-      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  SELECT unnest(regexp_extract_all(lower(text), '$re')) AS token
       |  FROM documents)
       | GROUP BY token)
       |ORDER BY freq DESC, token LIMIT $k""".stripMargin
+
+  def vocabTopKSql(k: Int): String = vocabTopKSqlFor(k, "[a-z0-9]+")
 
   /** tx7: canonical text normalization — the first stage of any text
     * pipeline, so downstream hashing/dedup sees one encoding per
@@ -538,9 +541,10 @@ object TextFunctions {
     * already-small tf table; N_sources is a one-row broadcast; the
     * per-source top-k is a rank window over |sources| × |vocab| rows —
     * nothing touches raw token occurrences after the first groupBy. */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+      tokens: String = tokensExpr): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("source"), explode(expr(tokensExpr)).as("token"))
+    val tf = docs.select(col("source"), explode(expr(tokens)).as("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nSrc = docs.select(countDistinct(col("source")).as("n_sources"))
@@ -556,10 +560,12 @@ object TextFunctions {
       .orderBy(col("source"), col("rnk"))
   }
 
-  def tfidfTopTermsSql(k: Int): String =
+  def tfidfTopTermsSql(k: Int): String = tfidfTopTermsSqlFor(k, "[a-z0-9]+")
+
+  def tfidfTopTermsSqlFor(k: Int, re: String): String =
     s"""WITH tf AS (
       | SELECT source, token, COUNT(*) AS tf FROM (
-      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '$re')) AS token
       |  FROM documents)
       | GROUP BY source, token),
       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
@@ -645,8 +651,8 @@ object TextFunctions {
     * vocabulary of a 100 TB corpus outgrows one executor; the per-doc
     * aggregate partial-combines. Hot tokens skew the join key — AQE
     * skew-split handles it (same story as every band join here). */
-  def rarityScore(docs: DataFrame): DataFrame = {
-    val occ = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+  def rarityScore(docs: DataFrame, tokens: String = tokensExpr): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(expr(tokens)).as("token"))
     val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     occ.join(freq, "token")
       .groupBy(col("doc_id"))
@@ -656,9 +662,9 @@ object TextFunctions {
   }
 
   /** Token-less docs drop out in both engines (no occurrence rows). */
-  val rarityScoreSql: String =
-    """WITH occ AS (
-      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  def rarityScoreSqlFor(re: String): String =
+    s"""WITH occ AS (
+      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '$re')) AS token
       | FROM documents),
       |freq AS (SELECT token, COUNT(*) AS freq FROM occ GROUP BY token)
       |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(freq) AS BIGINT) AS sum_freq,
@@ -666,6 +672,8 @@ object TextFunctions {
       |FROM occ JOIN freq USING (token)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  val rarityScoreSql: String = rarityScoreSqlFor("[a-z0-9]+")
 
   /** tx17: bigram language-model scoring — tx14's unigram signal
     * upgraded to CONDITIONAL probability: each document scored by the
