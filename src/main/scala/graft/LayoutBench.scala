@@ -37,6 +37,10 @@ object LayoutBench {
       "boiler"     -> ((s, d) => PQ.cachedBoilerIndex(s, d, 3)),
       "phash"      -> ((s, d) => PQ.cachedPhashIndex(s, d)),
       "cdc"        -> ((s, d) => PQ.cachedCdcIndex(s, d)),
+      "contam"     -> ((s, d) => PQ.cachedContamIndex(s, d, "ascii",
+        graft.functions.TextFunctions.tokensExpr)),
+      "contam_uni" -> ((s, d) => PQ.cachedContamIndex(s, d, "uni",
+        graft.functions.TextFunctions.unicodeTokensExpr)),
       "ann_lsh"    -> ((s, d) => PQ.cachedAnnIndex(s, d, "lsh")),
       "ann_ivf"    -> ((s, d) => PQ.cachedAnnIndex(s, d, "ivf")),
       "ann_pq"     -> ((s, d) => PQ.cachedAnnIndex(s, d, "pq")),

@@ -447,7 +447,31 @@ object TextFunctions {
     val sh = docs.select(col("doc_id"), expr(shingleExpr(n, tokens)).as("shs"))
     val train = sh.filter(col("doc_id") % 10 =!= 0)
       .select(explode(col("shs")).as("shingle")).distinct()
-    val eval_ = sh.filter(col("doc_id") % 10 === 0)
+    contaminationOf(sh.filter(col("doc_id") % 10 === 0), train)
+  }
+
+  /** The train-side DISTINCT shingle set — [[contamination]]'s
+    * corpus-static half (the split rule is deterministic), extracted
+    * so the registry gate can materialize it write-once (round 14:
+    * ScaleBench's noop-sink sweep put the inline gate at ~10 s wall
+    * at sf0.1, ~95% of it the TRAIN side's extraction + distinct —
+    * re-paid per query for a set that changes only on corpus
+    * refresh; the count()-pruned registry metric had hidden it). */
+  def contaminationTrainSet(docs: DataFrame, n: Int = 3,
+      tokens: String = tokensExpr): DataFrame =
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(expr(shingleExpr(n, tokens))).as("shingle")).distinct()
+
+  /** [[contamination]] probing an at-rest train shingle set: only the
+    * EVAL split (a tenth of the corpus) is tokenized per run. Probe ≡
+    * inline is spec-pinned for both tokenizer regimes. */
+  def contaminationProbe(docs: DataFrame, trainShingles: DataFrame, n: Int = 3,
+      tokens: String = tokensExpr): DataFrame =
+    contaminationOf(docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), expr(shingleExpr(n, tokens)).as("shs")), trainShingles)
+
+  /** Shared tail: per-eval-doc hit counting + ratio presentation. */
+  private def contaminationOf(eval_ : DataFrame, train: DataFrame): DataFrame = {
     val hits = eval_.select(col("doc_id"), explode(col("shs")).as("shingle"))
       .join(train, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))

@@ -746,6 +746,8 @@ object PipelineQueries {
     cachedBoilerIndex(s, d, 3)
     cachedSimhashIndex(s, d)
     cachedPhashIndex(s, d)
+    cachedContamIndex(s, d, "ascii", TextFunctions.tokensExpr)
+    cachedContamIndex(s, d, "uni", TextFunctions.unicodeTokensExpr)
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta",
       "ivf_base", "hnsw").foreach(v => cachedAnnIndex(s, d, v))
     graft.sources.CsvIngest.customerCsv(s, d).count()
@@ -1223,7 +1225,21 @@ object PipelineQueries {
   def tx9(s: SparkSession, d: String): DataFrame = TextFunctions.redactPii(Tables.documents(s, d))
   def tx10(s: SparkSession, d: String): DataFrame = TextFunctions.cleanCorpus(Tables.documents(s, d))
   def tx6(s: SparkSession, d: String): DataFrame = TextFunctions.vocabTopK(Tables.documents(s, d), 100)
-  def tx11(s: SparkSession, d: String): DataFrame = TextFunctions.contamination(Tables.documents(s, d))
+  /** Build-if-missing train-side distinct contamination shingle set
+    * (round 14): the gate's corpus-static half under the write-once
+    * convention, one sub-layout per tokenizer regime. The registry
+    * tx11/tx33 then tokenize only the eval tenth per run — probe ≡
+    * inline spec-pinned for both regimes (TextFunctionsSpec). */
+  private[graft] def cachedContamIndex(s: SparkSession, d: String,
+      tag: String, tokens: String): String =
+    Tables.cachedLayout("graft_ctidx", d, "documents", "n3v1", tag) { tmp =>
+      TextFunctions.contaminationTrainSet(Tables.documents(s, d), 3, tokens)
+        .write.mode("overwrite").parquet(s"$tmp/train")
+    }
+
+  def tx11(s: SparkSession, d: String): DataFrame =
+    TextFunctions.contaminationProbe(Tables.documents(s, d),
+      s.read.parquet(s"${cachedContamIndex(s, d, "ascii", TextFunctions.tokensExpr)}/train"))
   def tx12(s: SparkSession, d: String): DataFrame = TextFunctions.packDocs(Tables.documents(s, d), 512)
   def tx13(s: SparkSession, d: String): DataFrame = TextFunctions.tfidfTopTerms(Tables.documents(s, d), 5)
   def tx14(s: SparkSession, d: String): DataFrame = TextFunctions.rarityScore(Tables.documents(s, d))
@@ -1370,7 +1386,9 @@ object PipelineQueries {
   def tx32(s: SparkSession, d: String): DataFrame =
     TextFunctions.qualityScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
   def tx33(s: SparkSession, d: String): DataFrame =
-    TextFunctions.contamination(Tables.documents(s, d), 3, TextFunctions.unicodeTokensExpr)
+    TextFunctions.contaminationProbe(Tables.documents(s, d),
+      s.read.parquet(s"${cachedContamIndex(s, d, "uni", TextFunctions.unicodeTokensExpr)}/train"),
+      3, TextFunctions.unicodeTokensExpr)
   def tx34(s: SparkSession, d: String): DataFrame =
     TextFunctions.lmScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
 
