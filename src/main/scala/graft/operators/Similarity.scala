@@ -548,9 +548,31 @@ object Similarity {
     * coarse beam (w groups searched — an approximation ss8's recall
     * rows gauge); each regime is deterministic, and no layout ever
     * crosses regimes, because nlist is a pure function of the corpus
-    * the layout was built from. At 100 TB scale-out this generalizes
-    * to more levels (per-row cost nlist^(1/L) per level), the IMI/
-    * coarse-quantizer-tree family. */
+    * the layout was built from — and every APPEND path re-derives
+    * `cents` (hence cents.length, hence the regime) from the base
+    * build's stored centroids/ parquet via readCentroids, so an
+    * explicit-nlist caller (ivfWriteIndex/hnswWriteIndex) can only
+    * pick the regime of a FRESH build, never mix tie conventions
+    * within one standing index (ADVICE r14 #4). At 100 TB scale-out
+    * this generalizes to more levels (per-row cost nlist^(1/L) per
+    * level), the IMI/coarse-quantizer-tree family.
+    *
+    * TOTALITY (round 15 — ADVICE r14 #1/#2): the two-level path
+    * returns exactly one `out` per input row, like the expression
+    * path. Three guards: (a) coarse groups with zero fine members —
+    * Lloyd can empty a group — are excluded from the beam (they can
+    * never yield a candidate; a beam landing entirely on them dropped
+    * the row through the old inner join); (b) the beam width w is
+    * sized against the SMALLEST live-group occupancies so that ANY w
+    * selected groups jointly hold ≥ take fine centroids — the old
+    * expectation-based w could hand hnsw's __cells[1] an
+    * out-of-bounds lookup and probeLists fewer than nprobe cells;
+    * (c) a row whose every coarse cosine is NULL (zero-norm
+    * embedding — graft_cosine's null contract) gets no candidates at
+    * all, so the final join is LEFT and null results coalesce to the
+    * expression path's all-null-tie output: highest cids first with
+    * null scores — bit-matching what nlist ≤ ExprCellMax produces for
+    * the same degenerate row. */
   private[graft] def withTopCells(df: DataFrame, key: String, embCol: String,
       take: Int, cents: Array[Array[Float]], out: String): DataFrame = {
     if (cents.length <= ExprCellMax) {
@@ -563,12 +585,20 @@ object Similarity {
       VectorFunctions.register(spark)
       import spark.implicits._
       val (gcents, g4f) = coarseGroups(cents)
-      val ncoarse = gcents.length
-      // coarse beam: enough groups that the fine stage SEES ≥ take
-      // candidates in expectation, +1 for balance slack
-      val w = math.min(ncoarse,
-        math.max(2, (take * ncoarse + cents.length - 1) / cents.length + 1))
+      // guard (a): only member-bearing groups enter the beam
+      val occ = g4f.groupBy(identity).view.mapValues(_.length).toMap
+      val liveGids = occ.keySet
+      // coarse beam: enough groups that the fine stage sees ≥ take
+      // candidates in expectation, +1 for balance slack ...
+      var w = math.min(liveGids.size,
+        math.max(2, (take * liveGids.size + cents.length - 1) / cents.length + 1))
+      // ... then guard (b): widen until the w SMALLEST live groups
+      // jointly hold ≥ take fine centroids, making the floor worst-case
+      // instead of expected-case. Driver-side over ≤ ⌈√nlist⌉ ints.
+      val occAsc = occ.values.toArray.sorted
+      while (w < occAsc.length && occAsc.take(w).sum < take) w += 1
       val coarseDF = gcents.zipWithIndex
+        .filter { case (_, g) => liveGids(g) }
         .map { case (c, g) => (g.toLong, c.toSeq) }.toIndexedSeq.toDF("gid", "gcent")
       val fineDF = cents.zipWithIndex
         .map { case (c, i) => (g4f(i).toLong, i.toLong, c.toSeq) }.toIndexedSeq
@@ -592,7 +622,15 @@ object Similarity {
           col("cid_l"), lit(take)).as("tk"))
         .select(col(key),
           expr("transform(tk, x -> struct(x.score as s, cast(x.id as int) as c))").as(out))
-      df.join(cells, key)
+      // guard (c): LEFT join + the expression path's all-null-tie
+      // fallback, so a zero-norm row keeps a deterministic cell list
+      // instead of vanishing from the build (the r14 inner join
+      // silently dropped it)
+      val fallback = expr(
+        s"transform(sequence(${cents.length - 1}, ${math.max(cents.length - take, 0)}, -1), " +
+          "c -> struct(CAST(NULL AS DOUBLE) AS s, CAST(c AS INT) AS c))")
+      df.join(cells, Seq(key), "left")
+        .withColumn(out, coalesce(col(out), fallback))
     }
   }
 

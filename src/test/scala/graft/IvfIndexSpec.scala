@@ -516,4 +516,42 @@ class IvfIndexSpec extends SparkTestBase {
       .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
     assert(hits >= 35L, s"two-level IVF recall@$k fell to $hits/50")
   }
+
+  test("two-level assignment totality under hostile rows (round 15 — ADVICE r14): " +
+      "zero-norm embeddings keep the expression path's convention, nothing drops") {
+    import spark.implicits._
+    // The r14 large-nlist path ended in an INNER join: a zero-norm
+    // embedding (graft_cosine → null for every centroid → graft_topk
+    // empty) silently vanished from IVF/PQ/HNSW builds in exactly the
+    // nlist > ExprCellMax regime production runs in. Pin totality AND
+    // the degenerate-row convention: both regimes must agree that an
+    // all-null score ties to the HIGHEST cid (the expression path's
+    // array_sort/reverse behavior).
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(12)(j => math.sin(i * 37 + j * 3).toFloat)
+    val corpus = ((0L until 1200L).map(i => (i, vec(i))) :+
+        (1200L, Seq.fill(12)(0.0f))) // the hostile row
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-zn").toString
+    Similarity.ivfWriteIndex(corpus, dir, nlist = 128, iters = 2)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.count() === 1201L, "zero-norm row must not drop from the build")
+    val znCid = vecs.filter(col("vec_id") === 1200L).select("cid").head().getInt(0)
+    assert(znCid === 127, s"all-null-tie convention is highest cid, got $znCid")
+    // small regime, same convention: nlist = 16 ≤ ExprCellMax
+    val dirS = java.nio.file.Files.createTempDirectory("graft-ivf-zn-s").toString
+    Similarity.ivfWriteIndex(corpus, dirS, nlist = 16, iters = 2)
+    val znS = spark.read.parquet(s"$dirS/vectors")
+      .filter(col("vec_id") === 1200L).select("cid").head().getInt(0)
+    assert(znS === 15, s"expression-path convention regressed, got $znS")
+    // hnsw takes __cells[1] (the secondary cell): the worst-case beam
+    // sizing + left-join fallback must hand EVERY node a non-null cid1
+    // and a well-defined graph row — including the zero-norm one
+    val hDir = java.nio.file.Files.createTempDirectory("graft-hnsw-zn").toString
+    Similarity.hnswWriteIndex(corpus, hDir, nlist = 128, iters = 2)
+    val embT = spark.read.parquet(s"$hDir/emb")
+    assert(embT.count() === 1201L)
+    assert(embT.filter(col("cid1").isNull).count() === 0L)
+    assert(spark.read.parquet(s"$hDir/graph").count() === 1201L)
+  }
 }
