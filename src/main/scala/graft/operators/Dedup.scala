@@ -1419,18 +1419,35 @@ object Dedup {
     val spark = deltaDocs.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchId = batchIdOpt.getOrElse {
-      // bit_xor, not sum: order-independent AND closed on 64 bits —
-      // summing full-range xxhash64 values overflows Long under ANSI
-      // mode on any realistically-sized batch. (XOR cancels PAIRS of
-      // identical doc_ids; batches are id-sets by the ingest contract,
-      // so the only collision channel left is xxhash64 itself.)
-      val h = deltaDocs.agg(
-        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head().getLong(0)
-      f"$h%016x"
+    val (batchId, legacyIds) = batchIdOpt match {
+      case Some(id) => (id, Seq.empty[String])
+      case None =>
+        // bit_xor, not sum: order-independent AND closed on 64 bits —
+        // summing full-range xxhash64 values overflows Long under ANSI
+        // mode on any realistically-sized batch. (XOR cancels PAIRS of
+        // identical doc_ids; batches are id-sets by the ingest
+        // contract, so the only collision channel left is xxhash64
+        // itself.) The pre-r14 id was the wrapped Long SUM; a standing
+        // index built then still carries sum-derived markers, and an
+        // at-least-once re-delivery of such a batch must keep matching
+        // them or it re-applies and double-counts df (ADVICE r14 #3) —
+        // so compute the legacy id too (decimal sum wrapped mod 2^64 ≡
+        // the old non-ANSI Long overflow) and honor EITHER marker.
+        // New markers are always written under the bit_xor id.
+        val r = deltaDocs.agg(
+          coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)),
+          expr("coalesce(sum(cast(xxhash64(doc_id) as decimal(38,0))), cast(0 as decimal(38,0)))")
+        ).head()
+        val legacy = {
+          val m = BigInt(r.getDecimal(1).toBigInteger).mod(BigInt(1) << 64)
+          val l = (if (m >= (BigInt(1) << 63)) m - (BigInt(1) << 64) else m).toLong
+          f"$l%016x"
+        }
+        (f"${r.getLong(0)}%016x", Seq(legacy))
     }
     val marker = new org.apache.hadoop.fs.Path(root, s"_batch_$batchId")
-    if (fs.exists(marker)) return
+    if (fs.exists(marker) || legacyIds.exists(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"_batch_$id")))) return
     // sweep a crashed partial application of THIS batch so the df/
     // prior-count read below never sees its own half-landed increments
     Seq("spans", "df", "dupset").foreach { d =>

@@ -339,6 +339,45 @@ class DedupSpec extends SparkTestBase {
       "true-df=1 span was promoted — increments double-counted")
   }
 
+  test("pre-upgrade sum-derived batch markers are honored on re-delivery " +
+      "(round 15 — ADVICE r14)") {
+    import spark.implicits._
+    // r14 switched the auto-derived batch id from sum(xxhash64) to
+    // bit_xor(xxhash64); a standing index still carries sum-derived
+    // _batch_ markers, and an at-least-once re-delivery of a
+    // pre-upgrade batch must keep matching them or the batch
+    // re-applies and double-counts df. The append must honor EITHER.
+    val baseDocs = Seq(
+      (1L, "unique opening words one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    val deltaDocs = Seq(
+      (6L, "a wholly original delta document long enough to carry several spans of its own"),
+      (7L, "another wholly original delta document also long enough for spans to form"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-spanidx-l").toString
+    Dedup.dupSpansWriteIndex(baseDocs, 10, idx)
+    // plant the LEGACY marker: wrapped-Long sum of the delta's hashes
+    // (what the pre-r14 non-ANSI `sum(xxhash64(doc_id))` produced)
+    val s = deltaDocs.agg(
+      org.apache.spark.sql.functions.expr(
+        "sum(cast(xxhash64(doc_id) as decimal(38,0)))")).head().getDecimal(0)
+    val m = BigInt(s.toBigInteger).mod(BigInt(1) << 64)
+    val l = (if (m >= (BigInt(1) << 63)) m - (BigInt(1) << 64) else m).toLong
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacyMarker = new org.apache.hadoop.fs.Path(root, f"_batch_$l%016x")
+    fs.create(legacyMarker).close()
+    def docs() = Dedup.dupSpansProbe(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = docs()
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx) // legacy marker → no-op
+    assert(docs() === before, "legacy-marked batch was re-applied")
+    // contrast: with the legacy marker gone the same call applies
+    fs.delete(legacyMarker, false)
+    Dedup.dupSpansAppendDelta(deltaDocs, 10, idx)
+    assert(docs().contains(6L) && docs().contains(7L))
+  }
+
   test("dd6 registry probe ≡ inline dupGroups labeling on the driver corpus (round 13)") {
     // VERDICT r12 #1: dd6 now probes the materialized graft_dupidx
     // full labeling; the at-rest rows must equal the inline iterative
