@@ -179,7 +179,16 @@ object Tables {
     * (different thresholds/dims) are distinct groups and coexist.
     * Also sweeps `.build-*` orphans from crashed pre-r8 builds, but
     * only ones idle > 1 h — a younger temp dir may be a CONCURRENT
-    * session's in-flight build. Residual: a layout whose params
+    * session's in-flight build. The SAME 1 h idle grace guards
+    * superseded generations (round 15 — VERDICT r14 #4): a concurrent
+    * session may have PLANNED a query against the old generation just
+    * before the refresh published the new one; zero-grace deletion
+    * then fails that reader MID-SCAN. The idle-age guard is the poor
+    * man's snapshot retention: a superseded generation survives until
+    * ≥ 1 h after its last modification, so any query planned while it
+    * was still current gets a full hour to finish its scan — the same
+    * bound table formats express as snapshot-retention windows.
+    * Residual: a layout whose params
     * embeds a SECOND source's fingerprint (q84's ivmview appends
     * customer's) strands on that second source's refresh until its
     * primary source refreshes too — acceptable, the dirs are grouped
@@ -189,9 +198,10 @@ object Tables {
     val Keyed = "^(graft_[a-z0-9]+_.+_[0-9a-f]{32})_([0-9]+)_([0-9]+)(_.*)?$".r
     val dirs = Option(new java.io.File(tmpDir).listFiles()).toSeq.flatten
       .filter(_.isDirectory)
+    val graceCutoff = System.currentTimeMillis - 3600L * 1000
     val staleBuilds = dirs.filter(f =>
       f.getName.matches("^graft_.*\\.build-[0-9a-f]{8}$") &&
-        f.lastModified < System.currentTimeMillis - 3600L * 1000)
+        f.lastModified < graceCutoff)
     val keyed = dirs.flatMap { f =>
       f.getName match {
         case Keyed(stem, size, mtime, params) =>
@@ -201,7 +211,9 @@ object Tables {
     }
     val superseded = keyed.groupBy(_._2).values.toSeq.flatMap { gens =>
       val keep = gens.maxBy(_._3)
+      // reader-safety grace: only reclaim generations idle > 1 h
       gens.filterNot(_._1 == keep._1).map(_._1)
+        .filter(_.lastModified < graceCutoff)
     }
     (staleBuilds ++ superseded).map { f =>
       System.err.println(s"[graft] layoutVacuum: deleting superseded layout ${f.getPath}")

@@ -171,6 +171,10 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(build().count() === 150)
     val gen2 = bucketDirsFor("t", scratchTag) -- gen1
     assert(gen2.nonEmpty, "source refresh must key a NEW bucket layout")
+    // age gen1 past the reader-safety grace (round 15): vacuum spares
+    // superseded generations modified within the last hour
+    gen1.foreach(d => new java.io.File(d)
+      .setLastModified(System.currentTimeMillis - 2 * 3600L * 1000))
     val deleted = Tables.layoutVacuum().toSet
     assert(gen1.forall(deleted.contains),
       s"superseded bucket generation not reclaimed: $gen1 vs deleted $deleted")
