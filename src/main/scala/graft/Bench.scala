@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Full-result sink (round 15 — VERDICT r14 #1). `count()` let
+    * Catalyst prune any work whose result doesn't affect the row
+    * count: map-heavy entries (tx7's normalize, tx9's PII regexes,
+    * mm4's resize, every pure per-row transform) billed at near-zero,
+    * and tx11's train-side semi-join read ~0.2 s under count() vs
+    * 10.3 s honest — the headline artifact systematically
+    * under-measured exactly the shapes a 100 TB pipeline pays for.
+    * The noop data source (ScaleBench's sink since round 13)
+    * materializes EVERY output column through the full physical plan
+    * with no write-side cost. BENCH_r15 is therefore re-baselined:
+    * r15-vs-r13/r14 walls are NOT comparable; BASELINE.json carries
+    * both sink generations side by side (VERDICT r14 #8). */
+  private[graft] def sink(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,7 +35,7 @@ object Bench {
     val cpuNow = BenchCpu.install(spark)
     // Warm-up (untimed): JIT + codegen caches + file-system cache, so
     // the first timed query doesn't absorb JVM start-up cost.
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    try sink(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
     // Amortized infrastructure (TIMED SEPARATELY): build-if-missing
     // derived layouts/indexes. Folding a cold index build into the
@@ -60,7 +75,7 @@ object Bench {
         // A failed query must be loud: recording its ~70 ms of
         // throw-latency as a real time once hid a 15-query breakage for
         // two rounds. Keep the time but carry the failure alongside.
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { sink(fn(spark, sfDir)); true }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                    false

@@ -24,13 +24,18 @@ object BenchOne {
     // eleven rounds
     val cpuNow = BenchCpu.install(spark)
     args.drop(1).foreach { name =>
+      // untimed row count for the log line; the TIMED runs use the
+      // full-result noop sink (round 15 — VERDICT r14 #1: count()
+      // pruned map-heavy work and semi-join build sides to near-zero)
+      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+              catch { case _: Throwable => -1L }
       val times = (1 to repeat).map { _ =>
         spark.catalog.clearCache()
         // localCheckpoint RDDs bypass the catalog cache; free them too
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val c0 = cpuNow()
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        Bench.sink(SparkEntry.queries(name)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         val dc = (cpuNow() - c0) / 1e9
         println(f"[b1] $name rows=$n $dt%.1fs cpu=$dc%.1fs")
