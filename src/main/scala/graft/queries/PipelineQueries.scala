@@ -175,8 +175,11 @@ object PipelineQueries {
     canonicalDocs(docs, Dedup.dupGroupsReadIndex(s, indexPath))
 
   /** dd6's recursive-closure oracle extended with tx2's quality
-    * expression; the per-group argmax mirrors max_by's (quality,
-    * −doc_id) ordering via a rank window. */
+    * expression (UNICODE tokenizer since round 15 — dd7 selects by
+    * tx2's score, so its oracle follows tx2's regime; the shingle
+    * CTE keeps the dedup family's own tokenizer); the per-group
+    * argmax mirrors max_by's (quality, −doc_id) ordering via a rank
+    * window. */
   val dd7Sql: String =
     s"""WITH RECURSIVE docsets AS (
       |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
@@ -206,8 +209,8 @@ object PipelineQueries {
       |    n_tokens
       |   FROM (
       |    SELECT doc_id,
-      |     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
-      |     CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |     CAST(len(regexp_extract_all(lower(text), '${TextFunctions.UnicodeTokenRe}')) AS BIGINT) AS n_tokens,
+      |     CAST(len(list_filter(regexp_extract_all(lower(text), '${TextFunctions.UnicodeTokenRe}'),
       |           t -> t IN (${TextFunctions.stopListSql}))) AS BIGINT) AS n_stop,
       |     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
       |     CAST(length(text) AS BIGINT) AS n_chars
@@ -1239,7 +1242,7 @@ object PipelineQueries {
 
   def tx11(s: SparkSession, d: String): DataFrame =
     TextFunctions.contaminationProbe(Tables.documents(s, d),
-      s.read.parquet(s"${cachedContamIndex(s, d, "ascii", TextFunctions.tokensExpr)}/train"))
+      s.read.parquet(s"${cachedContamIndex(s, d, "uni", TextFunctions.unicodeTokensExpr)}/train"))
   def tx12(s: SparkSession, d: String): DataFrame = TextFunctions.packDocs(Tables.documents(s, d), 512)
   def tx13(s: SparkSession, d: String): DataFrame = TextFunctions.tfidfTopTerms(Tables.documents(s, d), 5)
   def tx14(s: SparkSession, d: String): DataFrame = TextFunctions.rarityScore(Tables.documents(s, d))
@@ -1367,44 +1370,32 @@ object PipelineQueries {
   def tx31(s: SparkSession, d: String): DataFrame =
     TextFunctions.unicodeTokenStats(Tables.documents(s, d))
 
-  /** The DuckDB-side twin of [[TextFunctions.unicodeTokensExpr]] —
-    * RE2 accepts the same \p{L}\p{N} classes as Java regex, which is
-    * what keeps the unicode gate twins oracle-able (tx31's parity
-    * argument). */
-  private val UnicodeRe = """[\p{L}\p{N}]+"""
-
-  /** tx32/tx33/tx34 (round 14 — VERDICT r13 #3): the quality,
-    * contamination, and LM-scoring gates under the UNICODE tokenizer —
-    * the gates a multilingual corpus actually runs. tx31 measures the
-    * ASCII blind spot (ascii_share ≈ 0 on CJK); these are the
-    * adoption: same formulas, same plans, only the tokenizer seam
-    * swapped, each oracle-gated through the shared SQL template so
-    * the two regimes cannot silently diverge. The ASCII originals
-    * stay registered — on an English corpus the twins agree, on a
-    * multilingual one the DIFF between twin and original is the
-    * measured under-count. */
+  /** Round 15 (VERDICT r14 #3): the UNICODE tokenizer is now the
+    * DEFAULT for every curation-path scorer — tx2/tx6/tx11/tx13/tx14/
+    * tx17/tx23 run the `\p{L}\p{N}` rule a multilingual corpus needs
+    * (TextFunctions.UnicodeTokenRe; RE2 and Java regex agree on the
+    * classes, tx31's parity argument, so the default stays
+    * oracle-able). tx32-tx37 are now the ASCII twins: same formulas,
+    * same plans, only the tokenizer seam pinned to the legacy
+    * `[a-z0-9]+` — they hash-gate the legacy regime so the flip can
+    * never silently change it, and on a multilingual corpus the DIFF
+    * between default and twin is the measured ASCII under-count. */
+  private val AsciiRe = TextFunctions.AsciiTokenRe
   def tx32(s: SparkSession, d: String): DataFrame =
-    TextFunctions.qualityScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
+    TextFunctions.qualityScore(Tables.documents(s, d), TextFunctions.tokensExpr)
   def tx33(s: SparkSession, d: String): DataFrame =
     TextFunctions.contaminationProbe(Tables.documents(s, d),
-      s.read.parquet(s"${cachedContamIndex(s, d, "uni", TextFunctions.unicodeTokensExpr)}/train"),
-      3, TextFunctions.unicodeTokensExpr)
+      s.read.parquet(s"${cachedContamIndex(s, d, "ascii", TextFunctions.tokensExpr)}/train"),
+      3, TextFunctions.tokensExpr)
   def tx34(s: SparkSession, d: String): DataFrame =
-    TextFunctions.lmScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
+    TextFunctions.lmScore(Tables.documents(s, d), TextFunctions.tokensExpr)
 
-  /** tx35/tx36/tx37 (round 14): the VOCABULARY machinery — vocab
-    * top-k, per-source tf-idf terms, token-rarity scoring — under the
-    * unicode tokenizer, completing VERDICT r13 "missing #1"'s gate
-    * list (tx6/tx13/tx14 were the last ASCII-only family). Same
-    * formulas and plans, same shared-SQL-template oracles; on a
-    * multilingual corpus these are the versions whose vocabulary and
-    * frequency tables actually SEE non-Latin scripts. */
   def tx35(s: SparkSession, d: String): DataFrame =
-    TextFunctions.vocabTopK(Tables.documents(s, d), 100, TextFunctions.unicodeTokensExpr)
+    TextFunctions.vocabTopK(Tables.documents(s, d), 100, TextFunctions.tokensExpr)
   def tx36(s: SparkSession, d: String): DataFrame =
-    TextFunctions.tfidfTopTerms(Tables.documents(s, d), 5, TextFunctions.unicodeTokensExpr)
+    TextFunctions.tfidfTopTerms(Tables.documents(s, d), 5, TextFunctions.tokensExpr)
   def tx37(s: SparkSession, d: String): DataFrame =
-    TextFunctions.rarityScore(Tables.documents(s, d), TextFunctions.unicodeTokensExpr)
+    TextFunctions.rarityScore(Tables.documents(s, d), TextFunctions.tokensExpr)
 
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
@@ -1572,12 +1563,12 @@ object PipelineQueries {
     ("tx29_ngram_novelty", tx29 _, TextFunctions.ngramNoveltySql),
     ("tx30_source_saturation", tx30 _, tx30Sql),
     ("tx31_unicode_tokens", tx31 _, TextFunctions.unicodeTokenStatsSql),
-    ("tx32_quality_unicode", tx32 _, TextFunctions.qualityScoreSqlFor(UnicodeRe)),
-    ("tx33_contam_unicode", tx33 _, TextFunctions.contaminationSqlFor(UnicodeRe)),
-    ("tx34_lm_unicode", tx34 _, TextFunctions.lmScoreSqlFor(UnicodeRe)),
-    ("tx35_vocab_unicode", tx35 _, TextFunctions.vocabTopKSqlFor(100, UnicodeRe)),
-    ("tx36_tfidf_unicode", tx36 _, TextFunctions.tfidfTopTermsSqlFor(5, UnicodeRe)),
-    ("tx37_rarity_unicode", tx37 _, TextFunctions.rarityScoreSqlFor(UnicodeRe)),
+    ("tx32_quality_ascii", tx32 _, TextFunctions.qualityScoreSqlFor(AsciiRe)),
+    ("tx33_contam_ascii", tx33 _, TextFunctions.contaminationSqlFor(AsciiRe)),
+    ("tx34_lm_ascii", tx34 _, TextFunctions.lmScoreSqlFor(AsciiRe)),
+    ("tx35_vocab_ascii", tx35 _, TextFunctions.vocabTopKSqlFor(100, AsciiRe)),
+    ("tx36_tfidf_ascii", tx36 _, TextFunctions.tfidfTopTermsSqlFor(5, AsciiRe)),
+    ("tx37_rarity_ascii", tx37 _, TextFunctions.rarityScoreSqlFor(AsciiRe)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

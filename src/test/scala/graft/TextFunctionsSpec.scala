@@ -52,8 +52,8 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r.getString(7) === "short")
   }
 
-  test("unicode gate twins: a CJK document stops scoring as empty text " +
-      "(round 14 — VERDICT r13 #3)") {
+  test("CJK documents score through the DEFAULT gates; the ascii twins pin " +
+      "the legacy regime (round 15 — VERDICT r14 #3)") {
     import spark.implicits._
     // 26 CJK tokens plus one digit run: the ASCII gate sees n_tokens=1
     // ("2024") and the contamination/LM gates see NO shingles at all;
@@ -65,25 +65,26 @@ class TextFunctionsSpec extends SparkTestBase {
       (10L, cjkText), // eval-side twin of 9 (10 % 10 == 0): contaminated
       (11L, "the cat sat on the mat and it was that kind of day in the sun"),
     ).toDF("doc_id", "text")
-    // quality: ASCII calls the CJK doc near-empty; unicode counts it
-    val asciiQ = TextFunctions.qualityScore(multi).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val uniQ = TextFunctions.qualityScore(multi, TextFunctions.unicodeTokensExpr)
+    // quality: the ASCII twin calls the CJK doc near-empty; the
+    // DEFAULT path (unicode since round 15) counts it
+    val asciiQ = TextFunctions.qualityScore(multi, TextFunctions.tokensExpr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uniQ = TextFunctions.qualityScore(multi)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(7))).toMap
     assert(asciiQ(9L) === 1L, "fixture drift: ASCII should see only the digit run")
     assert(uniQ(9L)._1 === 27L && uniQ(9L)._2 === "medium")
     assert(uniQ(11L)._1 === asciiQ(11L), "English rows must agree across twins")
     // contamination: the eval-side CJK duplicate is invisible to the
     // ASCII gate (0 shingles) but fully contaminated under unicode
-    val asciiC = TextFunctions.contamination(multi).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
-    val uniC = TextFunctions.contamination(multi, 3, TextFunctions.unicodeTokensExpr)
+    val asciiC = TextFunctions.contamination(multi, 3, TextFunctions.tokensExpr)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val uniC = TextFunctions.contamination(multi)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
     assert(asciiC(10L)._1 === 0L, "ASCII gate must see no CJK shingles")
     assert(uniC(10L)._1 > 0L && uniC(10L)._2 === 1.0,
       "unicode gate must flag the verbatim CJK eval duplicate")
-    // LM scoring: the CJK doc gets real bigrams under unicode
-    val uniL = TextFunctions.lmScore(multi, TextFunctions.unicodeTokensExpr)
+    // LM scoring: the CJK doc gets real bigrams through the default
+    val uniL = TextFunctions.lmScore(multi)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uniL.contains(9L) && uniL(9L) === 26L)
   }
@@ -102,8 +103,8 @@ class TextFunctionsSpec extends SparkTestBase {
     }
   }
 
-  test("unicode vocab twins: CJK vocabulary visible to vocab/tfidf/rarity " +
-      "(round 14 — tx35/tx36/tx37)") {
+  test("CJK vocabulary visible to the DEFAULT vocab/tfidf/rarity; ascii twins " +
+      "pin the legacy regime (round 15)") {
     import spark.implicits._
     val multi = Seq(
       (9L, "北京 欢迎 你 北京 欢迎", "zh", "src_a"),
@@ -111,28 +112,28 @@ class TextFunctionsSpec extends SparkTestBase {
     ).toDF("doc_id", "text", "lang", "source")
     // vocab: the ASCII table has no CJK rows; the unicode table counts
     // them with exact frequencies
-    val asciiV = TextFunctions.vocabTopK(multi, 100).collect()
+    val asciiV = TextFunctions.vocabTopK(multi, 100,
+      TextFunctions.tokensExpr).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    val uniV = TextFunctions.vocabTopK(multi, 100,
-      TextFunctions.unicodeTokensExpr).collect()
+    val uniV = TextFunctions.vocabTopK(multi, 100).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(!asciiV.contains("北京"))
     assert(uniV("北京") === 2L && uniV("欢迎") === 2L && uniV("你") === 1L)
     assert(uniV("the") === asciiV("the"), "English vocab must agree across twins")
     // tfidf: src_a gets real distinctive terms instead of no rows
-    val asciiT = TextFunctions.tfidfTopTerms(multi, 5).collect().map(_.getString(0))
-    val uniT = TextFunctions.tfidfTopTerms(multi, 5,
-      TextFunctions.unicodeTokensExpr).collect()
+    val asciiT = TextFunctions.tfidfTopTerms(multi, 5,
+      TextFunctions.tokensExpr).collect().map(_.getString(0))
+    val uniT = TextFunctions.tfidfTopTerms(multi, 5).collect()
       .map(r => (r.getString(0), r.getString(2)))
     assert(!asciiT.contains("src_a"), "fixture drift: ASCII should see no src_a tokens")
     assert(uniT.exists { case (s, t) => s == "src_a" && t == "北京" })
     // rarity: the CJK doc drops out under ASCII (no occurrence rows),
     // scores real mean frequency under unicode: tokens
     // [北京,欢迎,你,北京,欢迎] freqs [2,2,1,2,2] → 9/5
-    val asciiR = TextFunctions.rarityScore(multi).collect()
+    val asciiR = TextFunctions.rarityScore(multi,
+      TextFunctions.tokensExpr).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    val uniR = TextFunctions.rarityScore(multi,
-      TextFunctions.unicodeTokensExpr).collect()
+    val uniR = TextFunctions.rarityScore(multi).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(!asciiR.contains(9L))
     assert(math.abs(uniR(9L) - 9.0 / 5.0) < 1e-12)
