@@ -64,6 +64,44 @@ class ScaleGenSpec extends SparkTestBase {
     assert(x3Pairs === 3 * basePairs)
   }
 
+  test("perturbed mode: replica-0 embeddings bit-equal, replica >0 jittered " +
+      "within eps, deterministic (round 15 — VERDICT r14 #2)") {
+    import spark.implicits._
+    val eps = 0.05
+    val xp = ScaleGen.writeScaled(spark, Sf0001, outRoot, 3, eps)
+    val base = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val pert = Tables.embeddings(spark, xp)
+      .select(col("vec_id").as("p_vec_id"), col("embedding").as("p_embedding"))
+    val n = base.count()
+    assert(pert.count() === 3 * n)
+    // replica 0 is the identity: bit-equal arrays
+    val r0diff = base.join(pert, col("vec_id") === col("p_vec_id"))
+      .filter(col("embedding") =!= col("p_embedding")).count()
+    assert(r0diff === 0L, "replica 0 must stay bit-identical to the base")
+    // replica 1/2: every dimension within relative eps of its source —
+    // and NOT bit-equal (the whole point: ties must break)
+    (1 to 2).foreach { i =>
+      val j = base.join(pert,
+        col("vec_id") + lit(i * ScaleGen.STRIDE) === col("p_vec_id"))
+      assert(j.count() === n)
+      val viol = j.filter(expr(
+        s"exists(zip_with(embedding, p_embedding, (b, p) -> " +
+        s"abs(p - b) > $eps * abs(b) + 1e-6), v -> v)")).count()
+      assert(viol === 0L, s"replica $i jitter exceeded relative eps")
+      val changed = j.filter(col("embedding") =!= col("p_embedding")).count()
+      assert(changed === n, s"replica $i must differ from the base per vector")
+    }
+    // determinism: a second generation is bit-identical
+    val xp2root = Files.createTempDirectory("graft_scale_spec2").toString
+    val xp2 = ScaleGen.writeScaled(spark, Sf0001, xp2root, 3, eps)
+    val again = Tables.embeddings(spark, xp2)
+      .select(col("vec_id").as("p_vec_id"), col("embedding").as("a_embedding"))
+    val drift = pert.join(again, "p_vec_id")
+      .filter(col("p_embedding") =!= col("a_embedding")).count()
+    assert(drift === 0L, "perturbation must be deterministic across runs")
+  }
+
   test("global aggregates scale 3x; dimensional group count does not") {
     val q = (d: String) => Tables.lineitem(spark, d)
       .agg(sum("l_quantity").as("s"), count(lit(1)).as("n")).head
