@@ -83,10 +83,25 @@ object DeltaBench {
 
     case class Fam(name: String, buildBase: String => Unit,
         full: String => Unit, append: String => Unit)
+    // the containment index probes a shingle index; both generations
+    // are prebuilt untimed here — the shingle family row already
+    // prices that rebuild, and the contain row should price ONLY the
+    // candidate probe + CC labeling it adds on top
+    lazy val (shBase, shFull) = {
+      val (b, f) = (fresh(), fresh())
+      Dedup.shingleWriteIndex(docsBase, 1, b)
+      Dedup.shingleWriteIndex(docs, 1, f)
+      (b, f)
+    }
     val fams = Seq(
       Fam("shingle", p => Dedup.shingleWriteIndex(docsBase, 1, p),
         p => Dedup.shingleWriteIndex(docs, 1, p),
         p => Dedup.shingleAppendDelta(docsDelta, 1, p)),
+      // round 15 (VERDICT r14 #6): the board's largest
+      // whole-rebuild-on-refresh layout gets the delta-append family
+      Fam("contain", p => Dedup.containWriteIndex(spark, shBase, docsBase, p, 0.9),
+        p => Dedup.containWriteIndex(spark, shFull, docs, p, 0.9),
+        p => Dedup.containAppendDelta(docsDelta, 1, shBase, p, 0.9)),
       Fam("ivf", p => Similarity.ivfWriteIndex(embBase, p),
         p => Similarity.ivfWriteIndex(emb, p),
         p => Similarity.ivfAppendDelta(embDelta, p)),

@@ -510,6 +510,306 @@ object Dedup {
     pairs.orderBy(col("doc_sub"), col("doc_super"))
   }
 
+  /** Materialized containment index: the full containment-pair set
+    * (probed off a shingle index) plus the CC labeling over the
+    * undirected containment graph — the layout dd11/dd13 read (one
+    * parquet scan per query; the prefix-filtered candidate derivation
+    * and the iterative CC run once per corpus version). `pairs/` holds
+    * (doc_sub, doc_super, containment); `labels/` holds the
+    * dupGroupsWriteIndex (doc_id, group_id) rows. */
+  def containWriteIndex(spark: org.apache.spark.sql.SparkSession,
+      shinglePath: String, docs: DataFrame, path: String, tau: Double): Unit = {
+    containmentProbe(spark, shinglePath, tau)
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    // labels read the JUST-WRITTEN pairs — the propagation loop's
+    // per-round lineage then starts from a parquet scan, not the
+    // whole candidate-probe plan
+    dupGroupsWriteIndex(docs,
+      spark.read.parquet(s"$path/pairs")
+        .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")),
+      s"$path/labels")
+  }
+
+  /** Cross-side small-vocab containment: [[containmentByMask]]'s
+    * signature-level machinery with both candidate arms restricted to
+    * DELTA-TOUCHED mask groups (a group is touched when any of its
+    * docs is delta) — touched-prefix × full and full-prefix ×
+    * touched-full — then the expansion filtered to pairs with a delta
+    * ENDPOINT (a touched group also holds standing ids whose
+    * standing×standing pairs are already in the base index).
+    * Signature-level restriction is what keeps the append delta-cheap
+    * in exactly the regime the prefix path degenerates (a tiny shared
+    * vocabulary makes every "rare" token common — the smallVocabMasks
+    * rationale; measured: the array path cost 8× the mask REBUILD on
+    * the sf0.1 corpus before this arm existed). */
+  private def containmentByMaskCross(masksIn: DataFrame, tau: Double): DataFrame = {
+    val m = masksIn.cache()
+    val dIds = m.filter(col("is_delta")).select(col("doc_id")).distinct()
+    val groups = m.groupBy("comp", "mask")
+      .agg(collect_list(col("doc_id")).as("ids"),
+        max(col("is_delta")).as("touched")).cache()
+    // intra-mask: identical sets, ordered containment 1.0 both ways
+    // around each delta member
+    val intra = m.filter(col("is_delta"))
+      .select(col("comp"), col("mask"), col("doc_id").as("d_id"))
+      .join(groups, Seq("comp", "mask"))
+      .select(col("d_id"), explode(col("ids")).as("o_id"))
+      .filter(col("d_id") =!= col("o_id"))
+    val intraPairs = intra
+      .select(col("d_id").as("doc_sub"), col("o_id").as("doc_super"))
+      .unionByName(intra.select(col("o_id").as("doc_sub"), col("d_id").as("doc_super")))
+      .distinct()
+      .withColumn("containment", lit(1.0))
+    val bits = groups.select(col("comp"), col("mask"), col("touched"),
+        explode(expr("filter(transform(sequence(0, 63), i -> " +
+          "CASE WHEN (mask >> i) & 1 = 1 THEN i ELSE -1 END), i -> i >= 0)")).as("bit"))
+      .cache()
+    val dfreq = bits.groupBy("comp", "bit").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"), col("mask")).orderBy(col("df"), col("bit"))
+    val pfx = bits.join(dfreq, Seq("comp", "bit"))
+      .withColumn("rn", row_number().over(w))
+      // n − ⌊τn⌋ + 1: containmentByMask's boundary-exact form
+      .filter(col("rn") <=
+        bit_count(col("mask")) - floor(lit(tau) * bit_count(col("mask"))) + lit(1))
+      .select(col("comp"), col("mask").as("mask_sub"),
+        col("touched").as("sub_t"), col("bit"))
+    val full = bits.select(col("comp"), col("mask").as("mask_sup"),
+      col("touched").as("sup_t"), col("bit"))
+    val cand = pfx.filter(col("sub_t")).join(full, Seq("comp", "bit"))
+      .unionByName(pfx.filter(!col("sub_t"))
+        .join(full.filter(col("sup_t")), Seq("comp", "bit")))
+      .filter(col("mask_sub") =!= col("mask_sup"))
+      .select(col("comp"), col("mask_sub"), col("mask_sup")).distinct()
+    val verified = cand
+      .withColumn("containment",
+        bit_count(col("mask_sub").bitwiseAND(col("mask_sup"))).cast("double") /
+          bit_count(col("mask_sub")).cast("double"))
+      .filter(col("containment") >= tau)
+    val ga = groups.select(col("comp"), col("mask").as("mask_sub"), col("ids").as("ids_a"))
+    val gb = groups.select(col("comp"), col("mask").as("mask_sup"), col("ids").as("ids_b"))
+    val cross = verified
+      .join(ga, Seq("comp", "mask_sub")).join(gb, Seq("comp", "mask_sup"))
+      .select(explode(col("ids_a")).as("doc_sub"), col("ids_b"), col("containment"))
+      .select(col("doc_sub"), explode(col("ids_b")).as("doc_super"), col("containment"))
+      // delta-endpoint filter: the delta id set is batch-sized —
+      // broadcast flags, never a shuffle of the expansion
+      .join(broadcast(dIds.select(col("doc_id").as("doc_sub"),
+        lit(true).as("sub_d"))), Seq("doc_sub"), "left")
+      .join(broadcast(dIds.select(col("doc_id").as("doc_super"),
+        lit(true).as("sup_d"))), Seq("doc_super"), "left")
+      .filter(col("sub_d").isNotNull || col("sup_d").isNotNull)
+      .select(col("doc_sub"), col("doc_super"), col("containment"))
+    intraPairs.unionByName(cross)
+  }
+
+  /** Containment pairs with at least one DELTA endpoint — the
+    * incremental sibling of [[containmentPrefixSorted]]. Three pair
+    * classes, two candidate arms, both delta-bounded in OUTPUT:
+    * delta-contained-in-anything (delta prefixes × the full inverted
+    * index — O(|delta_pfx| · df) candidates, incrementalDedup's
+    * argument) and standing-contained-in-delta (standing prefixes ×
+    * the DELTA's full index — the equi-join's key set is the delta's
+    * vocabulary, so only standing prefix rows sharing a delta shingle
+    * survive; the standing-side scan is corpus-linear but narrow, the
+    * shuffle/verify volume is delta-bounded). Delta×delta pairs ride
+    * the first arm. Verification is exact, so the result equals the
+    * full rebuild's pairs restricted to delta-touching rows under ANY
+    * array order — order only tunes candidate volume. */
+  private def containIngestPairs(standSh: DataFrame, deltaSh: DataFrame,
+      tau: Double): DataFrame = {
+    val n = size(col("shingles"))
+    val pfxLen = (n - floor(lit(tau) * n) + lit(1)).cast("int")
+    def pfx(sh: DataFrame) = sh.select(col("doc_id").as("doc_sub"),
+      explode(slice(col("shingles"), lit(1), pfxLen)).as("sh"))
+    def full(sh: DataFrame) = sh.select(col("doc_id").as("doc_super"),
+      explode(col("shingles")).as("sh"))
+    val all = standSh.unionByName(deltaSh)
+    val cand = pfx(deltaSh).join(full(all), "sh")
+      .unionByName(pfx(standSh).join(full(deltaSh), "sh"))
+      .filter(col("doc_sub") =!= col("doc_super"))
+      .select(col("doc_sub"), col("doc_super")).distinct()
+    val sa = all.select(col("doc_id").as("doc_sub"), col("shingles").as("sh_a"))
+    val sb = all.select(col("doc_id").as("doc_super"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_sub").join(sb, "doc_super")
+      .select(col("doc_sub"), col("doc_super"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
+  /** Append a delta batch to a materialized containment index WITHOUT
+    * rebuilding the base (round 15 — VERDICT r14 #6: `contain` was the
+    * board's largest whole-rebuild-on-refresh, 173 s at x30): pair
+    * generation is restricted to delta-touching candidates
+    * ([[containIngestPairs]]), and the CC labels update by dd10's
+    * contraction — new edges are mapped through the standing labels,
+    * union-find runs on the contracted (delta-sized) graph, and only
+    * the narrow (doc_id, group_id) relation is rewritten, never the
+    * candidate probe.
+    *
+    * Append ≡ rebuild: appended pairs ∪ base pairs = the full-corpus
+    * pair set (exact verification, see containIngestPairs), and the
+    * relabeling reaches the same min-doc_id fixed point as a fresh CC
+    * over the union graph (a merged group's label is the min over its
+    * parts' labels; DedupSpec pins both equalities).
+    *
+    * IDEMPOTENT under crash-and-rerun (the dupSpansAppendDelta
+    * protocol): content-hash batch id (or the caller's), `_batch_<id>`
+    * marker honored (legacy sum-derived ids included), partial pair
+    * files of THIS batch swept before recompute, everything staged
+    * then published — pairs by per-file renames under the batch
+    * prefix, labels by a next→swap whose orphan (a crash between the
+    * two renames) is adopted by the recovery preamble — marker LAST.
+    * A re-run AFTER the labels swap converges to the same state: the
+    * recomputed edges map through the already-merged labels and the
+    * contraction is a fixed point. Single writer per index generation
+    * (the family contract).
+    *
+    * `shinglePath` is the corpus shingle index the base build probed;
+    * the delta's arrays are sorted under ITS df order
+    * (shingleAppendDelta's contract — df/ is never mutated) and its
+    * doc_ids are anti-joined out of the standing side, so the call is
+    * correct whether or not shingleAppendDelta already ingested the
+    * same batch. */
+  def containAppendDelta(deltaDocs: DataFrame, n: Int, shinglePath: String,
+      path: String, tau: Double, batchIdOpt: Option[String] = None): Unit = {
+    val spark = deltaDocs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (batchId, legacyIds) = batchIdOpt match {
+      case Some(id) => (id, Seq.empty[String])
+      case None     => contentBatchId(deltaDocs)
+    }
+    val marker = new org.apache.hadoop.fs.Path(root, s"_batch_$batchId")
+    if (fs.exists(marker) || legacyIds.exists(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"_batch_$id")))) return
+    // recovery preamble: adopt a labels generation orphaned by a crash
+    // inside a previous publish window (old labels deleted, next not
+    // yet renamed); stray next dirs beside live labels are stale
+    val labelsDir = new org.apache.hadoop.fs.Path(root, "labels")
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("labels.next-"))
+      .foreach { s =>
+        if (!fs.exists(labelsDir)) {
+          if (!fs.rename(s.getPath, labelsDir))
+            throw new IllegalStateException(
+              s"containAppendDelta: orphan adoption rename failed for ${s.getPath}")
+        } else fs.delete(s.getPath, true)
+      }
+    // sweep a crashed partial application of THIS batch
+    val pairsDir = new org.apache.hadoop.fs.Path(root, "pairs")
+    if (fs.exists(pairsDir))
+      fs.listStatus(pairsDir).filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$batchId")
+    fs.delete(stage, true)
+
+    // delta arrays under the index-side df order; unseen shingles df 0
+    val dfreq = spark.read.parquet(s"$shinglePath/df")
+    val deltaSh = withShingles(deltaDocs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(dfreq, Seq("sh"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)")
+        .as("shingles"))
+      .cache()
+    // ALL delta ids, not just shingled ones: a token-less delta doc
+    // contributes no pairs but must still get its singleton labels row
+    // (the rebuild labels every document)
+    val deltaIds = deltaDocs.select(col("doc_id")).distinct()
+    // representation dispatch, mirroring the probes: when the shingle
+    // index admitted the mask representation, the cross-side mask path
+    // is the ONLY delta-cheap one (the prefix path's "rare" tokens are
+    // all common in exactly that small-vocab regime); a delta doc with
+    // novel vocabulary or bridging components can't be mask-encoded,
+    // so that batch falls back to the always-exact array path (the
+    // shingle index's own append is what demotes masks/ — this append
+    // does not mutate a layout it doesn't own)
+    val maskPairs =
+      if (!new java.io.File(s"$shinglePath/masks").exists()) None
+      else {
+        val dict = spark.read.parquet(s"$shinglePath/dict")
+        val enc = withShingles(deltaDocs, n)
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+          .join(broadcast(dict), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"), count(col("comp")).as("n_known"),
+            countDistinct(col("comp")).as("n_comps"),
+            min(col("comp")).as("comp"),
+            bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+          .cache()
+        val demote = enc
+          .filter(col("n_known") < col("n_sh") || col("n_comps") > 1)
+          .limit(1).count() > 0
+        if (demote) { enc.unpersist(); None }
+        else {
+          val standMasks = spark.read.parquet(s"$shinglePath/masks")
+            .join(deltaIds, Seq("doc_id"), "left_anti")
+            .withColumn("is_delta", lit(false))
+          val deltaMasks = enc.select(col("doc_id"), col("comp"), col("mask"))
+            .withColumn("is_delta", lit(true))
+          Some(containmentByMaskCross(
+            standMasks.unionByName(deltaMasks), tau))
+        }
+      }
+    val standSh = spark.read.parquet(s"$shinglePath/sh")
+      .join(deltaIds, Seq("doc_id"), "left_anti")
+    maskPairs.getOrElse(containIngestPairs(standSh, deltaSh, tau))
+      .write.mode("overwrite").parquet(s"$stage/pairs")
+    // relabel via contraction: standing endpoints collapse to their
+    // group labels, so the union-find graph is delta-sized
+    val np = spark.read.parquet(s"$stage/pairs")
+    val baseLabels = spark.read.parquet(s"$path/labels")
+    val edges = np
+      .join(baseLabels.select(col("doc_id").as("doc_sub"), col("group_id").as("g_a")),
+        Seq("doc_sub"), "left")
+      .join(baseLabels.select(col("doc_id").as("doc_super"), col("group_id").as("g_b")),
+        Seq("doc_super"), "left")
+      .select(coalesce(col("g_a"), col("doc_sub")).as("doc_a"),
+        coalesce(col("g_b"), col("doc_super")).as("doc_b"))
+      .localCheckpoint()
+    val nodes = deltaIds
+      .union(baseLabels.select(col("group_id").as("doc_id"))).distinct()
+    val contracted =
+      if (edges.limit(DsuMaxEdges + 1).count() <= DsuMaxEdges) dsuLabels(nodes, edges)
+      else dupGroupLabels(nodes, edges, 50, None)
+    val deltaOut = deltaIds.join(contracted, "doc_id")
+    // exclude delta ids from the standing side: after a crash between
+    // the labels swap and the marker, the re-read base ALREADY holds
+    // them, and the union below must stay one-row-per-doc
+    val standOut = baseLabels.join(deltaIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("group_id").as("g_old"))
+      .join(contracted.select(col("doc_id").as("g_old"), col("group_id")), "g_old")
+      .select(col("doc_id"), col("group_id"))
+    deltaOut.unionByName(standOut)
+      .repartition(col("group_id")).sortWithinPartitions(col("group_id"))
+      .write.mode("overwrite").parquet(s"$stage/labels")
+    deltaSh.unpersist()
+    // publish: pairs by batch-prefixed per-file renames, labels by
+    // next→swap (preamble covers the gap), marker LAST
+    fs.listStatus(new org.apache.hadoop.fs.Path(stage, "pairs"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .foreach { f =>
+        if (!fs.rename(f.getPath, new org.apache.hadoop.fs.Path(pairsDir,
+            s"b$batchId-${f.getPath.getName}")))
+          throw new IllegalStateException(
+            s"containAppendDelta: publish rename failed for ${f.getPath}")
+      }
+    val next = new org.apache.hadoop.fs.Path(root, s"labels.next-$batchId")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stage, "labels"), next))
+      throw new IllegalStateException(
+        s"containAppendDelta: labels stage rename failed")
+    fs.delete(labelsDir, true)
+    if (!fs.rename(next, labelsDir))
+      throw new IllegalStateException(
+        s"containAppendDelta: labels swap rename failed")
+    fs.create(marker).close()
+    fs.delete(stage, true); ()
+  }
+
   /** containmentPrefix over df-sorted index arrays: contained-side
     * prefix = slice (same no-(1−τ) floor form), container side =
     * full explode; verification divides by |A| only. */
@@ -1414,6 +1714,32 @@ object Dedup {
     * Single writer per index generation (the family contract); the
     * maintenance cycle must not run concurrently with an in-flight
     * append. */
+  /** Order-independent content-derived batch id for the idempotent
+    * append family. bit_xor, not sum: order-independent AND closed on
+    * 64 bits — summing full-range xxhash64 values overflows Long under
+    * ANSI mode on any realistically-sized batch. (XOR cancels PAIRS of
+    * identical doc_ids; batches are id-sets by the ingest contract, so
+    * the only collision channel left is xxhash64 itself.) The pre-r14
+    * id was the wrapped Long SUM; a standing index built then still
+    * carries sum-derived markers, and an at-least-once re-delivery of
+    * a pre-upgrade batch must keep matching them or it re-applies and
+    * double-counts increments (ADVICE r14 #3) — so the legacy id
+    * (decimal sum wrapped mod 2^64 ≡ the old non-ANSI Long overflow)
+    * is returned too and callers honor EITHER marker. New markers are
+    * always written under the bit_xor id. */
+  private def contentBatchId(docs: DataFrame): (String, Seq[String]) = {
+    val r = docs.agg(
+      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)),
+      expr("coalesce(sum(cast(xxhash64(doc_id) as decimal(38,0))), cast(0 as decimal(38,0)))")
+    ).head()
+    val legacy = {
+      val m = BigInt(r.getDecimal(1).toBigInteger).mod(BigInt(1) << 64)
+      val l = (if (m >= (BigInt(1) << 63)) m - (BigInt(1) << 64) else m).toLong
+      f"$l%016x"
+    }
+    (f"${r.getLong(0)}%016x", Seq(legacy))
+  }
+
   def dupSpansAppendDelta(deltaDocs: DataFrame, n: Int, path: String,
       batchIdOpt: Option[String] = None): Unit = {
     val spark = deltaDocs.sparkSession
@@ -1421,29 +1747,7 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (batchId, legacyIds) = batchIdOpt match {
       case Some(id) => (id, Seq.empty[String])
-      case None =>
-        // bit_xor, not sum: order-independent AND closed on 64 bits —
-        // summing full-range xxhash64 values overflows Long under ANSI
-        // mode on any realistically-sized batch. (XOR cancels PAIRS of
-        // identical doc_ids; batches are id-sets by the ingest
-        // contract, so the only collision channel left is xxhash64
-        // itself.) The pre-r14 id was the wrapped Long SUM; a standing
-        // index built then still carries sum-derived markers, and an
-        // at-least-once re-delivery of such a batch must keep matching
-        // them or it re-applies and double-counts df (ADVICE r14 #3) —
-        // so compute the legacy id too (decimal sum wrapped mod 2^64 ≡
-        // the old non-ANSI Long overflow) and honor EITHER marker.
-        // New markers are always written under the bit_xor id.
-        val r = deltaDocs.agg(
-          coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)),
-          expr("coalesce(sum(cast(xxhash64(doc_id) as decimal(38,0))), cast(0 as decimal(38,0)))")
-        ).head()
-        val legacy = {
-          val m = BigInt(r.getDecimal(1).toBigInteger).mod(BigInt(1) << 64)
-          val l = (if (m >= (BigInt(1) << 63)) m - (BigInt(1) << 64) else m).toLong
-          f"$l%016x"
-        }
-        (f"${r.getLong(0)}%016x", Seq(legacy))
+      case None     => contentBatchId(deltaDocs)
     }
     val marker = new org.apache.hadoop.fs.Path(root, s"_batch_$batchId")
     if (fs.exists(marker) || legacyIds.exists(id =>

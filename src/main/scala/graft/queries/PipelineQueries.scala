@@ -331,15 +331,8 @@ object PipelineQueries {
   private[graft] def cachedContainIndex(s: SparkSession, d: String): String =
     Tables.cachedLayout("graft_dupidx", d, "documents",
         s"j$JaccardThreshold", "contain2") { tmp =>
-      Dedup.containmentProbe(s, cachedShingleIndex(s, d), JaccardThreshold)
-        .write.mode("overwrite").parquet(s"$tmp/pairs")
-      // labels read the JUST-WRITTEN pairs — the propagation loop's
-      // per-round lineage then starts from a parquet scan, not the
-      // whole candidate-probe plan
-      Dedup.dupGroupsWriteIndex(Tables.documents(s, d),
-        s.read.parquet(s"$tmp/pairs")
-          .select(col("doc_sub").as("doc_a"), col("doc_super").as("doc_b")),
-        s"$tmp/labels")
+      Dedup.containWriteIndex(s, cachedShingleIndex(s, d),
+        Tables.documents(s, d), tmp, JaccardThreshold)
     }
 
   /** dd11's containment-pair CTE + dd6's recursive transitive closure

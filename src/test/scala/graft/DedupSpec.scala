@@ -339,6 +339,120 @@ class DedupSpec extends SparkTestBase {
       "true-df=1 span was promoted — increments double-counted")
   }
 
+  /** Build full-rebuild vs base+append containment indexes over one
+    * fixture; returns (pairsFull, pairsInc, labelsFull, labelsInc)
+    * plus the append re-run for the idempotency check. */
+  private def containAppendRun(baseDocs: org.apache.spark.sql.DataFrame,
+      deltaDocs: org.apache.spark.sql.DataFrame, expectMasks: Boolean):
+      (Set[(Long, Long, Double)], Set[(Long, Long, Double)],
+       Set[(Long, Long)], Set[(Long, Long)]) = {
+    val tau = 0.8
+    val allDocs = baseDocs.unionByName(deltaDocs)
+    val work = java.nio.file.Files.createTempDirectory("graft-containd").toString
+    Dedup.shingleWriteIndex(allDocs, 1, s"$work/shFull")
+    Dedup.containWriteIndex(spark, s"$work/shFull", allDocs, s"$work/full", tau)
+    Dedup.shingleWriteIndex(baseDocs, 1, s"$work/shBase")
+    assert(new java.io.File(s"$work/shBase/masks").exists() === expectMasks,
+      "fixture drift: representation regime is not what the scenario intends")
+    Dedup.containWriteIndex(spark, s"$work/shBase", baseDocs, s"$work/inc", tau)
+    Dedup.containAppendDelta(deltaDocs, 1, s"$work/shBase", s"$work/inc", tau)
+    def pairs(p: String) = spark.read.parquet(s"$p/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def labels(p: String) = spark.read.parquet(s"$p/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = (pairs(s"$work/full"), pairs(s"$work/inc"),
+      labels(s"$work/full"), labels(s"$work/inc"))
+    // at-least-once re-delivery: the batch marker makes the append a no-op
+    Dedup.containAppendDelta(deltaDocs, 1, s"$work/shBase", s"$work/inc", tau)
+    assert((pairs(s"$work/inc"), labels(s"$work/inc")) === (out._2, out._4),
+      "re-delivered batch was re-applied")
+    out
+  }
+
+  test("containment index delta append ≡ full rebuild on the ARRAY path, and " +
+      "re-delivery is a no-op (round 15 — VERDICT r14 #6)") {
+    import spark.implicits._
+    // the >64-distinct-token doc makes smallVocabDict bail: arrays only
+    val baseDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five six seven"),
+      (5L, "totally unrelated standalone words here"),
+      (6L, (0 until 70).map(i => s"bigtok$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    // delta exercises every incremental pair class:
+    //  10: delta contained in STANDING 2        (arm 1)
+    //  11: STANDING 3 contained in delta        (arm 2) — novel vocab
+    //  12: delta contained in delta 11 (+3,+4)  (delta×delta)
+    //  13: superset bridge merging groups 1 and 3
+    //  14: token-less — singleton labels row, no pairs
+    //  15: exact copy of 10 — identical sets, 1.0 both ways
+    val deltaDocs = Seq(
+      (10L, "zeta eta theta iota"),
+      (11L, "one two three four five lambda mu"),
+      (12L, "one two three"),
+      (13L, "alpha beta gamma delta epsilon one two three four five"),
+      (14L, "!!! ???"),
+      (15L, "zeta eta theta iota"),
+    ).toDF("doc_id", "text")
+    val (pf, pi, lf, li) = containAppendRun(baseDocs, deltaDocs, expectMasks = false)
+    assert(pf === pi, s"append ≢ rebuild on pairs: ${pf.diff(pi)} / ${pi.diff(pf)}")
+    assert(pi.exists(p => p._1 === 10L && p._2 === 2L), "delta⊆standing missing")
+    assert(pi.exists(p => p._1 === 3L && p._2 === 11L), "standing⊆delta missing")
+    assert(pi.exists(p => p._1 === 12L && p._2 === 11L), "delta⊆delta missing")
+    assert(pi.contains((10L, 15L, 1.0)) && pi.contains((15L, 10L, 1.0)),
+      "identical-set delta pair missing")
+    assert(lf === li, s"append ≢ rebuild on labels: ${lf.diff(li)} / ${li.diff(lf)}")
+    // the bridge doc merged the two standing groups down to min id 1
+    assert(li.contains((4L, 1L)) && li.contains((3L, 1L)) && li.contains((13L, 1L)))
+    assert(li.contains((14L, 14L)), "token-less delta doc must label as a singleton")
+  }
+
+  test("containment index delta append ≡ full rebuild on the MASK path " +
+      "(round 15 — VERDICT r14 #6: the small-vocab regime where the prefix " +
+      "path degenerates)") {
+    import spark.implicits._
+    // tiny closed vocabulary → masks admitted; base groups {1⊆2},
+    // {3⊆4}, {8} — 8 shares component A's tokens (plus nu/xi) but is
+    // contained in nothing at base
+    val baseDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five six seven"),
+      (5L, "totally unrelated standalone words here"),
+      (8L, "alpha beta zeta nu xi"),
+    ).toDF("doc_id", "text")
+    // every delta doc is vocab-closed and single-component (novel
+    // vocabulary or a component bridge DEMOTES to the array path —
+    // the array scenario covers those):
+    //  10: ⊆ standing 2 (arm 1);  15: exact copy of 10
+    //  16: ⊇ standing 1 AND ⊇ standing 8 — merges {1,2} with {8}
+    //      inside component A (arm 2 + group merge)
+    //  17: ⊇ delta 12? no — 12 ⊆ 17 (delta×delta), and 3 ⊆ 17
+    //  14: token-less
+    val deltaDocs = Seq(
+      (10L, "zeta eta theta iota"),
+      (12L, "one two three"),
+      (14L, "!!! ???"),
+      (15L, "zeta eta theta iota"),
+      (16L, "alpha beta gamma delta epsilon zeta nu xi"),
+      (17L, "one two three four five six"),
+    ).toDF("doc_id", "text")
+    val (pf, pi, lf, li) = containAppendRun(baseDocs, deltaDocs, expectMasks = true)
+    assert(pf === pi, s"append ≢ rebuild on pairs: ${pf.diff(pi)} / ${pi.diff(pf)}")
+    assert(pi.exists(p => p._1 === 10L && p._2 === 2L), "delta⊆standing missing")
+    assert(pi.exists(p => p._1 === 1L && p._2 === 16L), "standing⊆delta missing")
+    assert(pi.exists(p => p._1 === 12L && p._2 === 17L), "delta⊆delta missing")
+    assert(pi.contains((10L, 15L, 1.0)) && pi.contains((15L, 10L, 1.0)),
+      "identical-set delta pair missing")
+    assert(lf === li, s"append ≢ rebuild on labels: ${lf.diff(li)} / ${li.diff(lf)}")
+    // 16 merged {1,2} and {8} within one component
+    assert(li.contains((8L, 1L)) && li.contains((16L, 1L)) && li.contains((2L, 1L)))
+    assert(li.contains((14L, 14L)), "token-less delta doc must label as a singleton")
+  }
+
   test("pre-upgrade sum-derived batch markers are honored on re-delivery " +
       "(round 15 — ADVICE r14)") {
     import spark.implicits._
