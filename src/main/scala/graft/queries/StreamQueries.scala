@@ -111,9 +111,17 @@ object StreamQueries {
     // micro-batch count + row flow, to separate "the engine planned
     // more batches" from host contention when a streaming entry's
     // wall-clock moves between rounds
-    if (sys.env.contains("SPARK_GRAFT_STREAM_DIAG"))
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DIAG")) {
       System.err.println(s"[stream-diag] $name batches=${q.recentProgress.length}" +
         s" rows=${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      // full per-batch progress (durationMs breakdown: triggerExecution
+      // vs queryPlanning vs addBatch vs walCommit/commitOffsets, plus
+      // per-operator state-store commit times) — the round-15 floor
+      // decomposition lever (VERDICT r14 #5): where do st1's ~2 s and
+      // st10's ~4 s actually go
+      q.recentProgress.foreach(p =>
+        System.err.println(s"[stream-prog] $name ${p.json}"))
+    }
     val out = s.table(name).localCheckpoint()
     s.catalog.dropTempView(name)
     out
