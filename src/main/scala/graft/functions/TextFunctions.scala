@@ -777,6 +777,92 @@ object TextFunctions {
 
   val bigramLmSql: String = bigramLmSqlFor(UnicodeTokenRe)
 
+  /** tx38 (round 15): DSIR-style IMPORTANCE SCORING for target-domain
+    * data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169 —
+    * re-expressed deterministic and Spark-first). The pipeline shape:
+    * a curation run holds a small TRUSTED target sample (curated
+    * sources — here a source-name list) inside a huge raw pool, and
+    * wants the raw documents whose token distribution most resembles
+    * the target. Each raw document is scored by the mean importance
+    * ratio of its token occurrences, add-one smoothed over the corpus
+    * vocabulary V:
+    *
+    *   r(t) = ((c_tgt(t)+1)/(N_tgt+V)) / ((c_raw(t)+1)/(N_raw+V))
+    *
+    * and the top-N by (score desc, doc_id) are kept. Probability
+    * ratios, not log-probabilities, on purpose (tx17's rationale):
+    * each r is a FIXED 3-divide IEEE expression over exact integer
+    * counts — correctly-rounded divides agree bit-for-bit across
+    * engines where libm log could diverge in the last ulp — and the
+    * per-doc mean accumulates r in exact DECIMAL(18,6) (r ≤ N_raw+V
+    * fits 12 integer digits) with ONE final divide.
+    *
+    * Scale: one explode → partial-agg'd token-count aggregate
+    * (shuffle = vocabulary, not occurrences; both sides' counts in
+    * the SAME pass via conditional aggregation), the 1-row totals
+    * crossJoin-broadcast back, a shuffle hash join of raw occurrences
+    * onto the V-row ratio table (vocabulary outgrows a broadcast at
+    * corpus scale — tx14's decision; hot function-word keys → AQE
+    * skew-split), a partial-agg'd per-doc mean, and a
+    * TakeOrderedAndProject top-N — never a full global sort.
+    * Zero-token raw docs are unscorable and drop out identically in
+    * both engines (no occurrence rows). */
+  def dsirSelect(docs: DataFrame, targetSources: Seq[String],
+      topN: Int = 100, tokens: String = unicodeTokensExpr): DataFrame = {
+    val occ = docs.select(col("doc_id"), col("source"),
+      explode(expr(tokens)).as("token"))
+    val isTgt = col("source").isin(targetSources: _*)
+    val counts = occ.groupBy(col("token")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("c_tgt"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("c_raw"))
+    val totals = counts.agg(count(lit(1)).as("v"),
+      sum(col("c_tgt")).as("n_tgt"), sum(col("c_raw")).as("n_raw"))
+    val pTgt = (col("c_tgt") + 1L).cast("double") /
+      (col("n_tgt") + col("v")).cast("double")
+    val pRaw = (col("c_raw") + 1L).cast("double") /
+      (col("n_raw") + col("v")).cast("double")
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("token"), (pTgt / pRaw).as("r"))
+    occ.filter(!isTgt)
+      .join(ratios, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  def dsirSelectSqlFor(re: String, targetSources: Seq[String],
+      topN: Int): String = {
+    val inList = targetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH occ AS (
+      | SELECT doc_id, source,
+      |  unnest(regexp_extract_all(lower(text), '$re')) AS token
+      | FROM documents),
+      |counts AS (
+      | SELECT token,
+      |  SUM(CASE WHEN source IN ($inList) THEN 1 ELSE 0 END) AS c_tgt,
+      |  SUM(CASE WHEN source IN ($inList) THEN 0 ELSE 1 END) AS c_raw
+      | FROM occ GROUP BY token),
+      |totals AS (
+      | SELECT COUNT(*) AS v, SUM(c_tgt) AS n_tgt, SUM(c_raw) AS n_raw
+      | FROM counts),
+      |ratios AS (
+      | SELECT token,
+      |  (CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE)) /
+      |  (CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v AS DOUBLE)) AS r
+      | FROM counts, totals)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      | CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS dsir_score
+      |FROM occ JOIN ratios USING (token)
+      |WHERE source NOT IN ($inList)
+      |GROUP BY doc_id
+      |ORDER BY dsir_score DESC, doc_id
+      |LIMIT $topN""".stripMargin
+  }
+
   /** tx18: per-domain token caps — the static MIXTURE step of a
     * training-data pipeline: no source may contribute more than capX×
     * the smallest source's token total, enforced by deterministic

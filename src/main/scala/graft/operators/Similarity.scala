@@ -1485,6 +1485,64 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** EXACT-RERANK of an ANN candidate pool (round 15 — the perturbed
+    * recall curve's finding: at x30p the exact top-10 is ~30 jittered
+    * near-twins packed within ε of each other, and 8-subvector /
+    * 256-centroid ADC distance resolution is coarser than ε, so
+    * un-reranked PQ ranks near-ties arbitrarily — recall 0.42). The
+    * standard fix (FAISS's refine stage): take the ADC top-(k·f) pool,
+    * fetch those rows' RAW embeddings from the flat store, score with
+    * exact cosine, keep the true top-k. Guarantee: any true-top-k
+    * member present in the pool survives the rerank (at most k−1
+    * corpus vectors beat it, so at most k−1 pool members do), hence
+    * per-query recall ≥ the un-reranked recall — spec-pinned.
+    *
+    * Scale: the pool is |queries|·k·f rows — broadcast it; the flat
+    * store (the corpus parquet itself, the refine store a pipeline
+    * already has) is scanned ONCE, column-pruned to (vec_id,
+    * embedding), with the broadcast hash join discarding non-pool rows
+    * at the scan. That re-reads raw vectors the PQ probe avoided, but
+    * only as one 2-column pass — and point-prunes further when the
+    * flat store is range-partitioned by vec_id ([[PqVbRange]]'s key).
+    * Ties break exactly as the brute-force truth does (same
+    * graft_topk (score, id) comparator), so rerank(pool ⊇ truth∩pool)
+    * is deterministic. */
+  def rerankExact(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pool = cands.select(col("query_id"), col("vec_id"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** [[pqProbeIndex]] + [[rerankExact]]: ADC candidate generation off
+    * the 8-byte code table (the IO win stands — the code scan finds
+    * the pool), exact refinement over pool raw vectors fetched from
+    * `corpus` (the flat store). `poolFactor` trades one small fetch
+    * for recall: f·k candidates per query. The registry serves ss5
+    * through this path; the un-reranked probe stays ss8's `pq_adc`
+    * gauge row. */
+  def pqProbeIndexReranked(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      poolFactor: Int = 4): DataFrame =
+    rerankExact(pqProbeIndex(spark, path, queries, k * poolFactor),
+      corpus, queries, k)
+
+  /** [[ivfPqProbeIndex]] + [[rerankExact]] — see
+    * [[pqProbeIndexReranked]]; the coarse pruning AND the code-width
+    * IO factor still bound the candidate scan, the refine fetch is
+    * |queries|·k·f point rows. */
+  def ivfPqProbeIndexReranked(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      poolFactor: Int = 4, nprobe: Int = 0): DataFrame =
+    rerankExact(ivfPqProbeIndex(spark, path, queries, k * poolFactor, nprobe),
+      corpus, queries, k)
+
   /** ss6: k-NN label classification — majority vote over the exact
     * top-k neighbors (the label-propagation / auto-labeling step of a
     * curation pipeline). Composes the ss1 scan (corpus never shuffled,

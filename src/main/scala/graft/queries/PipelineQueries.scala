@@ -769,10 +769,14 @@ object PipelineQueries {
   def ss4(s: SparkSession, d: String): DataFrame =
     Similarity.labelCentroids(Tables.embeddings(s, d))
 
+  /** Round 15: serves through the ADC→exact-rerank path (the
+    * perturbed recall curve showed un-reranked PQ at 0.42 recall once
+    * near-twins pack within quantization resolution; the refine stage
+    * is the standard fix). ss8 keeps the raw probe as `pq_adc`. */
   def ss5(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.pqProbeIndex(s, cachedAnnIndex(s, d, "pq"),
-      emb.filter(col("vec_id") < NQueries), TopK)
+    Similarity.pqProbeIndexReranked(s, cachedAnnIndex(s, d, "pq"),
+      emb.filter(col("vec_id") < NQueries), emb, TopK)
   }
 
   def ss6(s: SparkSession, d: String): DataFrame = {
@@ -806,10 +810,13 @@ object PipelineQueries {
       |WHERE r = 1
       |ORDER BY query_id""".stripMargin
 
+  /** Round 15: reranked like [[ss5]] — coarse pruning + code-width IO
+    * still bound the candidate scan; the refine fetch is
+    * |queries|·k·f point rows off the flat store. */
   def ss7(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfPqProbeIndex(s, cachedAnnIndex(s, d, "ivfpq"),
-      emb.filter(col("vec_id") < NQueries), TopK)
+    Similarity.ivfPqProbeIndexReranked(s, cachedAnnIndex(s, d, "ivfpq"),
+      emb.filter(col("vec_id") < NQueries), emb, TopK)
   }
 
   /** ss8: recall@k of each ANN variant vs ss1's exact top-k at the
@@ -824,8 +831,14 @@ object PipelineQueries {
     Similarity.annRecallOf(emb, q, TopK, Seq(
       "ss2_lsh"   -> Similarity.lshProbeIndex(s, cachedAnnIndex(s, d, "lsh"), q, EmbDim, TopK),
       "ss3_ivf"   -> Similarity.ivfProbeIndex(s, cachedAnnIndex(s, d, "ivf"), q, TopK),
-      "ss5_pq"    -> Similarity.pqProbeIndex(s, cachedAnnIndex(s, d, "pq"), q, TopK),
-      "ss7_ivfpq" -> Similarity.ivfPqProbeIndex(s, cachedAnnIndex(s, d, "ivfpq"), q, TopK),
+      // the REGISTRY serving paths (reranked as of round 15) ...
+      "ss5_pq"    -> Similarity.pqProbeIndexReranked(s, cachedAnnIndex(s, d, "pq"), q, emb, TopK),
+      "ss7_ivfpq" -> Similarity.ivfPqProbeIndexReranked(s, cachedAnnIndex(s, d, "ivfpq"), q, emb, TopK),
+      // ... and the un-reranked ADC rows they superseded, kept as the
+      // gauge of what the refine stage buys (the perturbed x30p curve
+      // read 0.42 here while the exact-distance variants held ≥0.98)
+      "pq_adc"    -> Similarity.pqProbeIndex(s, cachedAnnIndex(s, d, "pq"), q, TopK),
+      "ivfpq_adc" -> Similarity.ivfPqProbeIndex(s, cachedAnnIndex(s, d, "ivfpq"), q, TopK),
       // base-trained centroids ⊕ appended delta (VERDICT r7 #7): the
       // recall gauge that says when appended drift warrants re-
       // clustering — scored against the same exact top-k as the rest
@@ -1390,6 +1403,14 @@ object PipelineQueries {
   def tx37(s: SparkSession, d: String): DataFrame =
     TextFunctions.rarityScore(Tables.documents(s, d), TextFunctions.tokensExpr)
 
+  /** tx38 (round 15): DSIR-style target-domain selection — the
+    * trusted target sample is a fixed curated-source list; the
+    * operator keeps the 100 raw docs whose token distribution most
+    * resembles it (TextFunctions.dsirSelect). */
+  private[graft] val DsirTargetSources = Seq("src0", "src1", "src2")
+  def tx38(s: SparkSession, d: String): DataFrame =
+    TextFunctions.dsirSelect(Tables.documents(s, d), DsirTargetSources)
+
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
       s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
@@ -1562,6 +1583,8 @@ object PipelineQueries {
     ("tx35_vocab_ascii", tx35 _, TextFunctions.vocabTopKSqlFor(100, AsciiRe)),
     ("tx36_tfidf_ascii", tx36 _, TextFunctions.tfidfTopTermsSqlFor(5, AsciiRe)),
     ("tx37_rarity_ascii", tx37 _, TextFunctions.rarityScoreSqlFor(AsciiRe)),
+    ("tx38_dsir", tx38 _, TextFunctions.dsirSelectSqlFor(
+      TextFunctions.UnicodeTokenRe, DsirTargetSources, 100)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

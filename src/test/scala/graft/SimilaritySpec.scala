@@ -112,6 +112,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"PQ recall $recall collapsed — codebook/ADC broken")
   }
 
+  test("rerankExact: per-query recall dominates the un-reranked ADC probe; deterministic") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-rerank").toString
+    Similarity.pqWriteIndex(emb, dir, dim = 64)
+    val adc = Similarity.pqProbeIndex(spark, dir, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Similarity.pqProbeIndexReranked(spark, dir, q, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // survival guarantee: a true-top-k member in the ADC pool always
+    // survives exact rerank (at most k−1 corpus rows — hence at most
+    // k−1 pool rows — precede it under the shared (score, id)
+    // comparator), so recall can only move UP per query
+    (0L until 5L).foreach { qid =>
+      val t = truth.filter(_._1 == qid)
+      val hitsAdc = (t & adc.filter(_._1 == qid)).size
+      val hitsRr = (t & rr.filter(_._1 == qid)).size
+      assert(hitsRr >= hitsAdc,
+        s"rerank lost recall for query $qid: $hitsRr < $hitsAdc")
+    }
+    val again = Similarity.pqProbeIndexReranked(spark, dir, q, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === rr, "reranked probe must be deterministic")
+  }
+
+  test("reranked probes: planted exact duplicate at rank 1 with TRUE cosine") {
+    // the rerank scores with exact cosine, so the planted duplicate's
+    // score is exactly 1.0 — not the ADC approximation the raw probe
+    // reports (quantization can only blur it)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pq-rr1").toString
+    Similarity.pqWriteIndex(corpus, pqDir, dim)
+    val outPq = Similarity.pqProbeIndexReranked(spark, pqDir, queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(outPq.nonEmpty && outPq(0)._2 === 101L)
+    assert(math.abs(outPq(0)._3 - 1.0) < 1e-9)
+    val ipqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rr1").toString
+    Similarity.ivfPqWriteIndex(corpus, ipqDir, dim, nlist = 4)
+    val outIpq = Similarity.ivfPqProbeIndexReranked(spark, ipqDir, queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(outIpq.nonEmpty && outIpq(0)._2 === 101L)
+    assert(math.abs(outIpq(0)._3 - 1.0) < 1e-9)
+  }
+
   test("ss6 knn classification: planted label cluster wins the vote") {
     import spark.implicits._
     val q0 = vec(0)
@@ -439,8 +484,19 @@ class SimilaritySpec extends SparkTestBase {
     val out = graft.queries.PipelineQueries.ss8(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val variants = out.map(_._1).distinct.sorted.toSeq
-    assert(variants === Seq("ivf_delta", "ivf_reclustered", "ss17_hnsw", "ss2_lsh",
-      "ss3_ivf", "ss5_pq", "ss7_ivfpq"))
+    assert(variants === Seq("ivf_delta", "ivf_reclustered", "ivfpq_adc", "pq_adc",
+      "ss17_hnsw", "ss2_lsh", "ss3_ivf", "ss5_pq", "ss7_ivfpq"))
+    // round 15: ss5/ss7 serve through the exact-rerank path; the
+    // retained *_adc rows gauge what the refine stage buys — the
+    // reranked mean can never sit below its ADC baseline (survival
+    // guarantee: a true-top-k member in the pool always survives)
+    def vmean(v: String) = {
+      val rows = out.filter(_._1 == v); rows.map(_._3).sum / rows.length
+    }
+    assert(vmean("ss5_pq") >= vmean("pq_adc") - 1e-12,
+      "reranked PQ recall fell below its own ADC baseline")
+    assert(vmean("ss7_ivfpq") >= vmean("ivfpq_adc") - 1e-12,
+      "reranked IVF-PQ recall fell below its own ADC baseline")
     // the round-13 graph-ANN row must not collapse either
     val hnswRows = out.filter(_._1 == "ss17_hnsw")
     assert(hnswRows.map(_._3).sum / hnswRows.length >= 0.3,

@@ -721,4 +721,39 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(out(("B", 7L)) === ((1L, 2L, 2L, 1.0)))
     assert(out.size === 13)
   }
+
+  test("tx38 DSIR: target-like raw doc outranks off-target; smoothing finite; empty docs drop") {
+    import spark.implicits._
+    // target sample (sources t*) speaks vocabulary {alpha, beta,
+    // gamma}; raw doc 10 reuses it, raw doc 11 is disjoint, raw doc
+    // 12 is token-less (unscorable in both engines)
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha", "t1"),
+      (2L, "beta gamma alpha beta", "t2"),
+      (10L, "alpha beta gamma", "r"),
+      (11L, "zulu yankee xray", "r"),
+      (12L, "!!!", "r"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextFunctions.dsirSelect(corpus, Seq("t1", "t2"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only the two scorable raw docs appear, ordered score desc
+    assert(out.map(_._1).toSeq === Seq(10L, 11L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 === 3L && byId(11L)._2 === 3L)
+    // target-like doc must outrank the disjoint one strictly
+    assert(byId(10L)._3 > byId(11L)._3)
+    // add-one smoothing keeps unseen-in-target tokens finite and > 0
+    assert(byId(11L)._3 > 0.0 && !byId(11L)._3.isInfinite)
+    // hand-check doc 11's score: its 3 tokens are raw-only, each with
+    // c_tgt=0, c_raw=1; V=6 distinct tokens, N_tgt=8, N_raw=6 (doc 12
+    // contributes no tokens) => r = (1/14) / (2/12) per token, and the
+    // mean of three equal r values is r itself (DECIMAL(18,6) rounded)
+    val r = BigDecimal((1.0 / 14.0) / (2.0 / 12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(byId(11L)._3 - r) < 1e-12)
+    // determinism: a second run returns identical rows
+    val again = TextFunctions.dsirSelect(corpus, Seq("t1", "t2"), topN = 10)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getDouble(2)))
+    assert(again.toSeq === out.toSeq)
+  }
 }
