@@ -834,6 +834,139 @@ object TextFunctions {
       .limit(topN)
   }
 
+  /** tx39 (round 15): WEAK-LABEL LINEAR QUALITY CLASSIFIER — the
+    * discriminative partner to tx38's generative importance ratios
+    * (the CCNet/GPT-3 recipe trains exactly this pair: a target-vs-raw
+    * classifier whose score becomes the curation filter). A batch
+    * PERCEPTRON over style features, trained for a FIXED number of
+    * full-corpus iterations with weak labels (y = +1 for the curated
+    * target sources, −1 otherwise), then every scorable document gets
+    * its margin and predicted side.
+    *
+    * ORACLE-GATED BIT-EXACT — rare for model training, and the point
+    * (ss10's kmeans discipline, applied to a learner): features are
+    * integer MICRO-UNITS (ratio → one IEEE divide of exact counts →
+    * the validated half-up DECIMAL(18,6) cast → ×10⁶ → BIGINT), and
+    * from there the entire training loop is integer arithmetic — the
+    * gradient Σ y·x over misclassified rows is an exact BIGINT sum
+    * (order-independent), margins are DECIMAL(19,0)×DECIMAL(19,0)
+    * products summed in DECIMAL(38,0), and the update w += g is exact.
+    * No floating point anywhere between quantization and the ONE
+    * string-hopped output divide, so Spark and the unrolled DuckDB
+    * CTE chain ([[weakClassifierSqlFor]]) agree bit-for-bit —
+    * including every intermediate weight vector.
+    *
+    * Batch (not online) perceptron on purpose: the per-row update
+    * order of the online variant is partition-order-dependent, the
+    * full-batch gradient is a commutative sum. Under w⁰ = 0 every row
+    * is misclassified (y·0 ≤ 0), so iteration 1's gradient is Σ y·x
+    * over the corpus — the class-mean difference direction — and
+    * further iterations correct the boundary; a separable fixture
+    * reaches its fixed point (zero misclassified → zero gradient)
+    * and the spec pins that w then STOPS MOVING.
+    *
+    * Scale: one map-side feature pass (localCheckpointed — iters+1
+    * consumers), then per iteration ONE partial-agg'd aggregate to a
+    * single 5-long row (shuffle = 1 row) collected as bounded driver
+    * state (the centroid pattern) and broadcast back as literals in
+    * the next pass's predicate. iters·O(corpus) total, no all-pairs,
+    * driver holds 5 BigInts. */
+  def weakClassifier(docs: DataFrame, targetSources: Seq[String],
+      iters: Int = 3): DataFrame = {
+    val micro = 1000000L
+    def mu(num: Column, den: Column): Column =
+      ((num.cast("double") / den.cast("double"))
+        .cast(DecimalType(18, 6)) * lit(micro)).cast("long")
+    val nc = length(col("text")).cast("long")
+    val nw = length(regexp_replace(col("text"), "[^\\p{L}\\p{N}]", "")).cast("long")
+    val nt = size(expr(unicodeTokensExpr)).cast("long")
+    val nd = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+    val ns = (nc - length(regexp_replace(col("text"), "[ \\t\\n\\r]", ""))).cast("long")
+    val feat = docs
+      .select(col("doc_id"), col("source"),
+        nc.as("nc"), nw.as("nw"), nt.as("nt"), nd.as("nd"), ns.as("ns"))
+      .filter(col("nt") >= 1L) // token-less docs are unscorable (both engines)
+      .select(col("doc_id"),
+        when(col("source").isin(targetSources: _*), 1L).otherwise(-1L).as("y"),
+        lit(micro).as("x0"),                          // bias = 1.0
+        mu(col("nw"), col("nt")).as("x1"),            // mean token length
+        mu(col("nd"), col("nc")).as("x2"),            // digit density
+        mu(col("nc") - col("nw") - col("ns"), col("nc")).as("x3"), // punct density
+        mu(col("ns"), col("nc")).as("x4"))            // whitespace density
+      .localCheckpoint()
+    val fs = Seq("x0", "x1", "x2", "x3", "x4")
+    def marginOf(w: Array[BigInt]): Column =
+      fs.zipWithIndex.map { case (f, i) =>
+        lit(new java.math.BigDecimal(w(i).bigInteger)).cast(DecimalType(19, 0)) *
+          col(f).cast(DecimalType(19, 0))
+      }.reduce(_ + _)
+    var w = Array.fill(fs.length)(BigInt(0))
+    for (_ <- 1 to iters) {
+      val m = marginOf(w)
+      val miscls = (col("y") === 1L && m <= 0) || (col("y") === -1L && m >= 0)
+      val grad = feat.select(fs.map(f =>
+        sum(when(miscls, col("y") * col(f)).otherwise(0L)).as(f)): _*).collect()(0)
+      w = w.zipWithIndex.map { case (wi, i) => wi + BigInt(grad.getLong(i)) }
+    }
+    feat.select(col("doc_id"), col("y").as("label"), marginOf(w).as("m"))
+      .select(col("doc_id"), col("label"), (col("m") > 0).as("pred_target"),
+        // micro² units → 1.0-scale score: string-hop then ONE divide
+        (col("m").cast("string").cast("double") / 1e12).as("margin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The unrolled training loop as one DuckDB CTE chain — iteration t
+    * materializes weight row wt (w0..w4) and the misclassified-set
+    * gradient against it; the chain length follows `iters` so the
+    * oracle can never drift from the Spark loop's step count. */
+  def weakClassifierSqlFor(re: String, targetSources: Seq[String],
+      iters: Int = 3): String = {
+    val inList = targetSources.map(s => s"'$s'").mkString(", ")
+    val fs = 0 to 4
+    def marginSql(wRel: String): String = fs.map(i =>
+      s"CAST($wRel.w$i AS DECIMAL(19,0)) * CAST(f.x$i AS DECIMAL(19,0))")
+      .mkString(" + ")
+    val head =
+      s"""WITH stats AS (
+        | SELECT doc_id, source,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g')) AS BIGINT) AS nw,
+        |  CAST(len(regexp_extract_all(lower(text), '$re')) AS BIGINT) AS nt,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd,
+        |  CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS ns
+        | FROM documents),
+        |feat AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN source IN ($inList) THEN 1 ELSE -1 END AS BIGINT) AS y,
+        |  CAST(1000000 AS BIGINT) AS x0,
+        |  CAST(CAST(CAST(nw AS DOUBLE) / CAST(nt AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x1,
+        |  CAST(CAST(CAST(nd AS DOUBLE) / CAST(nc AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x2,
+        |  CAST(CAST(CAST(nc - nw - ns AS DOUBLE) / CAST(nc AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x3,
+        |  CAST(CAST(CAST(ns AS DOUBLE) / CAST(nc AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x4
+        | FROM stats WHERE nt >= 1)""".stripMargin
+    // w1 = gradient under w0 = 0 (every row misclassified: y·0 ≤ 0)
+    val iter1 =
+      s""",w1 AS (
+        | SELECT ${fs.map(i => s"CAST(SUM(y * x$i) AS BIGINT) AS w$i").mkString(", ")}
+        | FROM feat f)""".stripMargin
+    val rest = (2 to iters).map { t =>
+      s""",g$t AS (
+        | SELECT ${fs.map(i =>
+          s"CAST(SUM(CASE WHEN (f.y = 1 AND ${marginSql(s"w${t - 1}")} <= 0) OR (f.y = -1 AND ${marginSql(s"w${t - 1}")} >= 0) THEN f.y * f.x$i ELSE 0 END) AS BIGINT) AS w$i").mkString(", ")}
+        | FROM feat f, w${t - 1}),
+        |w$t AS (
+        | SELECT ${fs.map(i => s"w${t - 1}.w$i + g$t.w$i AS w$i").mkString(", ")}
+        | FROM w${t - 1}, g$t)""".stripMargin
+    }.mkString("")
+    head + iter1 + rest +
+      s"""
+        |SELECT f.doc_id, f.y AS label,
+        | (${marginSql(s"w$iters")}) > 0 AS pred_target,
+        | CAST(CAST((${marginSql(s"w$iters")}) AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS margin
+        |FROM feat f, w$iters
+        |ORDER BY f.doc_id""".stripMargin
+  }
+
   def dsirSelectSqlFor(re: String, targetSources: Seq[String],
       topN: Int): String = {
     val inList = targetSources.map(s => s"'$s'").mkString(", ")

@@ -1411,6 +1411,12 @@ object PipelineQueries {
   def tx38(s: SparkSession, d: String): DataFrame =
     TextFunctions.dsirSelect(Tables.documents(s, d), DsirTargetSources)
 
+  /** tx39 (round 15): weak-label linear quality classifier — batch
+    * perceptron on style features against tx38's target-source
+    * labels (TextFunctions.weakClassifier). */
+  def tx39(s: SparkSession, d: String): DataFrame =
+    TextFunctions.weakClassifier(Tables.documents(s, d), DsirTargetSources)
+
   def tx28(s: SparkSession, d: String): DataFrame =
     TextFunctions.boilerplateStrip(Tables.documents(s, d),
       s.read.parquet(cachedBoilerIndex(s, d, minDf = 3)))
@@ -1585,6 +1591,8 @@ object PipelineQueries {
     ("tx37_rarity_ascii", tx37 _, TextFunctions.rarityScoreSqlFor(AsciiRe)),
     ("tx38_dsir", tx38 _, TextFunctions.dsirSelectSqlFor(
       TextFunctions.UnicodeTokenRe, DsirTargetSources, 100)),
+    ("tx39_weak_classifier", tx39 _, TextFunctions.weakClassifierSqlFor(
+      TextFunctions.UnicodeTokenRe, DsirTargetSources)),
     ("mm1_blob_meta", mm1 _, Multimodal.blobMetaSql),
     ("mm2_feature_stub", mm2 _, null),
     ("mm3_frame_sample", mm3 _, Multimodal.frameSampleMetaSql),

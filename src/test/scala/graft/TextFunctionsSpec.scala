@@ -756,4 +756,36 @@ class TextFunctionsSpec extends SparkTestBase {
       .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getDouble(2)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("tx39 weak classifier: separable fixture classified; fixed point; empty docs drop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "t1"),
+      (2L, "a curated reference paragraph with plain readable words", "t2"),
+      (10L, "1 2 3 4 5 6 7 8 9 0", "r"),
+      (11L, "!!! ??? ### $$$ 42 %%% @@@ 7", "r"),
+      (12L, "....", "r"), // token-less: unscorable, must drop
+    ).toDF("doc_id", "text", "source")
+    val out = TextFunctions.weakClassifier(corpus, Seq("t1", "t2"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 10L, 11L))
+    // after 3 batch iterations the separable fixture is classified:
+    // targets strictly positive side, junk strictly negative
+    out.foreach { case (id, label, pred, margin) =>
+      val isTarget = id < 10L
+      assert(label === (if (isTarget) 1L else -1L))
+      assert(pred === isTarget, s"doc $id predicted $pred")
+      assert(if (isTarget) margin > 0.0 else margin < 0.0, s"doc $id margin $margin")
+    }
+    // fixed point: iteration 4's misclassified set is empty, so the
+    // gradient is zero and extra iterations change NOTHING — the
+    // convergence signature of a separable corpus
+    val more = TextFunctions.weakClassifier(corpus, Seq("t1", "t2"), iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(more.toSeq === out.toSeq, "converged weights must stop moving")
+    // determinism at the registry's step count
+    val again = TextFunctions.weakClassifier(corpus, Seq("t1", "t2"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq)
+  }
 }
