@@ -904,8 +904,11 @@ object TextFunctions {
     for (_ <- 1 to iters) {
       val m = marginOf(w)
       val miscls = (col("y") === 1L && m <= 0) || (col("y") === -1L && m >= 0)
+      // coalesce: sum() over an empty relation is NULL — a corpus of
+      // token-less docs must yield a zero gradient, not an NPE
       val grad = feat.select(fs.map(f =>
-        sum(when(miscls, col("y") * col(f)).otherwise(0L)).as(f)): _*).collect()(0)
+        coalesce(sum(when(miscls, col("y") * col(f)).otherwise(0L)), lit(0L)).as(f)): _*)
+        .collect()(0)
       w = w.zipWithIndex.map { case (wi, i) => wi + BigInt(grad.getLong(i)) }
     }
     feat.select(col("doc_id"), col("y").as("label"), marginOf(w).as("m"))

@@ -1889,7 +1889,11 @@ object Dedup {
     // pays interpreted evaluation. Plain abs-subtract columns keep
     // the stage fused. localCheckpoint materializes the one-pass
     // histogram so the bucket explode and filter don't re-derive the
-    // 39 translate passes (dupSpans' move for its span arrays).
+    // 39 translate passes (dupSpans' move for its span arrays; 17.5 s
+    // vs 7.3 s measured at sf0.1). The checkpoint is corpus-sized
+    // (text rides along for the DP) on EXECUTOR storage — the same
+    // order of data movement as the banded join's own shuffle, paid
+    // once instead of per consumer; nothing lands on the driver.
     val freqCols = FreqProbeChars.zipWithIndex.map { case (c, i) =>
       (length(col("text")) - length(translate(col("text"), c, ""))).cast("int").as(s"fq$i")
     }

@@ -1045,4 +1045,55 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("partial_max"),
       s"keeper max_by must map-side combine:\n${p.take(3000)}")
   }
+
+  test("tx38 DSIR plans: vocabulary-keyed counts partial-agg; totals broadcast; no cartesian blowup") {
+    val df = graft.functions.TextFunctions.dsirSelect(
+      Tables.documents(spark, Sf0001), Seq("src0", "src1", "src2"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the token-count aggregate must map-side combine (shuffle =
+    // vocabulary, not occurrences)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"token counts must partial-agg:\n${p.take(3000)}")
+    // the 1-row totals ride a broadcast, and the deliberate 1-row
+    // crossJoin is the ONLY nested-loop shape in the plan: strip the
+    // broadcast totals join, then nothing cartesian may remain
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n${p.take(3000)}")
+    // top-N must be TakeOrdered, never a full global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N degenerated to a global sort:\n${p.take(3000)}")
+  }
+
+  test("tx39 classifier scoring plans map-side over the checkpointed features") {
+    val df = graft.functions.TextFunctions.weakClassifier(
+      Tables.documents(spark, Sf0001), Seq("src0", "src1", "src2"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the final scoring pass reads the feature checkpoint and sorts
+    // the presentation — no join, no aggregate, no cartesian: weights
+    // are LITERALS, so scoring is pure map-side arithmetic
+    assert(!p.contains("Join"), s"scoring must not join:\n${p.take(3000)}")
+    assert(!p.contains("HashAggregate"), s"scoring must not aggregate:\n${p.take(3000)}")
+  }
+
+  test("reranked PQ probe: pool and queries broadcast, flat store never shuffled") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rr-plan").toString
+    Similarity.pqWriteIndex(emb, dir, dim = 64)
+    val df = Similarity.pqProbeIndexReranked(spark, dir, q, emb, 10)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the refine fetch joins the corpus scan against the BROADCAST
+    // candidate pool — the corpus must not shuffle for the rerank.
+    // (A BroadcastNestedLoopJoin IS expected deeper in the plan: the
+    // embedded ADC stage scores codes against the broadcast query
+    // side on a non-equi key by design — ss1's shape.)
+    assert(p.contains("BroadcastHashJoin"), s"pool must broadcast-join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank shuffled the flat store:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"rerank degenerated:\n${p.take(3000)}")
+  }
 }
