@@ -871,8 +871,14 @@ object TextFunctions {
     * state (the centroid pattern) and broadcast back as literals in
     * the next pass's predicate. iters·O(corpus) total, no all-pairs,
     * driver holds 5 BigInts. */
-  def weakClassifier(docs: DataFrame, targetSources: Seq[String],
-      iters: Int = 3): DataFrame = {
+  private val ClassifierFeats = Seq("x0", "x1", "x2", "x3", "x4")
+
+  /** (doc_id, y, x0..x4) — the classifier's micro-unit feature rows.
+    * Pure map-side (streaming-safe: st19 runs this projection on a
+    * file-source stream). Token-less docs are unscorable and drop in
+    * both engines. */
+  private[graft] def classifierFeatures(docs: DataFrame,
+      targetSources: Seq[String]): DataFrame = {
     val micro = 1000000L
     def mu(num: Column, den: Column): Column =
       ((num.cast("double") / den.cast("double"))
@@ -882,7 +888,7 @@ object TextFunctions {
     val nt = size(expr(unicodeTokensExpr)).cast("long")
     val nd = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
     val ns = (nc - length(regexp_replace(col("text"), "[ \\t\\n\\r]", ""))).cast("long")
-    val feat = docs
+    docs
       .select(col("doc_id"), col("source"),
         nc.as("nc"), nw.as("nw"), nt.as("nt"), nd.as("nd"), ns.as("ns"))
       .filter(col("nt") >= 1L) // token-less docs are unscorable (both engines)
@@ -893,37 +899,67 @@ object TextFunctions {
         mu(col("nd"), col("nc")).as("x2"),            // digit density
         mu(col("nc") - col("nw") - col("ns"), col("nc")).as("x3"), // punct density
         mu(col("ns"), col("nc")).as("x4"))            // whitespace density
-      .localCheckpoint()
-    val fs = Seq("x0", "x1", "x2", "x3", "x4")
-    def marginOf(w: Array[BigInt]): Column =
-      fs.zipWithIndex.map { case (f, i) =>
-        lit(new java.math.BigDecimal(w(i).bigInteger)).cast(DecimalType(19, 0)) *
-          col(f).cast(DecimalType(19, 0))
-      }.reduce(_ + _)
-    var w = Array.fill(fs.length)(BigInt(0))
+  }
+
+  /** w·x as a column under LITERAL weights — map-side scoring. */
+  private def classifierMargin(w: Array[BigInt]): Column =
+    ClassifierFeats.zipWithIndex.map { case (f, i) =>
+      lit(new java.math.BigDecimal(w(i).bigInteger)).cast(DecimalType(19, 0)) *
+        col(f).cast(DecimalType(19, 0))
+    }.reduce(_ + _)
+
+  /** TRAIN: the batch-perceptron loop over `trainDocs` — returns the
+    * 5-long weight vector (bounded driver state, the centroid
+    * pattern). See [[weakClassifier]] for the determinism recipe. */
+  def weakClassifierTrain(trainDocs: DataFrame, targetSources: Seq[String],
+      iters: Int = 3): Array[BigInt] = {
+    val feat = classifierFeatures(trainDocs, targetSources).localCheckpoint()
+    var w = Array.fill(ClassifierFeats.length)(BigInt(0))
     for (_ <- 1 to iters) {
-      val m = marginOf(w)
+      val m = classifierMargin(w)
       val miscls = (col("y") === 1L && m <= 0) || (col("y") === -1L && m >= 0)
       // coalesce: sum() over an empty relation is NULL — a corpus of
       // token-less docs must yield a zero gradient, not an NPE
-      val grad = feat.select(fs.map(f =>
+      val grad = feat.select(ClassifierFeats.map(f =>
         coalesce(sum(when(miscls, col("y") * col(f)).otherwise(0L)), lit(0L)).as(f)): _*)
         .collect()(0)
       w = w.zipWithIndex.map { case (wi, i) => wi + BigInt(grad.getLong(i)) }
     }
-    feat.select(col("doc_id"), col("y").as("label"), marginOf(w).as("m"))
+    feat.unpersist()
+    w
+  }
+
+  /** SCORE: margins + predicted side for `docs` under FROZEN weights.
+    * Pure map-side (no join, no aggregate, no sort) — the shape that
+    * serves a STREAM: st19 applies exactly this projection per
+    * micro-batch with weights trained batch-side on the standing
+    * corpus. Unordered; batch presentation sorts after. */
+  def weakClassifierScore(docs: DataFrame, targetSources: Seq[String],
+      w: Array[BigInt]): DataFrame =
+    classifierFeatures(docs, targetSources)
+      .select(col("doc_id"), col("y").as("label"), classifierMargin(w).as("m"))
       .select(col("doc_id"), col("label"), (col("m") > 0).as("pred_target"),
         // micro² units → 1.0-scale score: string-hop then ONE divide
         (col("m").cast("string").cast("double") / 1e12).as("margin"))
-      .orderBy(col("doc_id"))
+
+  def weakClassifier(docs: DataFrame, targetSources: Seq[String],
+      iters: Int = 3): DataFrame = {
+    val w = weakClassifierTrain(docs, targetSources, iters)
+    weakClassifierScore(docs, targetSources, w).orderBy(col("doc_id"))
   }
 
   /** The unrolled training loop as one DuckDB CTE chain — iteration t
     * materializes weight row wt (w0..w4) and the misclassified-set
     * gradient against it; the chain length follows `iters` so the
     * oracle can never drift from the Spark loop's step count. */
+  /** `trainWhere` / `scoreWhere` restrict the training corpus and the
+    * scored rows (SQL predicates over the stats columns incl.
+    * doc_id/source) — "TRUE"/"TRUE" is tx39's whole-corpus shape;
+    * st19 trains on the standing split and scores the delta split,
+    * mirroring its stream exactly. */
   def weakClassifierSqlFor(re: String, targetSources: Seq[String],
-      iters: Int = 3): String = {
+      iters: Int = 3, trainWhere: String = "TRUE",
+      scoreWhere: String = "TRUE"): String = {
     val inList = targetSources.map(s => s"'$s'").mkString(", ")
     val fs = 0 to 4
     def marginSql(wRel: String): String = fs.map(i =>
@@ -938,7 +974,7 @@ object TextFunctions {
         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd,
         |  CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS ns
         | FROM documents),
-        |feat AS (
+        |allfeat AS (
         | SELECT doc_id,
         |  CAST(CASE WHEN source IN ($inList) THEN 1 ELSE -1 END AS BIGINT) AS y,
         |  CAST(1000000 AS BIGINT) AS x0,
@@ -946,16 +982,17 @@ object TextFunctions {
         |  CAST(CAST(CAST(nd AS DOUBLE) / CAST(nc AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x2,
         |  CAST(CAST(CAST(nc - nw - ns AS DOUBLE) / CAST(nc AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x3,
         |  CAST(CAST(CAST(ns AS DOUBLE) / CAST(nc AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x4
-        | FROM stats WHERE nt >= 1)""".stripMargin
+        | FROM stats WHERE nt >= 1),
+        |feat AS (SELECT * FROM allfeat WHERE $trainWhere)""".stripMargin
     // w1 = gradient under w0 = 0 (every row misclassified: y·0 ≤ 0)
     val iter1 =
       s""",w1 AS (
-        | SELECT ${fs.map(i => s"CAST(SUM(y * x$i) AS BIGINT) AS w$i").mkString(", ")}
+        | SELECT ${fs.map(i => s"CAST(COALESCE(SUM(y * x$i), 0) AS BIGINT) AS w$i").mkString(", ")}
         | FROM feat f)""".stripMargin
     val rest = (2 to iters).map { t =>
       s""",g$t AS (
         | SELECT ${fs.map(i =>
-          s"CAST(SUM(CASE WHEN (f.y = 1 AND ${marginSql(s"w${t - 1}")} <= 0) OR (f.y = -1 AND ${marginSql(s"w${t - 1}")} >= 0) THEN f.y * f.x$i ELSE 0 END) AS BIGINT) AS w$i").mkString(", ")}
+          s"CAST(COALESCE(SUM(CASE WHEN (f.y = 1 AND ${marginSql(s"w${t - 1}")} <= 0) OR (f.y = -1 AND ${marginSql(s"w${t - 1}")} >= 0) THEN f.y * f.x$i ELSE 0 END), 0) AS BIGINT) AS w$i").mkString(", ")}
         | FROM feat f, w${t - 1}),
         |w$t AS (
         | SELECT ${fs.map(i => s"w${t - 1}.w$i + g$t.w$i AS w$i").mkString(", ")}
@@ -966,7 +1003,8 @@ object TextFunctions {
         |SELECT f.doc_id, f.y AS label,
         | (${marginSql(s"w$iters")}) > 0 AS pred_target,
         | CAST(CAST((${marginSql(s"w$iters")}) AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS margin
-        |FROM feat f, w$iters
+        |FROM allfeat f, w$iters
+        |WHERE $scoreWhere
         |ORDER BY f.doc_id""".stripMargin
   }
 

@@ -1319,6 +1319,44 @@ object StreamQueries {
       |FROM t WHERE lst.et <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** st19: STREAMING QUALITY GATE — tx39's weak-label classifier
+    * served at the front door: weights are TRAINED batch-side on the
+    * STANDING (non-delta) corpus — the nightly job that refreshes the
+    * model — and the incoming delta documents stream through a pure
+    * map-side scoring projection under those FROZEN literal weights
+    * (margin + predicted side per doc). Same md5 standing/delta split
+    * as st15/dd9 (one definition, PipelineQueries.isDeltaDoc). The
+    * oracle restates BOTH halves in one unrolled CTE chain
+    * (weakClassifierSqlFor with the split predicates), so the
+    * streamed verdicts hash against a batch DuckDB run end to end —
+    * training included.
+    *
+    * Scale: ZERO streaming state (stateless projection; the model is
+    * 5 BigInts of driver state riding the batch plans as literals) —
+    * the floor is micro-batch machinery alone. Verdicts depend only
+    * on (doc, frozen weights), so batch splitting cannot change any
+    * row (st15's invariance argument, spec-pinned). */
+  def st19(s: SparkSession, d: String): DataFrame = st19From(s, d, None)
+
+  private[graft] def st19From(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d)
+    val w = TextFunctions.weakClassifierTrain(
+      docs.filter(!PipelineQueries.isDeltaDoc), PipelineQueries.DsirTargetSources)
+    val scored = TextFunctions.weakClassifierScore(
+      documentsStreamFrom(s, d, maxFilesPerTrigger)
+        .filter(PipelineQueries.isDeltaDoc),
+      PipelineQueries.DsirTargetSources, w)
+    runToTable(s, scored, "append").orderBy(col("doc_id"))
+  }
+
+  val st19Sql: String = graft.functions.TextFunctions.weakClassifierSqlFor(
+    graft.functions.TextFunctions.UnicodeTokenRe,
+    PipelineQueries.DsirTargetSources,
+    trainWhere = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'",
+    scoreWhere = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("st1_stream_counts", st1 _, st1Sql),
     ("st2_stream_enrich", st2 _, st2Sql),
@@ -1337,5 +1375,6 @@ object StreamQueries {
     ("st15_stream_ingest_dedup", st15 _, st15Sql),
     ("st16_stream_attribution", st16 _, st16Sql),
     ("st17_stream_ann_ingest", st17 _, null),
-    ("st18_stream_cdc_apply", st18 _, st18Sql))
+    ("st18_stream_cdc_apply", st18 _, st18Sql),
+    ("st19_stream_quality_gate", st19 _, st19Sql))
 }

@@ -1066,14 +1066,14 @@ class ExplainSpec extends SparkTestBase {
       s"top-N degenerated to a global sort:\n${p.take(3000)}")
   }
 
-  test("tx39 classifier scoring plans map-side over the checkpointed features") {
+  test("tx39 classifier scoring plans map-side (weights are literals)") {
     val df = graft.functions.TextFunctions.weakClassifier(
       Tables.documents(spark, Sf0001), Seq("src0", "src1", "src2"))
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
-    // the final scoring pass reads the feature checkpoint and sorts
-    // the presentation — no join, no aggregate, no cartesian: weights
-    // are LITERALS, so scoring is pure map-side arithmetic
+    // the scoring pass is one feature projection + literal-weight
+    // arithmetic + the presentation sort — no join, no aggregate:
+    // the shape that serves a stream (st19)
     assert(!p.contains("Join"), s"scoring must not join:\n${p.take(3000)}")
     assert(!p.contains("HashAggregate"), s"scoring must not aggregate:\n${p.take(3000)}")
   }

@@ -579,4 +579,33 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(render(StreamQueries.cdcMerge(
       StreamQueries.cdcAggOps(b1), StreamQueries.cdcAggOps(b2))) === got)
   }
+
+  test("st19 quality gate: multi-batch ≡ single run ≡ train+score batch twin") {
+    import graft.queries.PipelineQueries
+    import graft.functions.TextFunctions
+    // Batch-split invariance: verdicts are per-doc facts under FROZEN
+    // weights (trained on the standing split only), so slicing the
+    // delta stream into micro-batches must change nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft-st19-src").toString
+    spark.read.parquet(s"$Sf0001/documents.parquet").repartition(4)
+      .write.parquet(s"$dir/documents.parquet")
+    val multi = StreamQueries.st19From(spark, dir, Some(1)).collect().toSeq
+    val single = StreamQueries.st19(spark, Sf0001).collect().toSeq
+    assert(multi === single)
+    // Batch twin: train on the standing split, score the delta split
+    // — the streamed gate must compute exactly this
+    val docs = Tables.documents(spark, Sf0001)
+    val w = TextFunctions.weakClassifierTrain(
+      docs.filter(!PipelineQueries.isDeltaDoc), PipelineQueries.DsirTargetSources)
+    val twin = TextFunctions.weakClassifierScore(
+      docs.filter(PipelineQueries.isDeltaDoc), PipelineQueries.DsirTargetSources, w)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(single === twin)
+    // every scorable (token-carrying) delta doc verdicted exactly once
+    assert(single.map(_.getLong(0)).distinct.size === single.size)
+    assert(single.nonEmpty)
+    // the standing-trained model must not be the zero vector (the
+    // stream would then pass everything with margin 0)
+    assert(single.exists(_.getDouble(3) != 0.0))
+  }
 }
