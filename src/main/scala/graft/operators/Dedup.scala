@@ -727,8 +727,9 @@ object Dedup {
     // so that batch falls back to the always-exact array path (the
     // shingle index's own append is what demotes masks/ — this append
     // does not mutate a layout it doesn't own)
+    var maskEnc: Option[DataFrame] = None // cached encoding, freed after the pairs write
     val maskPairs =
-      if (!new java.io.File(s"$shinglePath/masks").exists()) None
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$shinglePath/masks"))) None
       else {
         val dict = spark.read.parquet(s"$shinglePath/dict")
         val enc = withShingles(deltaDocs, n)
@@ -745,6 +746,7 @@ object Dedup {
           .limit(1).count() > 0
         if (demote) { enc.unpersist(); None }
         else {
+          maskEnc = Some(enc)
           val standMasks = spark.read.parquet(s"$shinglePath/masks")
             .join(deltaIds, Seq("doc_id"), "left_anti")
             .withColumn("is_delta", lit(false))
@@ -758,6 +760,7 @@ object Dedup {
       .join(deltaIds, Seq("doc_id"), "left_anti")
     maskPairs.getOrElse(containIngestPairs(standSh, deltaSh, tau))
       .write.mode("overwrite").parquet(s"$stage/pairs")
+    maskEnc.foreach(_.unpersist())
     // relabel via contraction: standing endpoints collapse to their
     // group labels, so the union-find graph is delta-sized
     val np = spark.read.parquet(s"$stage/pairs")
