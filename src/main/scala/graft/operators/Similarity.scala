@@ -39,6 +39,57 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ss18 (round 15): FILTERED vector search — exact top-k among
+    * corpus vectors passing a per-query predicate, here SAME LABEL:
+    * each query's nearest neighbors WITHIN ITS OWN CLASS (the
+    * label-noise / intra-class-duplicate detection shape, and the
+    * "nearest same-language/same-source document" query every
+    * filtered-retrieval stack serves). The predicate rides the JOIN
+    * CONDITION as an equi component, so Spark hash-joins on label and
+    * non-matching rows never reach the scorer — at 100 TB this beats
+    * score-then-filter by the class-selectivity factor, and the plan
+    * keeps ss1's skeleton: queries broadcast WITH their labels, the
+    * corpus scanned once, never shuffled, ranking in graft_topk
+    * k-heap partials. A query whose class holds fewer than k other
+    * members returns fewer rows — the honest semantics (both engines
+    * agree; oracle-gated). The ANN sibling is
+    * [[ivfProbeIndexFiltered]]. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** [[filteredTopK]] served off the materialized IVF index: the
+    * partition-pruned probe OVERSAMPLES (k·f pool — the standard
+    * post-filter compensation: the index knows nothing of labels, so
+    * filtering after the probe thins the pool by class selectivity;
+    * f should sit near 1/selectivity), labels join in from the flat
+    * store (pool is |queries|·k·f rows — broadcast against the
+    * column-pruned label scan), then the predicate and the final
+    * top-k. Recall vs the exact filtered search floors in
+    * SimilaritySpec; the deterministic comparator is shared, so a
+    * pool member in the exact filtered top-k always survives. */
+  def ivfProbeIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, labels: DataFrame, k: Int,
+      poolFactor: Int = 8, nprobe: Int = 0): DataFrame = {
+    val pool = ivfProbeIndex(spark, path, queries, k * poolFactor, nprobe)
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val scored = labels.select(col("vec_id"), col("label"))
+      .join(broadcast(pool.select(col("query_id"), col("vec_id"), col("cosine"))),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** ss9: exact cosine RANGE search — every corpus vector within a
     * similarity radius of each query, the "find everything close
     * enough" complement to top-k (duplicate sweeps and recall-oriented

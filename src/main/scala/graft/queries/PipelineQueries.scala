@@ -607,6 +607,33 @@ object PipelineQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NQueries), TopK)
   }
 
+  /** ss18 (round 15): filtered vector search — exact same-label top-k
+    * (Similarity.filteredTopK); the IVF-served sibling is spec-gated
+    * in SimilaritySpec. */
+  def ss18(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < NQueries), TopK)
+  }
+
+  /** ss1's oracle with the label predicate riding the join. */
+  val ss18Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+      |   label AS q_label
+      |  FROM embeddings WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |   list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS cosine
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> q.query_id AND e.label = q.q_label),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", vec_id, cosine
+      |FROM ranked WHERE rnk <= $TopK
+      |ORDER BY query_id, "rank"""".stripMargin
+
   /** ss1 is exact, so it oracles against DuckDB's cosine + rank window.
     * CAST to DOUBLE[] is load-bearing: DuckDB then accumulates in
     * double left-to-right exactly like graft_cosine (verified
@@ -1550,6 +1577,7 @@ object PipelineQueries {
     ("ss15_centroid_drift", ss15 _, null),
     ("ss16_pq_drift", ss16 _, null),
     ("ss17_hnsw_ann", ss17 _, null),
+    ("ss18_filtered_search", ss18 _, ss18Sql),
     ("ss11_hybrid_search", ss11 _, ss11Sql),
     ("ss12_mmr_diversify", ss12 _, ss12Sql),
     ("tx1_tokens", tx1 _, TextFunctions.tokenStatsSql),

@@ -642,4 +642,47 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(byGroup.exists(_._2.length > 1), "no dup group found — fixture degenerate")
   }
+
+  test("ss18 filtered search: neighbors come ONLY from the query's class; planted dup wins") {
+    import spark.implicits._
+    val q0 = vec(0)
+    // corpus: exact dup of query 0 in class 1 AND in class 2 — the
+    // filter must pick the same-class one; plus fillers in both
+    val rows = Seq(
+      (101L, q0, 1), (102L, q0, 2),
+    ) ++ (110L to 130L).map(i => (i, vec(i.toInt), if (i % 2 == 0) 1 else 2))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, q0, 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out(0)._2 === 101L && math.abs(out(0)._3 - 1.0) < 1e-9)
+    // every returned neighbor is class 1 — 102 (class 2, also an exact
+    // dup) must NOT appear
+    val class1 = rows.filter(_._3 == 1).map(_._1).toSet
+    assert(out.forall(r => class1(r._2)), s"off-class neighbor leaked: ${out.toSeq}")
+    assert(!out.exists(_._2 == 102L))
+  }
+
+  test("ss18 IVF-served filtered probe: recall floor vs exact; off-class rows never returned") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.filteredTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-filt").toString
+    Similarity.ivfWriteIndex(emb, dir, nlist = 16)
+    val got = Similarity.ivfProbeIndexFiltered(spark, dir, q, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"filtered-probe recall $recall collapsed")
+    // the predicate is hard: nothing off-class may appear
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (qid, vid) =>
+      assert(labelOf(vid) === labelOf(qid), s"off-class $vid for query $qid")
+    }
+    // determinism
+    val again = Similarity.ivfProbeIndexFiltered(spark, dir, q, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === got)
+  }
 }
