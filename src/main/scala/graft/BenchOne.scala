@@ -11,13 +11,13 @@ object BenchOne {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Sessions.perf(SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // the contended container intermittently blows the 300 s default
       // during broadcast exchanges — not a plan problem, raise it
       .config("spark.sql.broadcastTimeout", "1200")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query executor CPU (BenchCpu, shared with Bench) — the wall
     // column alone hid dd6's 10× candidate-regeneration redundancy for

@@ -211,19 +211,99 @@ object Dedup {
   private def maskJaccard(a: Column, b: Column): Column =
     bit_count(a.bitwiseAND(b)).cast("double") / bit_count(a.bitwiseOR(b)).cast("double")
 
-  /** Hamming pigeonhole band slices of a 64-bit `mask` column:
-    * jaccard(A,B) ≥ t bounds |A Δ B| ≤ 64·(1−t) bits, so ⌊64(1−t)⌋+1
-    * bit-ranges guarantee every qualifying pair agrees exactly on at
-    * least one full band (t=0.9 → 7 bands of 9–10 bits). */
-  private def hammingBandCols(threshold: Double): Seq[Column] = {
-    val maxHam = math.max(0, (64.0 * (1.0 - threshold)).toInt)
+  /** Presentation sort with a single upstream execution (round 15
+    * optimization — guide §1.2 "don't compute things you throw
+    * away"): a bare `.orderBy` range-partitions, and RangePartitioner
+    * SAMPLING executes the ENTIRE upstream plan once before the sort
+    * pass executes it again — for the pair operators that is two full
+    * candidate-join + verification runs per query. The lazy local
+    * checkpoint materializes the pair set on its first computation
+    * (the sampling pass) and the sort pass re-reads the stored rows.
+    * Output rows and order are identical; only the double execution
+    * goes. */
+  private def sortedBy(df: DataFrame, cols: Column*): DataFrame =
+    df.localCheckpoint(false).orderBy(cols: _*)
+
+  /** Hamming pigeonhole band slices of a 64-bit `mask` column, laid
+    * over the OCCUPIED bit span only (round 15 optimization — guide
+    * §2.5 skew/§2.3 shuffle bytes): jaccard(A,B) ≥ t bounds
+    * |A Δ B| ≤ |A∪B|·(1−t) ≤ pop·(1−t) bits, so ⌊pop(1−t)⌋+1
+    * bit-ranges over the occupied span guarantee every qualifying
+    * pair agrees exactly on at least one full band. The round-14 form
+    * banded all 64 bits with nBands from 64·(1−t): on a corpus whose
+    * dictionary occupies only the low 31 bits, every band over the
+    * all-zero upper half matched EVERY mask against EVERY mask —
+    * measured 25.2 M raw join rows for 28.9 k qualifying pairs at
+    * t=0.9 (sf0.1), a ~870× candidate blow-up that the occupied-span
+    * layout removes while keeping the guarantee exact. */
+  private def hammingBandCols(threshold: Double, span: Int, pop: Int): Seq[Column] = {
+    val maxHam = math.max(0, (pop * (1.0 - threshold)).toInt)
     val nBands = maxHam + 1
-    val bounds = (0 to nBands).map(k => k * 64 / nBands)
+    val bounds = (0 to nBands).map(k => k * span / nBands)
     (0 until nBands).map { k =>
       val lo = bounds(k); val width = bounds(k + 1) - lo
       val bits = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(k).as("band"), expr(s"(mask >> $lo) & $bits").as("bv"))
     }
+  }
+
+  /** Block count for the blocked all-pairs fallback: B(B+1)/2 = 136
+    * triangular block pairs (self) / B salted keys (cross) — enough
+    * keys to spread Σm² comparison work over every core, replication
+    * factor (B+1)/2 ≈ 8.5 on the (tiny, distinct-mask) block relation. */
+  private val MaskPairBlocks = 16
+
+  /** All unordered distinct-mask candidate pairs within each component
+    * via a TRIANGULAR BLOCKED self-join — the exact-fallback for the
+    * regime where Hamming banding cannot prune (low occupancy + low
+    * threshold ⇒ bands of 1–3 bits whose buckets hold ~m/4 masks
+    * each): every mask gets a deterministic block b = h(mask) mod B,
+    * the (u ≤ v) block-pair grid is keyed (comp, u, v), and each
+    * unordered pair materializes EXACTLY once (left fans out over
+    * v ≥ b, right over u ≤ b; the diagonal dedups by mask order), so
+    * no post-join distinct is needed. Σ_comp m_c²/2 popcount
+    * comparisons, spread over B(B+1)/2 keys — never a single-task
+    * nested loop, never a per-band re-scan. */
+  private def blockedMaskPairs(groups: DataFrame, threshold: Double): DataFrame = {
+    val b = MaskPairBlocks
+    // the join's cost is per-partition COMPUTE (Σm²/B² popcount
+    // comparisons per block pair), invisible to AQE's size-based
+    // coalescing — pin the parallelism explicitly so the session-level
+    // advisory sizing (Sessions.perf) cannot serialize it
+    val p = groups.sparkSession.sparkContext.defaultParallelism
+    val blocks = groups.select(col("comp"), col("mask"),
+      pmod(xxhash64(col("mask")), lit(b)).cast("int").as("blk"))
+    val left = blocks.select(col("comp"), col("blk").as("u"),
+      explode(expr(s"sequence(blk, ${b - 1})")).as("v"), col("mask").as("mask_a"))
+      .repartition(p, col("comp"), col("u"), col("v"))
+    val right = blocks.select(col("comp"),
+      explode(expr(s"sequence(0, blk)")).as("u"), col("blk").as("v"),
+      col("mask").as("mask_b"))
+      .repartition(p, col("comp"), col("u"), col("v"))
+    left.join(right, Seq("comp", "u", "v"))
+      .filter(col("u") < col("v") || col("mask_a") < col("mask_b"))
+      .select(col("comp"), col("mask_a"), col("mask_b"),
+        maskJaccard(col("mask_a"), col("mask_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact candidate-volume cost of the banded plan: Σ_bucket C(c,2)
+    * over the (comp, band, bv) buckets — ONE linear aggregate over the
+    * banded projection (m·nBands rows), computed before committing to
+    * a join strategy (guide §1/§3.1: pick the strategy deliberately,
+    * from data, not estimates — the uniform-occupancy model is badly
+    * wrong here because masks average ~0.7 density, collapsing band
+    * values onto near-all-ones). */
+  private def bandedPairCost(bands: DataFrame): Long = {
+    val r = bands.groupBy("comp", "band", "bv").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private def blockedPairCost(groups: DataFrame): Long = {
+    val r = groups.groupBy("comp").agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) div 2"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full
@@ -270,8 +350,8 @@ object Dedup {
     * the output is exactly the naive answer. */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       tokensExpr: String = AsciiTokensExpr): DataFrame =
-    ngramJaccardPairs(docs, n, threshold, tokensExpr)
-      .orderBy(col("doc_a"), col("doc_b"))
+    sortedBy(ngramJaccardPairs(docs, n, threshold, tokensExpr),
+      col("doc_a"), col("doc_b"))
 
   /** ngramJaccard without the output-presentation sort — the
     * composition entry point: dupGroups/dd7 consume the pairs as an
@@ -310,22 +390,50 @@ object Dedup {
       .select(col("da"), explode(col("ids")).as("db"))
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
-    // distinct-mask pairs via Hamming pigeonhole banding
-    val bandCols = hammingBandCols(threshold)
+    // Distinct-mask pairs: Hamming pigeonhole banding over the
+    // OCCUPIED bit span, or the blocked all-pairs fallback when the
+    // measured banded candidate volume is worse (round 15 — guide
+    // §1.1/§2.5: the cost probe is two bounded aggregates over the
+    // cached distinct-mask relation, and it picked blocked for every
+    // τ ∈ {0.7, 0.8, 0.9} on the 31-bit sf0.1 dictionary, where the
+    // 64-bit banding produced 25–96 M raw candidates vs C(m,2)=7.7 M).
+    // Occupancy geometry + blocked cost come from ONE per-component
+    // aggregate (≤ MaxCompVocab rows — driver-bounded): the OR of
+    // distinct masks equals the OR of all masks (idempotent), so no
+    // separate occupiedBits pass is needed.
+    val stats = groups.groupBy("comp")
+      .agg(count(lit(1)).as("m"), bit_or(col("mask")).as("orm")).collect()
+    val orAll = stats.foldLeft(0L)((a, r) => a | r.getAs[Long]("orm"))
+    val (span, pop) =
+      if (orAll == 0L) (1, 1)
+      else (64 - java.lang.Long.numberOfLeadingZeros(orAll),
+        java.lang.Long.bitCount(orAll))
+    val blockedCost = stats.foldLeft(0L) { (a, r) =>
+      val m = r.getAs[Long]("m"); a + m * (m - 1) / 2
+    }
+    val bandCols = hammingBandCols(threshold, span, pop)
     val bands = groups.select(col("comp"), col("mask"), explode(array(bandCols: _*)).as("b"))
       .select(col("comp"), col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val x = bands.as("x"); val y = bands.as("y")
-    val maskPairs = x.join(y,
-        col("x.comp") === col("y.comp") &&
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.mask") < col("y.mask"))
-      .select(col("x.comp").as("comp"),
-        col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
-        maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
-      // filter BEFORE distinct so the dedup shuffle carries only
-      // qualifying mask pairs, not the full band-join output
-      .filter(col("jaccard") >= threshold)
-      .distinct()
+    val maskPairs =
+      if (blockedCost <= bandedPairCost(bands))
+        blockedMaskPairs(groups, threshold)
+      else {
+        // same compute-parallelism pin as blockedMaskPairs
+        val p = groups.sparkSession.sparkContext.defaultParallelism
+        val bp = bands.repartition(p, col("comp"), col("band"), col("bv"))
+        val x = bp.as("x"); val y = bp.as("y")
+        x.join(y,
+            col("x.comp") === col("y.comp") &&
+              col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.mask") < col("y.mask"))
+          .select(col("x.comp").as("comp"),
+            col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
+            maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
+          // filter BEFORE distinct so the dedup shuffle carries only
+          // qualifying mask pairs, not the full band-join output
+          .filter(col("jaccard") >= threshold)
+          .distinct()
+      }
     val ga = groups.select(col("comp"), col("mask").as("mask_a"), col("ids").as("ids_a"))
     val gb = groups.select(col("comp"), col("mask").as("mask_b"), col("ids").as("ids_b"))
     val cross = maskPairs.join(ga, Seq("comp", "mask_a")).join(gb, Seq("comp", "mask_b"))
@@ -469,8 +577,8 @@ object Dedup {
     * (DedupSpec pins both paths). */
   def ngramJaccardProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double): DataFrame =
-    ngramJaccardProbePairs(spark, path, threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    sortedBy(ngramJaccardProbePairs(spark, path, threshold),
+      col("doc_a"), col("doc_b"))
 
   /** The probe WITHOUT the output-presentation sort — the composition
     * entry point (dd16 aggregates the pairs per threshold, where a
@@ -492,7 +600,7 @@ object Dedup {
       if (new java.io.File(s"$path/masks").exists())
         jaccardByMask(spark.read.parquet(s"$path/masks"), threshold)
       else minhashLshPath(spark.read.parquet(s"$path/sh"), threshold)
-    pairs.orderBy(col("doc_a"), col("doc_b"))
+    sortedBy(pairs, col("doc_a"), col("doc_b"))
   }
 
   /** dd11 probing the shingle index (round 7 — dd11 was the last
@@ -507,7 +615,7 @@ object Dedup {
       if (new java.io.File(s"$path/masks").exists())
         containmentByMask(spark.read.parquet(s"$path/masks"), tau)
       else containmentPrefixSorted(spark.read.parquet(s"$path/sh"), tau)
-    pairs.orderBy(col("doc_sub"), col("doc_super"))
+    sortedBy(pairs, col("doc_sub"), col("doc_super"))
   }
 
   /** Materialized containment index: the full containment-pair set
@@ -874,7 +982,7 @@ object Dedup {
       case Some(masks) => containmentByMask(masks, tau)
       case None        => containmentPrefix(sh, tau)
     }
-    pairs.orderBy(col("doc_sub"), col("doc_super"))
+    sortedBy(pairs, col("doc_sub"), col("doc_super"))
   }
 
   /** dd13: per-document containment VERDICT — the O(docs) signal a
@@ -1045,8 +1153,8 @@ object Dedup {
     * (oracle-verified): (doc_new, doc_old, jaccard). */
   def incrementalDedup(docs: DataFrame, n: Int, threshold: Double,
       isDelta: Column): DataFrame =
-    incrementalPairs(docs, n, threshold, isDelta)
-      .orderBy(col("doc_new"), col("doc_old"))
+    sortedBy(incrementalPairs(docs, n, threshold, isDelta),
+      col("doc_new"), col("doc_old"))
 
   /** [[incrementalDedup]] without the output-presentation sort — the
     * composition entry point (dd10 consumes the pairs as edges). */
@@ -1223,22 +1331,67 @@ object Dedup {
   private def incrementalByMask(masksIn: DataFrame, threshold: Double): DataFrame = {
     val m = masksIn.cache()
     val dm = m.filter(col("is_delta")).groupBy("comp", "mask")
-      .agg(collect_list(col("doc_id")).as("ids_new"))
+      .agg(collect_list(col("doc_id")).as("ids_new")).cache()
     val im = m.filter(!col("is_delta")).groupBy("comp", "mask")
-      .agg(collect_list(col("doc_id")).as("ids_old"))
-    val bandCols = hammingBandCols(threshold)
+      .agg(collect_list(col("doc_id")).as("ids_old")).cache()
+    // Same strategy dispatch as [[jaccardByMask]] (round 15): occupied-
+    // span banding, with a SALTED bipartite cross as the fallback when
+    // the measured banded candidate volume is worse. The cross cost
+    // probe sums per-bucket cd·ci products; the blocked cost is
+    // Σ_comp md_c·mi_c (each delta×index mask pair compared exactly
+    // once — no post-join distinct).
+    // Occupancy + blocked cost in ONE bounded aggregate (≤ 2 rows per
+    // component — jaccardByMask's merged-probe shape)
+    val stats = m.groupBy("comp", "is_delta")
+      .agg(countDistinct(col("mask")).as("md"), bit_or(col("mask")).as("orm"))
+      .collect()
+    val orAll = stats.foldLeft(0L)((a, r) => a | r.getAs[Long]("orm"))
+    val (span, pop) =
+      if (orAll == 0L) (1, 1)
+      else (64 - java.lang.Long.numberOfLeadingZeros(orAll),
+        java.lang.Long.bitCount(orAll))
+    val blockedCost = stats.groupBy(_.getAs[Any]("comp")).values.map { rs =>
+      val d = rs.filter(_.getAs[Boolean]("is_delta")).map(_.getAs[Long]("md")).sum
+      val i = rs.filterNot(_.getAs[Boolean]("is_delta")).map(_.getAs[Long]("md")).sum
+      d * i
+    }.sum
+    val bandCols = hammingBandCols(threshold, span, pop)
     def bands(g: DataFrame): DataFrame =
       g.select(col("comp"), col("mask"), explode(array(bandCols: _*)).as("b"))
         .select(col("comp"), col("mask"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val x = bands(dm).as("x"); val y = bands(im).as("y")
-    val maskPairs = x.join(y,
-        col("x.comp") === col("y.comp") && col("x.band") === col("y.band") &&
-          col("x.bv") === col("y.bv"))
-      .select(col("x.comp").as("comp"),
-        col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
-        maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .distinct()
+    val bandedCost = {
+      val cd = bands(dm).groupBy("comp", "band", "bv").agg(count(lit(1)).as("cd"))
+      val ci = bands(im).groupBy("comp", "band", "bv").agg(count(lit(1)).as("ci"))
+      val r = cd.join(ci, Seq("comp", "band", "bv"))
+        .agg(sum(expr("cd * ci"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val maskPairs =
+      if (blockedCost <= bandedCost) {
+        val b = MaskPairBlocks
+        // compute-parallelism pin — see blockedMaskPairs
+        val p = m.sparkSession.sparkContext.defaultParallelism
+        val right = im.select(col("comp"), col("mask").as("mask_b"),
+          pmod(xxhash64(col("mask")), lit(b)).cast("int").as("v"))
+          .repartition(p, col("comp"), col("v"))
+        val left = dm.select(col("comp"), col("mask").as("mask_a"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("v"))
+          .repartition(p, col("comp"), col("v"))
+        left.join(right, Seq("comp", "v"))
+          .select(col("comp"), col("mask_a"), col("mask_b"),
+            maskJaccard(col("mask_a"), col("mask_b")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      } else {
+        val x = bands(dm).as("x"); val y = bands(im).as("y")
+        x.join(y,
+            col("x.comp") === col("y.comp") && col("x.band") === col("y.band") &&
+              col("x.bv") === col("y.bv"))
+          .select(col("x.comp").as("comp"),
+            col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
+            maskJaccard(col("x.mask"), col("y.mask")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .distinct()
+      }
     maskPairs
       .join(dm.select(col("comp"), col("mask").as("mask_a"), col("ids_new")),
         Seq("comp", "mask_a"))
@@ -1317,7 +1470,7 @@ object Dedup {
       case Some(masks) => jaccardByMask(masks, threshold)
       case None        => minhashLshPath(shIn, threshold)
     }
-    pairs.orderBy(col("doc_a"), col("doc_b"))
+    sortedBy(pairs, col("doc_a"), col("doc_b"))
   }
 
   private def minhashLshPath(shIn: DataFrame, threshold: Double): DataFrame = {
@@ -1416,7 +1569,7 @@ object Dedup {
       .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    intra.union(cross).orderBy(col("doc_a"), col("doc_b"))
+    sortedBy(intra.union(cross), col("doc_a"), col("doc_b"))
   }
 
   /** dd6: duplicate GROUPS — connected components over the near-dup
@@ -1843,6 +1996,7 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         call_function("graft_cosine", col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .localCheckpoint(false) // one cosine-verify pass, not two (sortedBy's rationale)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -1925,6 +2079,7 @@ object Dedup {
         // the oracle's full levenshtein stays the same.
         levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .localCheckpoint(false) // one DP pass, not two (sortedBy's rationale)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -177,6 +177,46 @@ class DedupSpec extends SparkTestBase {
     assert(expected.size >= 250) // at least the planted same-set pairs
   }
 
+  test("dd2 mask path strategy dispatch: blocked (low τ) and banded (high τ) regimes both exact (round 15)") {
+    import spark.implicits._
+    // Round-15 optimization: jaccardByMask picks Hamming banding or
+    // the blocked triangular self-join from a measured cost probe.
+    // Low τ on a small occupied span (17 bands of ~2 bits here) is the
+    // blocked regime; high τ (3 wide bands) is the banded one. Both
+    // must reproduce the brute-force answer exactly — the strategy
+    // may only change the plan, never the pair set.
+    def toks(i: Int): Seq[String] = (0 until 12).map(j => s"v${(i * 5 + j * 3) % 40}").distinct
+    val rows = (0 until 200).map(i => (i.toLong, toks(i).mkString(" "))) ++
+      (0 until 200).map(i => ((1000 + i).toLong, toks(i).reverse.mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    def set(text: String): Set[String] = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    for (t <- Seq(0.6, 0.95)) {
+      val expected = (for {
+        (a, ta) <- rows; (b, tb) <- rows if a < b
+        sa = set(ta); sb = set(tb)
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= t
+      } yield (a, b)).toSet
+      val got = Dedup.ngramJaccard(docs, 1, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"tau=$t")
+      assert(expected.size >= 200, s"tau=$t") // planted same-set pairs
+    }
+    // cross-side dispatch (dd9's incrementalByMask): same invariant
+    val isDelta = org.apache.spark.sql.functions.col("doc_id") >= 1000L
+    for (t <- Seq(0.6, 0.95)) {
+      val expected = (for {
+        (a, ta) <- rows if a >= 1000; (b, tb) <- rows if b < 1000
+        sa = set(ta); sb = set(tb)
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= t
+      } yield (a, b)).toSet
+      val got = Dedup.incrementalDedup(docs, 1, t, isDelta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"cross tau=$t")
+    }
+  }
+
   test("dd2 bigram (n=2) shingles: word-order changes break similarity") {
     import spark.implicits._
     val d = Seq(

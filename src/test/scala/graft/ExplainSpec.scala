@@ -665,10 +665,14 @@ class ExplainSpec extends SparkTestBase {
     // probe's verified output, so re-probing is pure redundancy.
     // one probe self-joins its candidate relation, so the generator
     // appears exactly twice (join left + right); the old per-τ shape
-    // showed six
+    // showed six. Round 15: the mask path's generator is the banded
+    // explode OR the blocked fallback's block fan-out
+    // (explode(sequence(blk, …)) — see Dedup.blockedMaskPairs).
     val probes = df.queryExecution.optimizedPlan.collect {
       case g: Generate if g.generator.toString.contains("band") ||
-        g.generator.toString.contains("shingles") => g
+        g.generator.toString.contains("shingles") ||
+        g.generator.toString.contains("sequence(blk") ||
+        g.generator.toString.contains("sequence(0, blk") => g
     }
     assert(probes.size === 2,
       s"expected exactly 1 candidate-generation pass (2 self-join sides), got ${probes.size}")
