@@ -40,7 +40,7 @@ object DeltaBench {
     val section = args.drop(2).headOption.getOrElse("all")
     def on(s: String): Boolean = section == "all" || section == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Sessions.perf(SparkSession.builder()).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.broadcastTimeout", "1200")

@@ -28,7 +28,7 @@ object ScaleBench {
       val Array(label, dir) = a.split("=", 2); (label, dir)
     }.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Sessions.perf(SparkSession.builder()).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.broadcastTimeout", "1200")

@@ -190,7 +190,7 @@ object ScaleGen {
     val outRoot  = args2.drop(1).headOption.getOrElse("/tmp/graft_scale")
     val replicas = { val r = args2.drop(2).map(_.toInt); if (r.isEmpty) Array(3, 10, 30) else r }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Sessions.perf(SparkSession.builder()).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

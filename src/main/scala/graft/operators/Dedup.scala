@@ -610,13 +610,18 @@ object Dedup {
     * tokens against the FULL inverted index of the container side
     * (containmentPrefix's asymmetric rule on pre-sorted arrays). */
   def containmentProbe(spark: org.apache.spark.sql.SparkSession, path: String,
-      tau: Double): DataFrame = {
-    val pairs =
-      if (new java.io.File(s"$path/masks").exists())
-        containmentByMask(spark.read.parquet(s"$path/masks"), tau)
-      else containmentPrefixSorted(spark.read.parquet(s"$path/sh"), tau)
-    sortedBy(pairs, col("doc_sub"), col("doc_super"))
-  }
+      tau: Double): DataFrame =
+    sortedBy(containmentProbePairs(spark, path, tau),
+      col("doc_sub"), col("doc_super"))
+
+  /** The probe WITHOUT the presentation sort — what the contain-index
+    * BUILD consumes (round 15: the index dump was paying a global sort
+    * dd11 re-does on every read anyway). */
+  private[graft] def containmentProbePairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, tau: Double): DataFrame =
+    if (new java.io.File(s"$path/masks").exists())
+      containmentByMask(spark.read.parquet(s"$path/masks"), tau)
+    else containmentPrefixSorted(spark.read.parquet(s"$path/sh"), tau)
 
   /** Materialized containment index: the full containment-pair set
     * (probed off a shingle index) plus the CC labeling over the
@@ -627,7 +632,12 @@ object Dedup {
     * dupGroupsWriteIndex (doc_id, group_id) rows. */
   def containWriteIndex(spark: org.apache.spark.sql.SparkSession,
       shinglePath: String, docs: DataFrame, path: String, tau: Double): Unit = {
-    containmentProbe(spark, shinglePath, tau)
+    // Parallelism floor on the pair dump (round 15): dd11 re-sorts the
+    // ~1 M-row pair scan per query; a size-coalesced single-file
+    // layout serializes that scan+sort (0.7 → 6.8 s wall measured).
+    // defaultParallelism scales with the cluster — no-op at 100 TB.
+    containmentProbePairs(spark, shinglePath, tau)
+      .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$path/pairs")
     // labels read the JUST-WRITTEN pairs — the propagation loop's
     // per-round lineage then starts from a parquet scan, not the

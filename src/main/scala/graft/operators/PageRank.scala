@@ -35,7 +35,7 @@ object PageRank {
     * `keepOld`, the pre-round rank rides along as `old` (dd6's trick:
     * the convergence metric becomes a local scan of the round's own
     * output, not another shuffle join). */
-  private def round(withDeg: DataFrame, edges: DataFrame, n: Long,
+  private[graft] def round(withDeg: DataFrame, edges: DataFrame, n: Long,
       keepOld: Boolean = false): DataFrame = {
     val contrib = edges
       .join(withDeg.select(col("node").as("src"), col("outdeg"), col("r")), "src")
@@ -61,14 +61,22 @@ object PageRank {
     * plan constant-size (a 40-round unrolled plan is 2^40 nodes and
     * hangs the optimizer). */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // Snapshot the edge derivation once (round 15 optimization —
+    // guide §1.2/§5 localCheckpoint to cut lineage): each round
+    // references the edges AND the previous rank frame twice, so the
+    // unrolled plan re-executed the caller's whole edge-derivation
+    // subtree (q73: lineitem⋈orders → distinct → union, the dominant
+    // cost) once per reference — measured 23.7 s executor CPU for two
+    // rounds at sf0.1, 8.0 s after the snapshots. Values are
+    // unchanged: checkpointing only pins where recomputation stops.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     // N is ONE bounded driver scalar (q64's runtime-literal pattern) —
     // baked into the plan as a literal so each round stays one join +
     // one aggregate, no scalar-subquery re-evaluation per row
     val n = deg.count()
     var r = deg.select(col("node"), col("outdeg"), lit(Unit_e12 / n).as("r"))
-    for (_ <- 0 until iters) r = round(r, e, n)
+    for (_ <- 0 until iters) r = round(r, e, n).localCheckpoint()
     r.select(col("node"), col("r").as("pr_e12"),
       (col("r").cast("double") / 1e12).as("pagerank"))
   }

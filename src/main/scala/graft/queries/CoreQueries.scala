@@ -2279,9 +2279,17 @@ object CoreQueries {
       val li = cappedDistinctItems(Tables.lineitem(s, d), MaxOrderItems)
         .localCheckpoint() // edges + items + totals must not re-run the cap window
       val e = copurchasePairsOf(li).localCheckpoint() // two writes below must not re-run the self-join
-      e.write.mode("overwrite").parquet(s"$tmp/edges")
+      // Parallelism floor on the probe-heavy relations (round 15): the
+      // wedge join is a broadcast join, so q74 runs at the ORIENTED
+      // scan's split count — a size-coalesced single-file layout
+      // serializes the 49 M-wedge fan-out (12.7 s wall measured vs
+      // 3.1 s from a multi-file layout). defaultParallelism scales
+      // with the cluster, so at 100 TB this floor is a no-op (the
+      // relation has far more partitions than cores already).
+      val p = s.sparkContext.defaultParallelism
+      e.repartition(p).write.mode("overwrite").parquet(s"$tmp/edges")
       graft.operators.Triangles.orient(e.select(col("u"), col("v")))
-        .write.mode("overwrite").parquet(s"$tmp/oriented")
+        .repartition(p).write.mode("overwrite").parquet(s"$tmp/oriented")
       val stats = graft.operators.Triangles.bloomStats(
         s.read.parquet(s"$tmp/oriented"))
       locally { import s.implicits._

@@ -758,32 +758,41 @@ object PipelineQueries {
     * three ANN indexes (ss3/ss5/ss7/ss8), the CSV/JSON/Avro
     * round-trip copies (q23/q26/q53), and q65's z-order layout. */
   def prebuildLayouts(s: SparkSession, d: String): Unit = {
+    // Per-family wall timing to stderr (round 15, optimization: the
+    // layout phase was an opaque 349 s line — now each family's
+    // build-or-probe cost is attributable).
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      System.err.println(f"[layout] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val docs = Tables.documents(s, d)
-    cachedGroupsIndex(s, d, "full", docs).count()
-    cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count()
-    cachedShingleIndex(s, d)
-    cachedShingleIndexNondelta(s, d)
-    cachedContainIndex(s, d)
-    cachedSpanIndex(s, d)
-    cachedCdcIndex(s, d)
-    cachedBoilerIndex(s, d, 3)
-    cachedSimhashIndex(s, d)
-    cachedPhashIndex(s, d)
-    cachedContamIndex(s, d, "ascii", TextFunctions.tokensExpr)
-    cachedContamIndex(s, d, "uni", TextFunctions.unicodeTokensExpr)
+    t("dupidx_full")(cachedGroupsIndex(s, d, "full", docs).count())
+    t("dupidx_nondelta")(
+      cachedGroupsIndex(s, d, "nondelta", docs.filter(!isDeltaDoc)).count())
+    t("shidx")(cachedShingleIndex(s, d))
+    t("shidx_nd")(cachedShingleIndexNondelta(s, d))
+    t("contain")(cachedContainIndex(s, d))
+    t("spanidx")(cachedSpanIndex(s, d))
+    t("cdcidx")(cachedCdcIndex(s, d))
+    t("blidx")(cachedBoilerIndex(s, d, 3))
+    t("simidx")(cachedSimhashIndex(s, d))
+    t("phidx")(cachedPhashIndex(s, d))
+    t("ctidx_ascii")(cachedContamIndex(s, d, "ascii", TextFunctions.tokensExpr))
+    t("ctidx_uni")(cachedContamIndex(s, d, "uni", TextFunctions.unicodeTokensExpr))
     Seq("ivf", "pq", "ivfpq", "lsh", "ivf_delta", "ivf_recluster", "pq_delta",
-      "ivf_base", "hnsw").foreach(v => cachedAnnIndex(s, d, v))
-    graft.sources.CsvIngest.customerCsv(s, d).count()
-    graft.sources.CsvIngest.documentsJson(s, d).count()
-    graft.sources.AvroIngest.supplierAvro(s, d).count()
-    graft.queries.CoreQueries.q65ZorderBox(s, d).count()
-    graft.queries.CoreQueries.q100Zorder3Box(s, d).count()
-    graft.queries.CoreQueries.copurchaseEdges(s, d).count()
-    graft.queries.CoreQueries.q84StandingViewPath(s, d)
-    graft.sources.OrcIngest.ordersOrc(s, d).count()
+      "ivf_base", "hnsw").foreach(v => t(s"ann_$v")(cachedAnnIndex(s, d, v)))
+    t("csv")(graft.sources.CsvIngest.customerCsv(s, d).count())
+    t("json")(graft.sources.CsvIngest.documentsJson(s, d).count())
+    t("avro")(graft.sources.AvroIngest.supplierAvro(s, d).count())
+    t("zorder")(graft.queries.CoreQueries.q65ZorderBox(s, d).count())
+    t("zorder3")(graft.queries.CoreQueries.q100Zorder3Box(s, d).count())
+    t("copurchase")(graft.queries.CoreQueries.copurchaseEdges(s, d).count())
+    t("ivmview")(graft.queries.CoreQueries.q84StandingViewPath(s, d))
+    t("orc")(graft.sources.OrcIngest.ordersOrc(s, d).count())
     // q95's bucketed copies: files are write-once; warm JVMs pay only
     // the metadata-only re-register inside bucketedTable
-    graft.queries.SqlQueries.q95BucketedJoin(s, d).count()
+    t("bucketed")(graft.queries.SqlQueries.q95BucketedJoin(s, d).count())
     ()
   }
 
